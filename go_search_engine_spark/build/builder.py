@@ -1,0 +1,317 @@
+"""Checkpointed, resumable inverted-index build.
+
+Pipeline (one Spark job graph per stage, all declarative):
+
+  corpus --assign_doc_ids--> docs table (doc_id, documentID, doc_len,
+        content_sha256, passthrough columns), hash-sharded by documentID
+  per pending shard: docs shard --mapInPandas flatMap--> flat postings
+        segment (the resume/checkpoint unit, with lineage + metrics row)
+  finalize: segments --groupBy term--> term_stats (df deduped by doc,
+        bm25.go:44-57; idf = ln(N/df)) --> head-term salting -->
+        repartition(term, salt) + sortWithinPartitions --> block-max
+        delta+varint blocks, written partitioned by term bucket.
+
+The reference's equivalent machinery is the bulk worker pool + collector +
+flush + whole-index gob snapshot (/root/reference/internal/indexing/
+bulk_operations.go:65-339, internal/engine/persistence.go:125-142); here
+Spark's shuffle replaces the collector, task scheduling replaces the worker
+pool, and incremental per-shard segment commits replace whole-index
+re-serialization.
+
+Storage layout (parquet locally; the Iceberg runtime jar is not in this
+image -- on a real cluster each ``_write`` becomes ``writeTo(...)`` against
+an Iceberg catalog and checkpoints become snapshot metadata):
+
+  {warehouse}/{index}/settings.json
+  {warehouse}/{index}/docs/shard=K/
+  {warehouse}/{index}/segments/shard=K/        flat postings per shard
+  {warehouse}/{index}/term_stats/
+  {warehouse}/{index}/blocks/bucket=B/
+  {warehouse}/{index}/stats.json               N, avgdl, totals
+  {warehouse}/{index}/_checkpoints/            lineage + metrics rows
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexSettings
+from ..functions.tokenizer import whitespace_word_count_col
+from .blocks import BLOCKS_SCHEMA, make_block_builder
+from .flatmap import POSTINGS_SCHEMA, make_flatmap
+from .ids import assign_doc_ids
+
+CHECKPOINT_SCHEMA = (
+    "shard int, fingerprint string, status string, n_docs long, "
+    "n_postings long, wall_sec double, docs_per_sec double, "
+    "postings_per_sec double, run_id string"
+)
+
+
+@dataclass
+class BuildReport:
+    n_docs: int = 0
+    n_postings: int = 0
+    n_terms: int = 0
+    n_blocks: int = 0
+    n_salted_terms: int = 0
+    max_df: int = 0
+    avgdl: float = 0.0
+    shards_built: int = 0
+    shards_skipped: int = 0
+    wall_sec: float = 0.0
+    docs_per_sec: float = 0.0
+    postings_per_sec: float = 0.0
+    per_shard: list[dict] = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, settings: IndexSettings, warehouse: str):
+        self.spark = spark
+        self.settings = settings
+        self.base = os.path.join(warehouse, settings.name)
+
+    # --- paths -----------------------------------------------------------
+    def path(self, *parts: str) -> str:
+        return os.path.join(self.base, *parts)
+
+    # --- public ----------------------------------------------------------
+    def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "documentID",
+        num_shards: int = 8,
+        resume: bool = True,
+        fail_after_shards: int | None = None,
+    ) -> BuildReport:
+        """Build (or resume) the index from ``corpus``.
+
+        ``fail_after_shards`` is a test hook that raises after N shard
+        commits, simulating a mid-build crash for resume tests.
+        """
+        t0 = time.time()
+        run_id = uuid.uuid4().hex[:12]
+        report = BuildReport()
+        os.makedirs(self.base, exist_ok=True)
+        if not resume:
+            shutil.rmtree(self.base, ignore_errors=True)
+            os.makedirs(self.base, exist_ok=True)
+        with open(self.path("settings.json"), "w") as f:
+            json.dump(self.settings.to_dict(), f, indent=2)
+
+        docs = self._prepare_docs(corpus, id_col, num_shards)
+
+        completed = self._completed_shards() if resume else {}
+        flat_map = make_flatmap(self.settings)
+        built = 0
+        for shard in range(num_shards):
+            shard_docs = docs.filter(F.col("shard") == shard)
+            # cheap order-insensitive shard fingerprint: count + sum of row hashes
+            agg = shard_docs.select(
+                F.xxhash64(
+                    F.concat_ws("\x1f", "documentID", F.col("doc_id").cast("string"))
+                ).cast("decimal(38,0)").alias("h")
+            ).agg(F.count("*").alias("n"), F.sum("h").alias("s")).collect()[0]
+            fingerprint = f"{agg['n']}:{agg['s']}"
+            if shard in completed and completed[shard] == fingerprint:
+                report.shards_skipped += 1
+                continue
+
+            ts = time.time()
+            self._write(
+                shard_docs.drop("shard"), self.path("docs", f"shard={shard}")
+            )
+            seg_in = shard_docs.select(
+                "doc_id", "doc_len", *self.settings.searchable_fields
+            )
+            segment = seg_in.mapInPandas(flat_map, schema=POSTINGS_SCHEMA)
+            self._write(segment, self.path("segments", f"shard={shard}"))
+            n_docs = int(agg["n"])
+            n_post = self.spark.read.parquet(
+                self.path("segments", f"shard={shard}")
+            ).count()
+            wall = time.time() - ts
+            ck = {
+                "shard": shard,
+                "fingerprint": fingerprint,
+                "status": "complete",
+                "n_docs": n_docs,
+                "n_postings": n_post,
+                "wall_sec": wall,
+                "docs_per_sec": n_docs / wall if wall > 0 else 0.0,
+                "postings_per_sec": n_post / wall if wall > 0 else 0.0,
+                "run_id": run_id,
+            }
+            self._append_checkpoint(ck)
+            report.per_shard.append(ck)
+            built += 1
+            if fail_after_shards is not None and built >= fail_after_shards:
+                raise RuntimeError(
+                    f"injected failure after {built} shard(s) (test hook)"
+                )
+
+        report.shards_built = built
+        self._finalize(report)
+        report.wall_sec = time.time() - t0
+        if report.wall_sec > 0:
+            report.docs_per_sec = report.n_docs / report.wall_sec
+            report.postings_per_sec = report.n_postings / report.wall_sec
+        with open(self.path("metrics.json"), "w") as f:
+            json.dump(report.to_dict(), f, indent=2)
+        return report
+
+    # --- stages ----------------------------------------------------------
+    def _prepare_docs(
+        self, corpus: DataFrame, id_col: str, num_shards: int
+    ) -> DataFrame:
+        s = self.settings
+        df = corpus
+        if id_col != "documentID":
+            df = df.withColumnRenamed(id_col, "documentID")
+        # BM25 |d|: whitespace word count over searchable fields
+        # (reference bm25.go:109-158)
+        dl = None
+        for f_name in s.searchable_fields:
+            c = whitespace_word_count_col(F.coalesce(F.col(f_name), F.lit("")))
+            dl = c if dl is None else dl + c
+        sha_src = (
+            F.col("content")
+            if "content" in df.columns
+            else F.concat_ws("\x1f", *[F.coalesce(F.col(f), F.lit("")) for f in s.searchable_fields])
+        )
+        df = df.withColumn("doc_len", dl.cast("long")).withColumn(
+            "content_sha256", F.sha2(sha_src, 256)
+        )
+        df = assign_doc_ids(df, "documentID", max(num_shards, 8))
+        df = df.withColumn(
+            "shard", F.pmod(F.xxhash64("documentID"), F.lit(num_shards)).cast("int")
+        )
+        return df.persist()
+
+    def _finalize(self, report: BuildReport) -> None:
+        s = self.settings
+        docs = self.spark.read.parquet(self.path("docs"))
+        n_docs, avgdl = docs.agg(
+            F.count("*"), F.avg("doc_len")
+        ).collect()[0]
+        avgdl = float(avgdl or 0.0)
+        report.n_docs = int(n_docs)
+        report.avgdl = avgdl
+
+        flat = self.spark.read.parquet(self.path("segments"))
+        report.n_postings = flat.count()
+
+        # df dedups by doc across fields (reference bm25.go:44-57);
+        # idf = ln(N/df) (bm25.go:26-41)
+        term_stats = (
+            flat.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+            .withColumn("term_len", F.length("term"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(s.term_buckets)).cast("int"),
+            )
+        )
+        self._write(term_stats, self.path("term_stats"))
+        term_stats = self.spark.read.parquet(self.path("term_stats"))
+        report.n_terms = term_stats.count()
+        head = term_stats.filter(F.col("df") >= s.salt_df_threshold).select(
+            "term", "df"
+        )
+        head_rows = head.collect()
+        report.n_salted_terms = len(head_rows)
+        mx = term_stats.agg(F.max("df")).collect()[0][0]
+        report.max_df = int(mx or 0)
+
+        # explicit head-term salting: terms above the df threshold shuffle
+        # into salt_buckets sub-lists so no single reducer owns a hot term
+        salted = flat.join(
+            F.broadcast(head.select("term").withColumn("is_head", F.lit(True))),
+            "term",
+            "left",
+        ).withColumn(
+            "salt",
+            F.when(
+                F.col("is_head").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.lit(s.salt_buckets)).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("is_head")
+
+        joined = salted.join(
+            term_stats.select("term", "idf", "bucket"), "term"
+        )
+        shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        block_builder = make_block_builder(s, avgdl)
+        blocks = (
+            joined.repartition(shuffle_n, "term", "salt")
+            .sortWithinPartitions("term", "field", "salt", "doc_id")
+            .mapInPandas(block_builder, schema=BLOCKS_SCHEMA)
+        )
+        self._write(blocks, self.path("blocks"), partition_by=["bucket"])
+        report.n_blocks = self.spark.read.parquet(self.path("blocks")).count()
+
+        with open(self.path("stats.json"), "w") as f:
+            json.dump(
+                {
+                    "N": report.n_docs,
+                    "avgdl": avgdl,
+                    "n_postings": report.n_postings,
+                    "n_terms": report.n_terms,
+                    "n_blocks": report.n_blocks,
+                    "n_salted_terms": report.n_salted_terms,
+                    "max_df": report.max_df,
+                },
+                f,
+                indent=2,
+            )
+
+    # --- io helpers --------------------------------------------------------
+    def _write(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def _append_checkpoint(self, row: dict) -> None:
+        df = self.spark.createDataFrame([row], schema=CHECKPOINT_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.path("_checkpoints"))
+
+    def _completed_shards(self) -> dict[int, str]:
+        path = self.path("_checkpoints")
+        if not os.path.exists(path):
+            return {}
+        try:
+            rows = (
+                self.spark.read.parquet(path)
+                .filter(F.col("status") == "complete")
+                .select("shard", "fingerprint")
+                .collect()
+            )
+        except Exception:
+            return {}
+        return {r["shard"]: r["fingerprint"] for r in rows}
+
+
+def load_stats(base: str) -> dict:
+    with open(os.path.join(base, "stats.json")) as f:
+        return json.load(f)
+
+
+def load_settings(base: str) -> IndexSettings:
+    with open(os.path.join(base, "settings.json")) as f:
+        return IndexSettings.from_dict(json.load(f))

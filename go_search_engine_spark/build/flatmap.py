@@ -1,0 +1,113 @@
+"""Document -> postings flatMap (Arrow-batched mapInPandas).
+
+This is the engine's analogue of the reference's per-document indexing loop
+(/root/reference/internal/indexing/service.go:220-305 and the bulk worker
+bulk_operations.go:157-248): per searchable field, tokenize (with or
+without edge n-grams per field settings, service.go:310-320), count term
+frequencies, and emit one posting row per (doc, field, unique term).
+
+Faithful semantics notes:
+- In prefix-n-gram mode the reference dedups tokens globally before
+  counting (tokenizer.go:56-78), so every term's tf is 1 -- preserved here.
+- In no-prefix mode tf is the real occurrence count (service.go:258-261).
+- ``positions`` (token offsets in the field's token stream) and
+  ``is_full_word`` are declared-but-dead in the reference
+  (index/posting.go:9-10, never written); the north rule requires them, so
+  this engine actually populates them: positions of every occurrence for
+  full words, position of the first generating token for n-gram-only
+  terms.
+- ``dl`` is the BM25 document length: whitespace word count summed over
+  searchable fields (bm25.go:109-158), carried on every posting row so the
+  block builder can precompute exact per-entry BM25 scores without a
+  postings-by-doc join.
+
+The heavy regex passes run vectorized over the whole Arrow batch
+(pandas .str ops in C); the per-document counting loop is plain Python over
+an in-memory batch -- Arrow-batched, never per-row Spark Python.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..config import IndexSettings
+from ..functions.tokenizer import prefix_ngrams, tokenize_series
+
+POSTINGS_SCHEMA = (
+    "doc_id long, field string, term string, tf double, "
+    "positions array<int>, is_full_word boolean, dl long"
+)
+
+
+def _doc_postings(doc_id: int, field: str, tokens: list[str], use_prefix: bool, dl: int):
+    """Yield posting tuples for one (doc, field)."""
+    if not tokens:
+        return
+    counts = Counter(tokens)
+    first_pos: dict[str, int] = {}
+    all_pos: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        if t not in first_pos:
+            first_pos[t] = i
+            all_pos[t] = [i]
+        else:
+            all_pos[t].append(i)
+    if use_prefix:
+        # reference T3: global order-preserving dedup across tokens and
+        # their edge n-grams => tf = 1 for every emitted term
+        seen: set[str] = set()
+        for i, t in enumerate(tokens):
+            if t not in seen:
+                seen.add(t)
+                yield (doc_id, field, t, 1.0, all_pos[t], True, dl)
+            for g in prefix_ngrams(t):
+                if g not in seen:
+                    seen.add(g)
+                    full = g in counts
+                    pos = all_pos[g] if full else [i]
+                    yield (doc_id, field, g, 1.0, pos, full, dl)
+    else:
+        for t, c in counts.items():
+            yield (doc_id, field, t, float(c), all_pos[t], True, dl)
+
+
+def make_flatmap(settings: IndexSettings):
+    """Return a mapInPandas function emitting POSTINGS_SCHEMA rows.
+
+    Expects input batches with columns: doc_id, doc_len, plus one string
+    column per searchable field.
+    """
+    fields = list(settings.searchable_fields)
+    prefix_flags = {f: settings.uses_prefix(f) for f in fields}
+
+    def flat_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            dls = pdf["doc_len"].to_numpy()
+            rows: list[tuple] = []
+            for field in fields:
+                token_lists = tokenize_series(pdf[field])
+                use_prefix = prefix_flags[field]
+                for did, dl, toks in zip(doc_ids, dls, token_lists):
+                    rows.extend(
+                        _doc_postings(int(did), field, toks, use_prefix, int(dl))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "field",
+                    "term",
+                    "tf",
+                    "positions",
+                    "is_full_word",
+                    "dl",
+                ],
+            )
+
+    return flat_map

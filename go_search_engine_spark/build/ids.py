@@ -1,0 +1,51 @@
+"""Deterministic dense doc-id assignment.
+
+The reference assigns internal uint32 ids from a mutex-guarded counter
+(/root/reference/internal/indexing/service.go:147-163; batch pre-allocation
+in bulk_operations.go:168-202) -- inherently order-of-arrival. For resume
+and rank-identity we need ids that are a pure function of the data:
+``doc_id`` = global rank of ``documentID`` under its total order.
+
+Scale-safe scheme (no single-partition window):
+  1. range-repartition by the id column and sort within partitions,
+  2. count rows per partition (one tiny aggregate),
+  3. doc_id = partition offset + within-partition row_number.
+
+The within-partition window parallelizes per partition; the result is
+invariant to the partitioner's sampled boundaries because the composite is
+exactly the global sort rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_doc_ids(df: DataFrame, id_col: str, num_partitions: int) -> DataFrame:
+    """Return ``df`` plus a dense 0-based ``doc_id`` = rank of ``id_col``."""
+    parted = df.repartitionByRange(num_partitions, id_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.persist()
+    counts = (
+        parted.groupBy("_pid").count().orderBy("_pid").collect()
+    )  # tiny: one row per partition
+    offsets = {}
+    acc = 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offsets_df = F.broadcast(
+        parted.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    out = (
+        parted.withColumn("_rn", F.row_number().over(w))
+        .join(offsets_df, "_pid")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+    return out

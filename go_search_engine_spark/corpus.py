@@ -1,0 +1,152 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md section 1).
+
+Schema fixed by BASELINE.json's input_hint:
+(repo:string, path:string, commit:string, lang:string, content:string).
+
+Content is a pure function of the row index (hash mixing, no RNG state),
+so the corpus is identical for any partitioning / parallelism -- required
+for resume tests and two-parallelism scaling runs. It exercises every
+tokenizer rule (camelCase, PascalCase, acronym runs, underscores, digits,
+punctuation), plants Damerau-Levenshtein distance-1/2 neighbours
+(incl. transpositions) and gives head terms a Zipf-like frequency skew so
+salting has something to chew on.
+
+Generated distributively via spark.range(n).mapInPandas -- numpy-vectorized
+per batch; never collected to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+LANGS = ["go", "py", "java", "ts", "rs", "c", "md"]
+EXT = {"go": "go", "py": "py", "java": "java", "ts": "ts", "rs": "rs", "c": "c", "md": "md"}
+
+# vocabulary: identifiers chosen to hit every tokenizer rule + typo pairs
+IDENTIFIERS = [
+    "HTTPRequestManager", "parseJSONResponse", "myAPI1Test", "tokenizer",
+    "tokenzier",  # distance-1 transposition of tokenizer
+    "tokenizr",   # distance-1 deletion
+    "toknizer",   # distance-1 deletion
+    "indexBuilder", "index_builder", "BM25Scorer", "scoreDocument",
+    "postingList", "posting_list", "invertedIndex", "searchEngine",
+    "serachEngine",  # transposition of search
+    "levenshtein", "levenshtien",  # transposition
+    "performHTTPRequest", "state-of-the-art", "API_v1.0-beta",
+    "1Password", "BIGAcronymThenCamel", "anotherCase", "word1!@#word2",
+    "computeTermFrequency", "mergeSegments", "flushBuffer", "deltaEncode",
+    "varintDecode", "blockMaxWand", "shardRouter", "checkpointWriter",
+]
+# Zipf head terms (the skew head for salting tests)
+HEAD_TERMS = ["func", "the", "return", "if", "err", "var"]
+TAIL_WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta", "kappa",
+    "lambda", "sigma", "omega", "buffer", "stream", "socket", "mutex",
+    "channel", "context", "handler", "router", "parser", "lexer", "codec",
+    "cursor", "offset", "payload", "schema", "column", "vector", "matrix",
+    "tensor", "graph", "node", "edge", "queue", "stack", "heap", "trie",
+]
+
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX3 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix(x: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64-style deterministic hash of uint64 index."""
+    z = (x + np.uint64(salt) * _MIX1).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * _MIX2
+    z = (z ^ (z >> np.uint64(27))) * _MIX3
+    return z ^ (z >> np.uint64(31))
+
+
+def _batch(idx: np.ndarray, seed: int, words_per_doc: int) -> pd.DataFrame:
+    n = len(idx)
+    x = idx.astype(np.uint64) + np.uint64(seed) * np.uint64(1_000_003)
+    repo_i = (_mix(x, 1) % np.uint64(7)).astype(np.int64)
+    repo_j = (_mix(x, 2) % np.uint64(97)).astype(np.int64)
+    lang_i = (_mix(x, 3) % np.uint64(len(LANGS))).astype(np.int64)
+    pkg = (_mix(x, 4) % np.uint64(23)).astype(np.int64)
+    fno = (_mix(x, 5) % np.uint64(311)).astype(np.int64)
+
+    repos = [f"org{a}/repo{b}" for a, b in zip(repo_i, repo_j)]
+    langs = [LANGS[i] for i in lang_i]
+    paths = [
+        f"src/pkg{p}/File{f}.{EXT[lg]}" for p, f, lg in zip(pkg, fno, langs)
+    ]
+    commits = [
+        hashlib.sha1(f"{r}/{p}".encode()).hexdigest() for r, p in zip(repos, paths)
+    ]
+
+    # content: words_per_doc words drawn deterministically; Zipf-ish head
+    docs = []
+    n_head, n_id, n_tail = len(HEAD_TERMS), len(IDENTIFIERS), len(TAIL_WORDS)
+    for r in range(n):
+        base = x[r]
+        hs = _mix(np.arange(words_per_doc, dtype=np.uint64) + base * np.uint64(7919), 9)
+        sel = hs % np.uint64(100)
+        widx = _mix(hs, 11)
+        words = []
+        for s, w in zip(sel, widx):
+            if s < 45:  # 45% head terms -> Zipf skew
+                words.append(HEAD_TERMS[int(w % n_head)])
+            elif s < 75:  # 30% camelCase identifiers
+                words.append(IDENTIFIERS[int(w % n_id)])
+            else:
+                words.append(TAIL_WORDS[int(w % n_tail)])
+        docs.append(" ".join(words))
+
+    return pd.DataFrame(
+        {
+            "id": idx.astype(np.int64),
+            "repo": repos,
+            "path": paths,
+            "commit": commits,
+            "lang": langs,
+            "content": docs,
+        }
+    )
+
+
+def generate_corpus(
+    spark: SparkSession,
+    n_rows: int,
+    seed: int = 42,
+    words_per_doc: int = 40,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic corpus of ``n_rows`` files."""
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            yield _batch(pdf["id"].to_numpy(), seed, words_per_doc)
+
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, n_rows, 1, parts)
+        .mapInPandas(
+            gen,
+            schema="id long, repo string, path string, commit string, "
+            "lang string, content string",
+        )
+        # reference requires a unique non-empty string documentID
+        # (model/document.go:10-19); (repo,path) can repeat across rows, so
+        # the stable row id disambiguates.
+        .withColumn(
+            "documentID",
+            F.format_string(
+                "%s/%s@%s#%d",
+                F.col("repo"),
+                F.col("path"),
+                F.substring("commit", 1, 8),
+                F.col("id"),
+            ),
+        )
+        .drop("id")
+    )

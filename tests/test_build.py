@@ -1,0 +1,171 @@
+"""End-to-end build correctness: flat postings match a pure-Python
+reimplementation of the reference indexing loop, blocks decode back to the
+flat postings exactly, doc ids are deterministic, and stats match.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_search_engine_spark.build.blocks import decode_block
+from go_search_engine_spark.build.builder import IndexBuilder, load_stats
+from go_search_engine_spark.build.ids import assign_doc_ids
+from go_search_engine_spark.config import IndexSettings
+from go_search_engine_spark.corpus import generate_corpus
+from go_search_engine_spark.functions.tokenizer import (
+    tokenize,
+    tokenize_with_prefix_ngrams,
+    whitespace_word_count,
+)
+
+N_DOCS = 250
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    settings = IndexSettings(
+        name="t_build",
+        searchable_fields=["content", "path"],
+        fields_without_prefix_search=["content"],
+        salt_df_threshold=150,  # low threshold so salting actually triggers
+        salt_buckets=4,
+        block_size=16,  # small blocks so multi-block terms exist
+    )
+    corpus = generate_corpus(spark, N_DOCS, seed=7, words_per_doc=30)
+    builder = IndexBuilder(spark, settings, wh)
+    report = builder.build(corpus, num_shards=4)
+    rows = corpus.collect()
+    return spark, wh, settings, builder, report, rows
+
+
+def python_postings(rows, settings):
+    """Pure-Python reimplementation of the reference indexing loop
+    (service.go:220-305): returns {(documentID, field, term): tf}."""
+    out = {}
+    for r in rows:
+        for field in settings.searchable_fields:
+            text = r[field] or ""
+            if settings.uses_prefix(field):
+                toks = tokenize_with_prefix_ngrams(text)
+            else:
+                toks = tokenize(text)
+            for t, c in collections.Counter(toks).items():
+                out[(r["documentID"], field, t)] = float(c)
+    return out
+
+
+def test_flat_postings_match_python(built):
+    spark, wh, settings, builder, report, rows = built
+    want = python_postings(rows, settings)
+    docs = spark.read.parquet(builder.path("docs"))
+    flat = spark.read.parquet(builder.path("segments"))
+    got_rows = (
+        flat.join(docs.select("doc_id", "documentID"), "doc_id")
+        .select("documentID", "field", "term", "tf")
+        .collect()
+    )
+    got = {(r["documentID"], r["field"], r["term"]): r["tf"] for r in got_rows}
+    assert got == want
+    assert report.n_postings == len(want)
+
+
+def test_prefix_mode_tf_is_one(built):
+    spark, wh, settings, builder, *_ = built
+    flat = spark.read.parquet(builder.path("segments"))
+    # path field is prefix-mode: reference dedup => tf == 1 everywhere
+    bad = flat.filter((F.col("field") == "path") & (F.col("tf") != 1.0)).count()
+    assert bad == 0
+
+
+def test_doc_ids_deterministic_across_partitioning(spark):
+    corpus = generate_corpus(spark, 120, seed=3, words_per_doc=10)
+    a = assign_doc_ids(corpus, "documentID", 4).select("documentID", "doc_id")
+    b = assign_doc_ids(corpus.repartition(13), "documentID", 9).select(
+        "documentID", "doc_id"
+    )
+    da = {r["documentID"]: r["doc_id"] for r in a.collect()}
+    db = {r["documentID"]: r["doc_id"] for r in b.collect()}
+    assert da == db
+    # dense 0..n-1, ordered by documentID
+    assert sorted(da.values()) == list(range(120))
+    by_rank = sorted(da, key=lambda k: da[k])
+    assert by_rank == sorted(da)
+
+
+def test_blocks_roundtrip_to_flat(built):
+    spark, wh, settings, builder, *_ = built
+    flat = spark.read.parquet(builder.path("segments"))
+    blocks = spark.read.parquet(builder.path("blocks"))
+    want = {
+        (r["term"], r["field"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        for r in flat.collect()
+    }
+    got = {}
+    for row in blocks.collect():
+        pdf = decode_block(row.asDict())
+        for rec in pdf.itertuples():
+            got[(rec.term, rec.field, int(rec.doc_id))] = (
+                float(rec.tf),
+                list(rec.positions),
+            )
+    assert got == want
+
+
+def test_block_invariants(built):
+    spark, wh, settings, builder, *_ = built
+    blocks = spark.read.parquet(builder.path("blocks")).collect()
+    assert any(b["block_id"] > 0 for b in blocks), "expected multi-block terms"
+    for b in blocks:
+        assert 1 <= b["n"] <= settings.block_size
+        assert b["first_doc"] <= b["last_doc"]
+        # IDF = ln(N/df) => a term present in every doc legitimately
+        # scores 0 (reference bm25.go:26-41)
+        assert b["max_score"] >= 0
+
+
+def test_stats_and_salting(built):
+    spark, wh, settings, builder, report, rows = built
+    stats = load_stats(builder.path())
+    assert stats["N"] == N_DOCS
+    # avgdl: whitespace word count over searchable fields (bm25.go:109-158)
+    dls = [
+        sum(whitespace_word_count(r[f] or "") for f in settings.searchable_fields)
+        for r in rows
+    ]
+    assert stats["avgdl"] == pytest.approx(sum(dls) / len(dls))
+    # head terms exist (Zipf head) and got salted
+    assert report.n_salted_terms > 0
+    blocks = spark.read.parquet(builder.path("blocks"))
+    assert blocks.filter(F.col("salt") > 0).count() > 0
+    # df: distinct docs per term (bm25.go:44-57)
+    want_df = collections.Counter()
+    for r in rows:
+        seen = set()
+        for f_name in settings.searchable_fields:
+            toks = (
+                tokenize_with_prefix_ngrams(r[f_name] or "")
+                if settings.uses_prefix(f_name)
+                else tokenize(r[f_name] or "")
+            )
+            seen |= set(toks)
+        for t in seen:
+            want_df[t] += 1
+    ts = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(builder.path("term_stats")).collect()
+    }
+    assert ts == dict(want_df)
+
+
+def test_content_sha256(built):
+    spark, wh, settings, builder, report, rows = built
+    import hashlib
+
+    docs = spark.read.parquet(builder.path("docs"))
+    got = {r["documentID"]: r["content_sha256"] for r in docs.collect()}
+    for r in rows:
+        assert got[r["documentID"]] == hashlib.sha256(r["content"].encode()).hexdigest()
