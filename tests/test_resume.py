@@ -1,0 +1,83 @@
+"""Kill/resume: a build killed mid-way resumes from per-shard checkpoints,
+skips completed shards (fingerprint-verified), and produces an index
+identical to a clean one-shot build.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_search_engine_spark.build.builder import IndexBuilder
+from go_search_engine_spark.config import IndexSettings
+from go_search_engine_spark.corpus import generate_corpus
+
+
+def _settings(name):
+    return IndexSettings(
+        name=name,
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+        block_size=32,
+        salt_df_threshold=100,
+        salt_buckets=2,
+    )
+
+
+def _snapshot(spark, builder):
+    flat = spark.read.parquet(builder.path("segments"))
+    docs = spark.read.parquet(builder.path("docs"))
+    posts = {
+        (r["doc_id"], r["field"], r["term"]): (r["tf"], tuple(r["positions"]))
+        for r in flat.collect()
+    }
+    ids = {r["documentID"]: r["doc_id"] for r in docs.collect()}
+    return posts, ids
+
+
+def test_kill_and_resume(spark, tmp_path):
+    corpus = generate_corpus(spark, 200, seed=11, words_per_doc=20)
+
+    clean = IndexBuilder(spark, _settings("clean"), str(tmp_path))
+    clean.build(corpus, num_shards=6)
+
+    crashy = IndexBuilder(spark, _settings("crashy"), str(tmp_path))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        crashy.build(corpus, num_shards=6, fail_after_shards=2)
+
+    # resume: the 2 committed shards are skipped, the rest get built
+    report = crashy.build(corpus, num_shards=6, resume=True)
+    assert report.shards_skipped == 2
+    assert report.shards_built == 4
+    assert [c["status"] for c in report.per_shard] == ["complete"] * 4
+
+    assert _snapshot(spark, crashy) == _snapshot(spark, clean)
+    # blocks identical too (decoded content, order-insensitive)
+    a = spark.read.parquet(clean.path("blocks"))
+    b = spark.read.parquet(crashy.path("blocks"))
+    cols = ["term", "field", "block_id", "n", "first_doc", "last_doc", "max_score"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_resume_noop_when_complete(spark, tmp_path):
+    corpus = generate_corpus(spark, 80, seed=5, words_per_doc=12)
+    b = IndexBuilder(spark, _settings("noop"), str(tmp_path))
+    b.build(corpus, num_shards=3)
+    report = b.build(corpus, num_shards=3, resume=True)
+    assert report.shards_built == 0
+    assert report.shards_skipped == 3
+
+
+def test_changed_input_invalidates_fingerprint(spark, tmp_path):
+    b = IndexBuilder(spark, _settings("fp"), str(tmp_path))
+    b.build(generate_corpus(spark, 60, seed=1, words_per_doc=10), num_shards=2)
+    # different corpus => fingerprints mismatch => shards rebuilt
+    report = b.build(
+        generate_corpus(spark, 60, seed=2, words_per_doc=10),
+        num_shards=2,
+        resume=True,
+    )
+    assert report.shards_built == 2
+    assert report.shards_skipped == 0
