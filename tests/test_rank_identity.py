@@ -1,0 +1,98 @@
+"""Rank identity: the Spark engine's top-k (doc ids AND BM25 scores) must
+match the pure-Python oracle implementing the reference semantics, over a
+query set covering exact terms, camelCase multi-token AND, prefix search,
+1- and 2-edit typos (incl. transpositions), head terms, and no-match.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from go_search_engine_spark.build.builder import IndexBuilder
+from go_search_engine_spark.config import IndexSettings
+from go_search_engine_spark.corpus import generate_corpus
+from go_search_engine_spark.oracle.oracle import OracleIndex
+from go_search_engine_spark.query.engine import SearchEngine
+
+N_DOCS = 220
+
+QUERIES = [
+    ("q_exact_ident", "tokenizer", 10),
+    ("q_camel_multi", "HTTPRequestManager", 10),  # -> http request manager
+    ("q_typo1_transpose", "tokenzier", 10),
+    ("q_typo1_del", "tokenizr", 10),
+    ("q_typo2", "levenshtein", 10),
+    ("q_multi_and", "deltaEncode varintDecode", 10),
+    ("q_head_term", "func", 15),
+    ("q_short_no_typo", "err", 10),  # len 3 < min1=4 -> no typos
+    ("q_mixed", "mergeSegments buffer", 10),
+    ("q_nomatch", "zzzqqqxxx", 10),
+    ("q_stacked", "blockMaxWand", 5),
+]
+
+
+@pytest.fixture(scope="module")
+def engine_and_oracle(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_rank"))
+    settings = IndexSettings(
+        name="rank",
+        searchable_fields=["content", "path"],
+        fields_without_prefix_search=["content"],
+        block_size=32,
+        salt_df_threshold=120,
+        salt_buckets=4,
+    )
+    corpus = generate_corpus(spark, N_DOCS, seed=21, words_per_doc=25)
+    builder = IndexBuilder(spark, settings, wh)
+    builder.build(corpus, num_shards=3)
+    engine = SearchEngine(spark, wh, "rank")
+    oracle = OracleIndex([r.asDict() for r in corpus.collect()], settings)
+    return engine, oracle
+
+
+@pytest.mark.parametrize("qid,query,k", QUERIES)
+def test_rank_identical(engine_and_oracle, qid, query, k):
+    engine, oracle = engine_and_oracle
+    got = engine.search(query, k=k).collect()
+    want = oracle.search(query, k=k)
+    assert [r["doc_id"] for r in got] == [h.doc_id for h in want], qid
+    assert [r["documentID"] for r in got] == [h.document_id for h in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g["score"], w.score, rel_tol=1e-9, abs_tol=1e-12)
+        assert g["num_typos"] == w.num_typos
+
+
+def test_prefix_search_on_path(engine_and_oracle):
+    # path field is prefix-indexed: a query prefix of "file"/"pkg" matches
+    # via doc-side edge n-grams, nothing query-side (service.go:133)
+    engine, oracle = engine_and_oracle
+    got = engine.search("fil", k=10, fields=["path"], typo_tolerance=False).collect()
+    want = oracle.search("fil", k=10, fields=["path"], typo_tolerance=False)
+    assert len(want) > 0
+    assert [r["doc_id"] for r in got] == [h.doc_id for h in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g["score"], w.score, rel_tol=1e-9)
+
+
+def test_field_restriction_validation(engine_and_oracle):
+    engine, _ = engine_and_oracle
+    with pytest.raises(ValueError, match="non-searchable"):
+        engine.search("tokenizer", fields=["lang"])
+
+
+def test_exact_beats_typo(engine_and_oracle):
+    """Invariant from the reference tests (service_test.go:1912-2024): for
+    a term with a planted distance-1 neighbour, docs containing the exact
+    term outrank docs containing only the typo'd variant."""
+    engine, oracle = engine_and_oracle
+    rows = engine.search("tokenizer", k=50).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    exact_scores = [r["score"] for r in rows if r["num_typos"] == 0]
+    typo_scores = [r["score"] for r in rows if r["num_typos"] > 0]
+    assert exact_scores, "expected exact matches"
+    if typo_scores:
+        # typo contributions carry the 0.8/0.6 penalty; with this corpus's
+        # homogeneous tf/dl the best exact outranks the best typo match
+        assert max(exact_scores) > max(typo_scores)
