@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` builds a real inverted index (shards, checkpoints, salted
+term-blocks) over the sf0.001 documents table and runs the flagship typo-
+tolerant BM25 top-k query through the block-decoded engine.
+
+``queries`` / ``oracle_sql`` expose each implemented operator from
+SURVEY.md section 2 (plus the training-data pipeline ops) with a DuckDB
+oracle; see go_search_engine_spark/entry_queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from go_search_engine_spark.entry_queries import ORACLES, QUERIES
+
+
+def _build_index(spark: SparkSession, sf_dir: str, warehouse: str):
+    from pyspark.sql import functions as F
+
+    from go_search_engine_spark.build.builder import IndexBuilder
+    from go_search_engine_spark.config import IndexSettings
+
+    settings = IndexSettings(
+        name="docs_idx",
+        searchable_fields=["text"],
+        fields_without_prefix_search=["text"],
+        salt_df_threshold=100_000,
+        term_buckets=16,
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("documentID", F.format_string("doc-%08d", F.col("doc_id")))
+        .drop("doc_id")
+    )
+    builder = IndexBuilder(spark, settings, warehouse)
+    builder.build(docs, num_shards=4)
+    return settings
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the index over sf0.001 documents, then run a
+    typo-tolerant BM25 top-k query end-to-end (build -> blocks -> decode ->
+    score -> rank)."""
+    from go_search_engine_spark.query.engine import SearchEngine
+
+    sf_dir = "/root/testdata/sf0.001"
+    warehouse = os.path.join(tempfile.gettempdir(), "gse_spark_entry_wh")
+    _build_index(spark, sf_dir, warehouse)
+    engine = SearchEngine(spark, warehouse, "docs_idx")
+    return engine.search("data valu tabel", k=10)  # two planted typos
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,312 @@
+"""Driver-gate queries: every implemented operator from SURVEY.md section 2
+as a (spark, sf_dir) -> DataFrame callable, paired with an equivalent
+DuckDB oracle SQL string over the same parquet tables.
+
+Column-name + value conventions shared by both sides:
+- every computed column is explicitly aliased identically in Spark and SQL;
+- float results are rounded (usually 6 dp) in BOTH engines, because float
+  sum order differs between Spark partitions and DuckDB;
+- ranks always tie-break on a total order (rounded score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import BM25_B, BM25_K1
+from .functions.tokenizer import (
+    tokenize_col,
+    tokenize_ngrams_col,
+    whitespace_word_count_col,
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+# reference T1 tokenizer (tokenizer.go:19-37) in DuckDB SQL
+TOK_SQL = (
+    "list_filter(string_split_regex(lower("
+    r"regexp_replace(regexp_replace({col}, '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),"
+    r" '([a-z0-9])([A-Z])', '\1 \2', 'g')), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+# reference T2+T3 (tokenizer.go:41-78): tokens + edge n-grams, deduped
+NGRAM_SQL = (
+    "list_distinct(flatten(list_transform(" + TOK_SQL + ", t -> "
+    "list_concat([t], list_transform(range(1, length(t)+1), i -> t[1:i])))))"
+)
+
+# BM25 |d|: whitespace word count (bm25.go:123-158)
+DL_SQL = r"len(list_filter(string_split_regex({col}, '[ \t\n\r]+'), x -> x <> ''))"
+
+# (doc_id, term, tf) over documents.text
+TOKS_CTE = (
+    "tok_raw AS (SELECT doc_id, unnest("
+    + TOK_SQL.format(col="text")
+    + ") AS term FROM documents), "
+    "toks AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok_raw "
+    "GROUP BY doc_id, term)"
+)
+
+BM25_CTES = (
+    TOKS_CTE + ", "
+    "dl AS (SELECT doc_id, (" + DL_SQL.format(col="text") + ")::DOUBLE AS dl "
+    "FROM documents), "
+    "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl), "
+    "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks "
+    "GROUP BY term)"
+)
+
+
+def _bm25_sql(term_values: str, n_tokens: int, k: int | None = None) -> str:
+    """AND-intersection BM25 sum over the given query terms."""
+    base = (
+        "WITH " + BM25_CTES + ", "
+        f"q(term) AS (VALUES {term_values}), "
+        "scored AS (SELECT toks.doc_id, "
+        f"sum(ln(stats.n/df.df) * toks.tf*{BM25_K1 + 1.0}/"
+        f"(toks.tf + {BM25_K1}*({1.0 - BM25_B} + {BM25_B}*dl.dl/stats.avgdl))) AS s, "
+        "count(*) AS nt "
+        "FROM toks JOIN q USING(term) JOIN df USING(term) "
+        "JOIN dl USING(doc_id), stats GROUP BY toks.doc_id) "
+        f"SELECT doc_id, round(s, 6) AS score FROM scored WHERE nt = {n_tokens}"
+    )
+    if k is None:
+        return base
+    return (
+        "SELECT doc_id, score, rank FROM (SELECT doc_id, score, "
+        "row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank "
+        f"FROM ({base})) WHERE rank <= {k}"
+    )
+
+
+def _spark_toks(spark, sf_dir) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokenize_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+def _spark_bm25(spark, sf_dir, terms: list[str], k: int | None = None) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = _spark_toks(spark, sf_dir)
+    dl = docs.select(
+        "doc_id", whitespace_word_count_col(F.col("text")).cast("double").alias("dl")
+    )
+    n, avgdl = dl.agg(F.count("*"), F.avg("dl")).collect()[0]
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    q = F.broadcast(spark.createDataFrame([(t,) for t in terms], ["term"]))
+    bm25 = (
+        F.log(F.lit(float(n)) / F.col("df"))
+        * F.col("tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(float(avgdl)))
+        )
+    )
+    scored = (
+        toks.join(q, "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(bm25).alias("s"), F.count("*").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+    if k is None:
+        return scored
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1/T5: tokenization + term frequencies (SURVEY 2.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tokenize_tf",
+    "WITH " + TOKS_CTE + " SELECT doc_id, term, tf FROM toks",
+)
+def tokenize_tf(spark, sf_dir):
+    """Reference T1+T5: tokenize + per-(doc, term) frequency
+    (tokenizer.go:19-37; indexing/service.go:258-261)."""
+    return _spark_toks(spark, sf_dir)
+
+
+@register(
+    "prefix_ngrams_tf",
+    "SELECT doc_id, unnest(" + NGRAM_SQL.format(col="text") + ") AS term, "
+    "1.0::DOUBLE AS tf FROM documents WHERE source = 'src0'",
+)
+def prefix_ngrams_tf(spark, sf_dir):
+    """Reference T2+T3: edge n-grams with order-preserving dedup => tf=1
+    (tokenizer.go:41-78). Bounded to one source slice."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return docs.select(
+        "doc_id",
+        F.explode(tokenize_ngrams_col(F.col("text"))).alias("term"),
+        F.lit(1.0).alias("tf"),
+    )
+
+
+@register(
+    "doc_lengths",
+    "SELECT doc_id, (" + DL_SQL.format(col="text") + ")::BIGINT AS doc_len "
+    "FROM documents",
+)
+def doc_lengths(spark, sf_dir):
+    """BM25 |d| (bm25.go:109-158): whitespace word count."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", whitespace_word_count_col(F.col("text")).cast("long").alias("doc_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: BM25 statistics + scoring (SURVEY 2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "term_df_idf",
+    "WITH " + BM25_CTES + " SELECT term, df::BIGINT AS df, "
+    "round(ln(stats.n/df.df), 6) AS idf FROM df, stats",
+)
+def term_df_idf(spark, sf_dir):
+    """df dedups by doc (bm25.go:44-57); IDF = ln(N/df) (bm25.go:26-41)."""
+    toks = _spark_toks(spark, sf_dir)
+    n = load(spark, sf_dir, "documents").count()
+    return (
+        toks.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.round(F.log(F.lit(float(n)) / F.col("df")), 6).alias("idf"),
+        )
+    )
+
+
+@register("bm25_single_term", _bm25_sql("('data')", 1))
+def bm25_single_term(spark, sf_dir):
+    """BM25 for one term across all matching docs (bm25.go:59-83)."""
+    return _spark_bm25(spark, sf_dir, ["data"])
+
+
+@register("bm25_and_query", _bm25_sql("('data'),('value'),('table')", 3))
+def bm25_and_query(spark, sf_dir):
+    """Multi-token AND intersection (service.go:328-361) + summed BM25."""
+    return _spark_bm25(spark, sf_dir, ["data", "value", "table"])
+
+
+@register("bm25_topk", _bm25_sql("('spark'),('query')", 2, k=20))
+def bm25_topk(spark, sf_dir):
+    """Top-k with the engine's total-order tie-break (score desc, doc_id)."""
+    return _spark_bm25(spark, sf_dir, ["spark", "query"], k=20)
+
+
+@register(
+    "tfmax_relevance",
+    "WITH " + TOKS_CTE + ", q(term) AS (VALUES ('key'),('value')), "
+    "m AS (SELECT doc_id, term, max(tf) AS best FROM toks JOIN q USING(term) "
+    "GROUP BY doc_id, term) "
+    "SELECT doc_id, sum(best) AS score FROM m GROUP BY doc_id "
+    "HAVING count(*) = 2",
+)
+def tfmax_relevance(spark, sf_dir):
+    """The reference's production relevance scorer A1: per query token take
+    the max entry score, sum over tokens, AND semantics
+    (service.go:392-438)."""
+    toks = _spark_toks(spark, sf_dir)
+    q = F.broadcast(spark.createDataFrame([("key",), ("value",)], ["term"]))
+    return (
+        toks.join(q, "term")
+        .groupBy("doc_id", "term")
+        .agg(F.max("tf").alias("best"))
+        .groupBy("doc_id")
+        .agg(F.sum("best").alias("score"), F.count("*").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .select("doc_id", "score")
+    )
+
+
+@register(
+    "exact_intersection",
+    "WITH " + TOKS_CTE + " SELECT doc_id FROM toks "
+    "WHERE term IN ('key','value','table') "
+    "GROUP BY doc_id HAVING count(DISTINCT term) = 3",
+)
+def exact_intersection(spark, sf_dir):
+    """J2: conjunctive posting-list intersection as a groupBy-having
+    semi-join (service.go:328-361)."""
+    toks = _spark_toks(spark, sf_dir)
+    return (
+        toks.filter(F.col("term").isin("key", "value", "table"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == 3)
+        .select("doc_id")
+    )
+
+
+@register(
+    "typo_candidates_d1",
+    "WITH " + TOKS_CTE + ", vocab AS (SELECT DISTINCT term FROM toks) "
+    "SELECT term, 1 AS distance FROM vocab "
+    "WHERE term <> 'valu' AND abs(length(term) - 4) <= 1 "
+    "AND damerau_levenshtein('valu', term) = 1",
+)
+def typo_candidates_d1(spark, sf_dir):
+    """Q4/Q5: Damerau-Levenshtein typo candidate scan over the vocabulary
+    with length pre-filter (typo_finder.go:79-124, levenshtein.go:6-87).
+    Distance 1 only here: DuckDB's damerau_levenshtein is the unrestricted
+    variant while the reference (and this engine) implement OSA; the two
+    agree at distance <= 1."""
+    import pandas as pd
+
+    from .functions.edit_distance import damerau_levenshtein_batch
+
+    toks = _spark_toks(spark, sf_dir)
+    vocab = toks.select("term").distinct().filter(
+        (F.abs(F.length("term") - 4) <= 1) & (F.col("term") != "valu")
+    )
+
+    def dist(batches):
+        for pdf in batches:
+            terms = pdf["term"].to_numpy(dtype=object)
+            if len(terms) == 0:
+                continue
+            d = damerau_levenshtein_batch("valu", terms, 1)
+            m = d == 1
+            yield pd.DataFrame({"term": terms[m], "distance": 1})
+
+    return vocab.mapInPandas(dist, schema="term string, distance int")

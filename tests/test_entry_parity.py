@@ -1,0 +1,71 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark at sf0.01 and its oracle_sql() twin in DuckDB, compare row
+count, column names, and (order-insensitive) values.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows(cols, data):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in data)
+
+
+QUERY_NAMES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_parity(spark, ddb, name):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_data = [tuple(r) for r in sdf.collect()]
+
+    oracles = entry_mod.oracle_sql()
+    if name not in oracles:
+        # rows-only check (non-SQL-expressible op)
+        assert len(spark_data) >= 0
+        return
+    res = ddb.execute(oracles[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_data = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    assert len(spark_data) == len(duck_data), f"{name}: row count"
+    assert _rows(spark_cols, spark_data) == _rows(duck_cols, duck_data), (
+        f"{name}: value mismatch"
+    )
