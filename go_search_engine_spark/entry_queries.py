@@ -310,3 +310,251 @@ def typo_candidates_d1(spark, sf_dir):
             yield pd.DataFrame({"term": terms[m], "distance": 1})
 
     return vocab.mapInPandas(dist, schema="term string, distance int")
+
+
+# ---------------------------------------------------------------------------
+# F1-F10: filter tree + filter scoring (SURVEY 2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_tree_scored",
+    "SELECT doc_id, "
+    "(CASE WHEN lang = 'en' AND n_chars > 200 THEN 5.0 ELSE 0.0 END"
+    " + CASE WHEN contains(lower(source), '1') THEN 3.0 ELSE 0.0 END)::DOUBLE"
+    " AS filter_score "
+    "FROM documents "
+    "WHERE (lang = 'en' AND n_chars > 200) OR contains(lower(source), '1')",
+)
+def filter_tree_scored(spark, sf_dir):
+    """F1/F3/F4/F7/F8: nested AND group inside an OR tree with filter
+    scoring -- AND all-or-nothing, OR sums matches (service.go:717-795)."""
+    from .query.filters import FilterCondition, Filters, compile_filters
+
+    docs = load(spark, sf_dir, "documents")
+    tree = Filters(
+        operator="OR",
+        filters=[FilterCondition("source", "_contains", "1", score=3.0)],
+        groups=[
+            Filters(
+                operator="AND",
+                filters=[
+                    FilterCondition("lang", "_exact", "en", score=2.0),
+                    FilterCondition("n_chars", "_gt", 200, score=3.0),
+                ],
+            )
+        ],
+    )
+    matched, score = compile_filters(docs, tree)
+    return docs.filter(matched).select(
+        "doc_id", score.cast("double").alias("filter_score")
+    )
+
+
+@register(
+    "filter_contains_any_of",
+    "SELECT doc_id FROM documents WHERE lang IN ('en', 'fr')",
+)
+def filter_contains_any_of(spark, sf_dir):
+    """F6: _contains_any_of on a scalar field => IN (service.go:981-1020)."""
+    from .query.filters import FilterCondition, Filters, compile_filters
+
+    docs = load(spark, sf_dir, "documents")
+    tree = Filters(
+        filters=[FilterCondition("lang", "_contains_any_of", ["en", "fr"])]
+    )
+    matched, _ = compile_filters(docs, tree)
+    return docs.filter(matched).select("doc_id")
+
+
+@register(
+    "filter_numeric_time",
+    "SELECT event_id FROM events WHERE value >= 50.0 "
+    "AND ts < TIMESTAMP '2024-01-15 00:00:00' AND event_type <> 'view'",
+)
+def filter_numeric_time(spark, sf_dir):
+    """F2/F3/F10: numeric + timestamp range + negation, typed at ingest so
+    Catalyst pushes all three down to the parquet scan."""
+    from .query.filters import FilterCondition, Filters, compile_filters
+    import datetime
+
+    ev = load(spark, sf_dir, "events")
+    tree = Filters(
+        operator="AND",
+        filters=[
+            FilterCondition("value", "_gte", 50.0),
+            FilterCondition("ts", "_lt", datetime.datetime(2024, 1, 15)),
+            FilterCondition("event_type", "_ne", "view"),
+        ],
+    )
+    matched, _ = compile_filters(ev, tree)
+    return ev.filter(matched).select("event_id")
+
+
+# ---------------------------------------------------------------------------
+# R1-R4: ranking / dedup / pagination / projection (SURVEY 2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_distinct_field",
+    "SELECT lang, doc_id, n_chars FROM ("
+    "SELECT lang, doc_id, n_chars, row_number() OVER "
+    "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn "
+    "FROM documents) WHERE rn = 1",
+)
+def dedup_distinct_field(spark, sf_dir):
+    """R2: DistinctField dedup keeps the best-ranked hit per distinct value
+    (service.go:678-715) -- window row_number over the ranking order."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "pagination_page3",
+    "SELECT doc_id, n_chars FROM documents "
+    "ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 20",
+)
+def pagination_page3(spark, sf_dir):
+    """R3: page=3, page_size=10 over a total order (service.go:651-662)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .select("doc_id", "n_chars")
+        .offset(20)
+        .limit(10)
+    )
+
+
+@register(
+    "ranking_multi_criteria",
+    "SELECT doc_id, lang, n_chars, rnk FROM ("
+    "SELECT doc_id, lang, n_chars, row_number() OVER "
+    "(ORDER BY lang ASC, n_chars DESC, doc_id ASC) AS rnk FROM documents) "
+    "WHERE rnk <= 25",
+)
+def ranking_multi_criteria(spark, sf_dir):
+    """R1: multi-criteria ranking sort with a total-order tiebreak
+    (service.go:520-644)."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.asc("lang"), F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 25)
+        .select("doc_id", "lang", "n_chars", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4-A9: analytics aggregations (SURVEY 2.6) over the events table
+# ---------------------------------------------------------------------------
+
+@register(
+    "analytics_hourly",
+    "SELECT extract(hour FROM ts)::INT AS hour, count(*) AS n, "
+    "round(avg(value), 6) AS avg_value FROM events GROUP BY 1",
+)
+def analytics_hourly(spark, sf_dir):
+    """A6: hourly histogram (analytics/service.go:212-233)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.hour("ts").cast("int").alias("hour")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+@register(
+    "analytics_top5_types",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type "
+    "ORDER BY n DESC, event_type ASC LIMIT 5",
+)
+def analytics_top5_types(spark, sf_dir):
+    """A7: top-5 popular queries pattern (analytics/service.go:236-274),
+    with a deterministic tiebreak."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+@register(
+    "analytics_latency_buckets",
+    "WITH b AS (SELECT CASE WHEN value < 25 THEN '0-25' "
+    "WHEN value < 50 THEN '25-50' WHEN value < 100 THEN '50-100' "
+    "ELSE '100+' END AS bucket FROM events) "
+    "SELECT bucket, count(*) AS n, "
+    "round(100.0 * count(*) / (SELECT count(*) FROM events), 6) AS pct "
+    "FROM b GROUP BY bucket",
+)
+def analytics_latency_buckets(spark, sf_dir):
+    """A8: latency buckets + percentages (analytics/service.go:315-344);
+    percentages via a window total, no second scan."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 25, "0-25")
+        .when(F.col("value") < 50, "25-50")
+        .when(F.col("value") < 100, "50-100")
+        .otherwise("100+")
+    )
+    agg = ev.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n")
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "bucket",
+        "n",
+        F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(total), 6).alias("pct"),
+    )
+
+
+@register(
+    "analytics_type_counts",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def analytics_type_counts(spark, sf_dir):
+    """A9: counts by categorical search type (analytics/service.go:347-364)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "analytics_daily_deltas",
+    "WITH d AS (SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY 1) "
+    "SELECT day, n, round(100.0 * (n - lag(n) OVER (ORDER BY day)) / "
+    "lag(n) OVER (ORDER BY day), 6) AS pct_change FROM d",
+)
+def analytics_daily_deltas(spark, sf_dir):
+    """A4: window-over-window deltas (analytics/service.go:84-140) --
+    day-over-day % change via lag."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    w = Window.orderBy("day")
+    prev = F.lag("n").over(w)
+    return d.select(
+        "day",
+        "n",
+        F.round(F.lit(100.0) * (F.col("n") - prev) / prev, 6).alias("pct_change"),
+    )
+
+
+@register(
+    "events_window_5m",
+    "SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type, "
+    "count(*) AS n, round(sum(value), 6) AS sum_value FROM events "
+    "GROUP BY 1, 2",
+)
+def events_window_5m(spark, sf_dir):
+    """Tumbling 5-minute windowed aggregation -- the batch twin of the
+    Structured Streaming pipeline in streaming/indexer.py (the reference
+    lists real-time indexing as roadmap only, README.md:521)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )

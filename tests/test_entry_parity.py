@@ -31,6 +31,10 @@ def ddb():
 
 
 def _norm(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
