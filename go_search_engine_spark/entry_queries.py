@@ -558,3 +558,217 @@ def events_window_5m(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+# shared shingle CTE (3-token word shingles over documents.text)
+SHINGLE_CTE = (
+    "toks_arr AS (SELECT doc_id, " + TOK_SQL.format(col="text") + " AS toks "
+    "FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, unnest(list_transform("
+    "range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS shingle "
+    "FROM toks_arr WHERE len(toks) >= 3)"
+)
+
+
+@register(
+    "dedup_exact_groups",
+    "WITH u AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, text FROM documents WHERE source = 'src0') "
+    "SELECT sha256(text) AS text_sha, count(*) AS n, "
+    "array_to_string(list_sort(list(doc_id)), ',') AS ids "
+    "FROM u GROUP BY text_sha HAVING count(*) >= 2",
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: sha256 hash-groupBy. The corpus has no natural dups, so
+    a src0 copy (ids shifted) is planted identically on both sides."""
+    from .pipeline.dedup import exact_duplicate_groups
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    dup = docs.filter(F.col("source") == "src0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    u = base.union(dup)
+    return exact_duplicate_groups(u).select(
+        "text_sha",
+        "n",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), ",").alias(
+            "ids"
+        ),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    "WITH " + SHINGLE_CTE + ", "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i "
+    "FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT a, b, round(i::DOUBLE/(sa.sz + sb.sz - i), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b "
+    "WHERE i::DOUBLE/(sa.sz + sb.sz - i) >= 0.2",
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """3-shingle Jaccard near-dup pairs via the shingle inverted join
+    (candidates = docs sharing a shingle; never a cross join)."""
+    from .pipeline.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@register(
+    "minhash_signatures",
+    "WITH " + SHINGLE_CTE + " SELECT doc_id AS id, "
+    "min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1, "
+    "min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3 "
+    "FROM sh GROUP BY doc_id",
+)
+def minhash_signatures_q(spark, sf_dir):
+    """MinHash signatures (4 seeded md5 hash functions over shingles)."""
+    from .pipeline.dedup import minhash_signatures
+
+    return minhash_signatures(load(spark, sf_dir, "documents"), num_hashes=4)
+
+
+@register(
+    "minhash_lsh_pairs",
+    "WITH " + SHINGLE_CTE + ", "
+    "sig AS (SELECT doc_id AS id, "
+    "min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1, "
+    "min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3 "
+    "FROM sh GROUP BY doc_id), "
+    "bands AS (SELECT id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig "
+    "UNION ALL SELECT id, 1, md5(h2 || '|' || h3) FROM sig) "
+    "SELECT DISTINCT x.id AS a, y.id AS b FROM bands x "
+    "JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id",
+)
+def minhash_lsh_pairs_q(spark, sf_dir):
+    """MinHash LSH banding: candidate pairs agreeing on >= 1 of 2 bands."""
+    from .pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=4, bands=2
+    )
+
+
+@register(
+    "simhash16",
+    "WITH " + TOKS_CTE + ", th AS (SELECT doc_id, term, tf, md5(term) AS h "
+    "FROM toks), "
+    "bits AS (SELECT doc_id, j, CASE WHEN sum(tf * CASE WHEN "
+    "substr(h, j + 1, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) > 0 THEN (1 << j) ELSE 0 END AS bv "
+    "FROM th, range(16) r(j) GROUP BY doc_id, j) "
+    "SELECT doc_id AS id, sum(bv)::BIGINT AS simhash FROM bits GROUP BY doc_id",
+)
+def simhash16_q(spark, sf_dir):
+    """16-bit SimHash (hex-char-parity, tf-weighted, integer arithmetic)."""
+    from .pipeline.dedup import simhash16
+
+    return simhash16(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_cosine_topk",
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0), "
+    "scored AS (SELECT vec_id, round(list_cosine_similarity("
+    "embedding::DOUBLE[], q.qv), 5) AS cos FROM embeddings, q "
+    "WHERE vec_id <> 0) "
+    "SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) "
+    "AS rank FROM scored QUALIFY rank <= 20",
+)
+def embedding_cosine_topk_q(spark, sf_dir):
+    """Brute-force cosine top-k against vec_id=0 (JVM zip_with/aggregate
+    dot product; the exactness baseline for ANN)."""
+    from .pipeline.similarity import cosine_cols
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.round(cosine_cols(F.col("embedding"), q), 5).alias("cos")
+        )
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+@register("embedding_lsh_topk")  # rows-only: hyperplanes are not SQL-portable
+def embedding_lsh_topk_q(spark, sf_dir):
+    """ANN scale path: SRP-LSH bucket probe + exact cosine within bucket."""
+    from .pipeline.similarity import hyperplanes, lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    planes = hyperplanes(dim=len(qv), n_planes=4, seed=42)
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), qv, planes, k=10)
+
+
+@register(
+    "lang_id_stopword_ratio",
+    "WITH toks_arr AS (SELECT doc_id, " + TOK_SQL.format(col="text") + " AS toks "
+    "FROM documents) SELECT doc_id AS id, round(CASE WHEN len(toks) > 0 THEN "
+    "len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it')))"
+    "::DOUBLE / len(toks) ELSE 0.0 END, 6) AS ratio FROM toks_arr",
+)
+def lang_id_stopword_ratio_q(spark, sf_dir):
+    """Language-ID heuristic: stopword hit ratio over tokens."""
+    from .pipeline.textstats import stopword_ratio
+
+    return stopword_ratio(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_scores",
+    "WITH toks_arr AS (SELECT doc_id, text, " + TOK_SQL.format(col="text")
+    + " AS toks FROM documents) SELECT doc_id AS id, round("
+    "0.4 * least(1.0, len(toks)::DOUBLE / 50.0) + "
+    "0.3 * (CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))::DOUBLE / "
+    "len(toks) ELSE 0.0 END) + "
+    "0.3 * (CASE WHEN length(text) > 0 THEN "
+    "length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / "
+    "length(text) ELSE 0.0 END), 6) AS q FROM toks_arr",
+)
+def quality_scores_q(spark, sf_dir):
+    """Quality scoring: length saturation + lexical diversity + alnum density."""
+    from .pipeline.textstats import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    "SELECT doc_id AS id, (" + DL_SQL.format(col="text") + ")::BIGINT AS n_ws, "
+    "len(" + TOK_SQL.format(col="text") + ")::BIGINT AS n_tok FROM documents",
+)
+def token_counts_q(spark, sf_dir):
+    """Token counting: whitespace words vs tokenizer tokens."""
+    from .pipeline.textstats import token_counts
+
+    return token_counts(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    "WITH toks_arr AS (SELECT doc_id, " + TOK_SQL.format(col="text") + " AS toks "
+    "FROM documents) SELECT doc_id AS id, "
+    "list_min(list_transform(list_transform("
+    "range(1, greatest(1, len(toks)-2) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')), s -> md5(s))) AS fp FROM toks_arr",
+)
+def doc_fingerprint_q(spark, sf_dir):
+    """Winnowing-style fingerprint: min md5 over 3-token shingles."""
+    from .pipeline.textstats import doc_fingerprint
+
+    return doc_fingerprint(load(spark, sf_dir, "documents"))

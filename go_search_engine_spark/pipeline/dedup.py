@@ -1,0 +1,178 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (its only dedup is the DistinctField result
+dedup, R2); these are the corpus-level dedup families a 100 TB pipeline
+needs. All are pure DataFrame compositions (JVM-side, shuffle-aware):
+
+- exact:        sha256 hash-groupBy -- one shuffle on the 64-hex digest.
+- n-gram Jaccard: word-shingle inverted join; candidate pairs are only
+  docs sharing a shingle (never a cross join), then exact Jaccard.
+- MinHash+LSH:  per-doc signatures = min over shingles of seeded md5;
+  banding turns near-dup search into an equi-join on band keys.
+- SimHash:      16-bit hex-char-parity simhash (deterministic, integer
+  arithmetic, reproducible across engines).
+- embedding cosine near-dup: see similarity.py (shared kernel).
+
+Scale notes: every operator keys its shuffle on a high-cardinality value
+(digest, shingle, band key), so skew comes only from degenerate data
+(identical docs / stop-shingles). ``min_shingle_df``/``max_shingle_df``
+let callers drop stop-shingles before the pair join -- the classic guard
+against quadratic blowup on "the the the".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.tokenizer import tokenize_col
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(text_sha, n, ids): groups of byte-identical docs (n >= 2)."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("text_sha"), F.col(id_col))
+        .groupBy("text_sha")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs of k-token word shingles. Docs with
+    fewer than k tokens produce none (guards Spark's descending
+    ``sequence`` when size-k+1 < 1)."""
+    with_toks = df.select(
+        F.col(id_col).alias("id"), tokenize_col(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= k)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice("toks", i, k), " "),
+    )
+    return with_toks.select("id", F.explode(sh).alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(a, b, jaccard): pairs of docs with k-shingle Jaccard >= threshold.
+
+    Candidate generation is the shingle inverted join (docs sharing >= 1
+    shingle), NOT a cross join; ``max_shingle_df`` drops stop-shingles
+    before pairing (skew guard).
+    """
+    sh = word_shingles(df, text_col, id_col, k)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, h0..h{n-1}): MinHash signature per doc.
+
+    Hash family: h_i(doc) = min over shingles of md5("{i}:{shingle}") --
+    deterministic and engine-portable (md5 exists everywhere), unlike
+    engine-specific hash() builtins.
+    """
+    sh = word_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    bands: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(a, b): candidate near-dup pairs agreeing on at least one LSH band
+    (signature split into ``bands`` bands of num_hashes/bands rows)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    exploded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.select(F.col("id").alias("a"), "band", "key")
+    b = exploded.select(F.col("id").alias("b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+_HI_HEX = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash): 16-bit SimHash over T1 tokens weighted by tf.
+
+    Bit j is the sign of sum(tf * (+1 if the j-th hex char of md5(term)
+    has its high bit set else -1)). Integer arithmetic end-to-end, so the
+    value is exactly reproducible in any engine with md5 + substr.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokenize_col(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5(F.col("term")))
+    )
+    bit_aggs = []
+    for j in range(16):
+        sign = F.when(
+            F.substring("h", j + 1, 1).isin(_HI_HEX), F.lit(1)
+        ).otherwise(F.lit(-1))
+        bit = F.when(F.sum(F.col("tf") * sign) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit_aggs.append(bit.alias(f"b{j}"))
+    agged = toks.groupBy("id").agg(*bit_aggs)
+    total = F.col("b0")
+    for j in range(1, 16):
+        total = total + F.col(f"b{j}")
+    return agged.select("id", total.cast("long").alias("simhash"))

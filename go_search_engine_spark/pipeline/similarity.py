@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force cosine against a literal query vector --
+  the exactness baseline. JVM-side ``zip_with`` + ``aggregate`` (no Python
+  in the hot path); one TakeOrdered(k), no shuffle beyond the scan.
+- ``hyperplane_lsh_buckets`` / ``lsh_topk``: random-hyperplane (SRP) LSH:
+  sign-bit sketch against ``n_planes`` deterministic hyperplanes =>
+  bucket key. At scale the bucket key becomes the partition/bucket column
+  so a query probes one bucket (plus optional multi-probe neighbours)
+  instead of scanning 100 TB of vectors.
+- ``embedding_cosine_pairs``: near-duplicate pairs via LSH-bucketed
+  pairwise cosine (bucket equi-join, never a cross join).
+
+Hyperplanes are generated from a seeded numpy Generator on the driver and
+shipped as literals -- deterministic across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_cols(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine (score desc, id asc tiebreak)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine_cols(F.col(vec_col), q).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket): sign-bit SRP sketch. bucket in [0, 2^n_planes)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(v)) for v in p])
+        bucket = bucket + F.when(_dot(F.col(vec_col), pl) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return df.select(F.col(id_col).alias("id"), bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: probe only the query's LSH bucket, then exact cosine.
+    Recall < 1 by construction; the scale path (bucket pruning) vs
+    cosine_topk's exactness."""
+    qb = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
+    buckets = hyperplane_lsh_buckets(df, planes, vec_col, id_col)
+    cand = df.join(
+        buckets.filter(F.col("bucket") == qb),
+        df[id_col] == F.col("id"),
+    ).drop("id", "bucket")
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    planes: np.ndarray,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(a, b, cos): near-duplicate embedding pairs inside shared LSH
+    buckets (equi-join on bucket key, exact cosine verify)."""
+    with_b = df.join(
+        hyperplane_lsh_buckets(df, planes, vec_col, id_col),
+        df[id_col] == F.col("id"),
+    ).drop("id")
+    a = with_b.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = with_b.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine_cols(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+        .distinct()
+    )
