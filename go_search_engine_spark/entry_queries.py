@@ -772,3 +772,99 @@ def doc_fingerprint_q(spark, sf_dir):
     from .pipeline.textstats import doc_fingerprint
 
     return doc_fingerprint(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end engine queries: the driver runs the REAL index (build ->
+# salted blocks -> decode -> score) against the same DuckDB BM25 oracle.
+# ---------------------------------------------------------------------------
+
+_ENGINE_CACHE: dict = {}
+
+
+def _engine(spark, sf_dir):
+    """Build (once per process per sf_dir) a real index over documents."""
+    if sf_dir in _ENGINE_CACHE:
+        return _ENGINE_CACHE[sf_dir]
+    import tempfile
+
+    from .build.builder import IndexBuilder
+    from .config import IndexSettings
+    from .query.engine import SearchEngine
+
+    settings = IndexSettings(
+        name="docs_idx",
+        searchable_fields=["text"],
+        fields_without_prefix_search=["text"],
+        salt_df_threshold=100_000,
+        term_buckets=16,
+    )
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "documentID", F.format_string("doc-%08d", F.col("doc_id"))
+    ).drop("doc_id")
+    wh = tempfile.mkdtemp(prefix="gse_entry_wh_")
+    IndexBuilder(spark, settings, wh).build(docs, num_shards=4)
+    eng = SearchEngine(spark, wh, "docs_idx")
+    _ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def _engine_result(df):
+    """Map engine output to oracle-comparable (doc_id, score) with the
+    original documents.doc_id recovered from documentID."""
+    return df.select(
+        F.substring("documentID", 5, 8).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+@register("engine_bm25_and", _bm25_sql("('data'),('value'),('table')", 3))
+def engine_bm25_and(spark, sf_dir):
+    """Full pipeline: checkpointed build -> salted delta+varint blocks ->
+    bucket-pruned scan -> decode -> AND + BM25. Must equal the plain-SQL
+    BM25 oracle exactly."""
+    eng = _engine(spark, sf_dir)
+    return _engine_result(
+        eng.search("data value table", k=1_000_000, typo_tolerance=False)
+    )
+
+
+@register("engine_wand_topk", _bm25_sql("('data'),('value'),('table')", 3))
+def engine_wand_topk(spark, sf_dir):
+    """Same query through the block-max WAND pruned path; k covers all
+    matches so the result set equals the exhaustive oracle."""
+    from .query.wand import wand_topk
+
+    eng = _engine(spark, sf_dir)
+    return _engine_result(
+        wand_topk(eng, "data value table", k=1_000_000, typo_tolerance=False)
+    )
+
+
+@register(
+    "engine_typo_search",
+    # typo query 'valu' (len 4 => 1 typo allowed). Oracle: candidates at
+    # Damerau distance exactly 1 (DuckDB's unrestricted DL == this
+    # engine's OSA at d<=1), penalty 0.8, exact-skip + best-distance-wins
+    # degenerate to max over d=1 candidates when the exact term is absent.
+    "WITH " + BM25_CTES + ", "
+    "vocab AS (SELECT DISTINCT term FROM toks), "
+    "cand AS (SELECT term, CASE WHEN term = 'valu' THEN 0 ELSE 1 END AS d "
+    "FROM vocab WHERE term = 'valu' OR (abs(length(term) - 4) <= 1 "
+    "AND damerau_levenshtein('valu', term) = 1)), "
+    "entries AS (SELECT toks.doc_id, cand.d, "
+    f"(CASE cand.d WHEN 0 THEN 1.0 ELSE 0.8 END) * ln(stats.n/df.df) * "
+    f"toks.tf*{BM25_K1 + 1.0}/(toks.tf + {BM25_K1}*({1.0 - BM25_B} + "
+    f"{BM25_B}*dl.dl/stats.avgdl)) AS contrib "
+    "FROM toks JOIN cand USING(term) JOIN df USING(term) "
+    "JOIN dl USING(doc_id), stats), "
+    "best AS (SELECT doc_id, min(d) AS bd FROM entries GROUP BY doc_id) "
+    "SELECT e.doc_id, round(max(e.contrib), 6) AS score FROM entries e "
+    "JOIN best b ON e.doc_id = b.doc_id AND e.d = b.bd GROUP BY e.doc_id",
+)
+def engine_typo_search(spark, sf_dir):
+    """Typo tolerance end-to-end: gates (len>=4 => 1 typo), vocabulary
+    Damerau-Levenshtein scan, 0.8 penalty, exact-skip, best-distance-wins
+    (service.go:176-326)."""
+    eng = _engine(spark, sf_dir)
+    return _engine_result(eng.search("valu", k=1_000_000, typo_tolerance=True))
