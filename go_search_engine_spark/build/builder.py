@@ -50,6 +50,20 @@ from .blocks import BLOCKS_SCHEMA, make_block_builder
 from .flatmap import POSTINGS_SCHEMA, make_flatmap
 from .ids import assign_doc_ids
 
+def _norm_field(df: DataFrame, name: str):
+    """Searchable-field normalization: array<string> joins with a space
+    (reference indexing/service.go:233-241), else the raw string column."""
+    from pyspark.sql.types import ArrayType
+
+    col = F.col(name)
+    try:
+        if isinstance(df.schema[name].dataType, ArrayType):
+            return F.array_join(col, " ")
+    except KeyError:
+        pass
+    return col
+
+
 CHECKPOINT_SCHEMA = (
     "shard int, fingerprint string, status string, n_docs long, "
     "n_postings long, wall_sec double, docs_per_sec double, "
@@ -134,7 +148,12 @@ class IndexBuilder:
                 shard_docs.drop("shard"), self.path("docs", f"shard={shard}")
             )
             seg_in = shard_docs.select(
-                "doc_id", "doc_len", *self.settings.searchable_fields
+                "doc_id",
+                "doc_len",
+                *[
+                    _norm_field(shard_docs, f).alias(f)
+                    for f in self.settings.searchable_fields
+                ],
             )
             segment = seg_in.mapInPandas(flat_map, schema=POSTINGS_SCHEMA)
             self._write(segment, self.path("segments", f"shard={shard}"))
@@ -181,15 +200,24 @@ class IndexBuilder:
         if id_col != "documentID":
             df = df.withColumnRenamed(id_col, "documentID")
         # BM25 |d|: whitespace word count over searchable fields
-        # (reference bm25.go:109-158)
+        # (reference bm25.go:109-158); array<string> fields are joined with
+        # a space like the reference (indexing/service.go:233-241)
         dl = None
         for f_name in s.searchable_fields:
-            c = whitespace_word_count_col(F.coalesce(F.col(f_name), F.lit("")))
+            c = whitespace_word_count_col(
+                F.coalesce(_norm_field(df, f_name), F.lit(""))
+            )
             dl = c if dl is None else dl + c
         sha_src = (
             F.col("content")
             if "content" in df.columns
-            else F.concat_ws("\x1f", *[F.coalesce(F.col(f), F.lit("")) for f in s.searchable_fields])
+            else F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(_norm_field(df, f), F.lit(""))
+                    for f in s.searchable_fields
+                ],
+            )
         )
         df = df.withColumn("doc_len", dl.cast("long")).withColumn(
             "content_sha256", F.sha2(sha_src, 256)

@@ -67,6 +67,15 @@ class OracleHit:
     num_typos: int
 
 
+def _norm(v) -> str:
+    """Array fields join with a space (indexing/service.go:233-241)."""
+    if v is None:
+        return ""
+    if isinstance(v, (list, tuple)):
+        return " ".join(str(x) for x in v)
+    return str(v)
+
+
 class OracleIndex:
     def __init__(self, docs: list[dict], settings: IndexSettings,
                  id_col: str = "documentID"):
@@ -83,7 +92,7 @@ class OracleIndex:
         for i, d in self.docs.items():
             dl = 0
             for f in settings.searchable_fields:
-                text = d.get(f) or ""
+                text = _norm(d.get(f))
                 dl += whitespace_word_count(text)
                 toks = (
                     tokenize_with_prefix_ngrams(text)

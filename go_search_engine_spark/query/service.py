@@ -1,0 +1,164 @@
+"""Search service: the reference's full request surface on top of the
+block engine -- filters + filter scoring, ranking criteria (incl. the
+``~score`` / ``~filters`` pseudo-fields and the missing-field null
+ordering), DistinctField dedup, pagination, field projection, and
+multi-search fan-out.
+
+Reference pipeline steps 8-13 of SURVEY.md section 3.1
+(/root/reference/internal/search/service.go:367-674):
+  filter tree -> score -> ranking sort -> dedup -> paginate -> project.
+
+Everything here is one DataFrame DAG per request; multi-search unions the
+per-query plans with a query_name column so Spark executes a single job
+(the reference spawns N goroutines, multi_search.go:12-81).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .engine import SearchEngine
+from .filters import Filters, compile_filters
+
+
+@dataclass
+class SearchRequest:
+    query: str
+    page: int = 1
+    page_size: int = 10
+    filters: Filters | None = None
+    restrict_searchable_fields: list[str] | None = None
+    retrievable_fields: list[str] | None = None
+    typo_tolerance: bool = True
+
+
+@dataclass
+class SearchResult:
+    hits: list[dict]
+    total: int
+    page: int
+    page_size: int
+    took_ms: float
+    query_id: str
+
+
+def _ranking_order(settings, df: DataFrame) -> list[Column]:
+    """Ranking criteria -> orderBy columns (service.go:520-644).
+
+    Missing-field rule (service.go:561-566): ascending sorts missing
+    (null) first, descending sorts missing last. Final fallback: score
+    desc then doc_id asc -- the deterministic total order rank identity
+    requires."""
+    cols: list[Column] = []
+    for c in settings.ranking_criteria:
+        if c.field == "~score":
+            base = F.col("score")
+        elif c.field == "~filters":
+            base = F.col("filter_score")
+        else:
+            base = F.col(c.field)
+        if c.order == "asc":
+            cols.append(base.asc_nulls_first())
+        else:
+            cols.append(base.desc_nulls_last())
+    cols.append(F.col("score").desc())
+    cols.append(F.col("doc_id").asc())
+    return cols
+
+
+class SearchService:
+    def __init__(self, engine: SearchEngine):
+        self.engine = engine
+        self.settings = engine.settings
+
+    def _ranked_frame(self, req: SearchRequest) -> DataFrame:
+        """The full ranked+deduped hit frame (pre-pagination)."""
+        eng = self.engine
+        s = self.settings
+        fields = req.restrict_searchable_fields or s.searchable_fields
+        bad = set(fields) - set(s.searchable_fields)
+        if bad:
+            raise ValueError(f"non-searchable fields: {sorted(bad)}")
+        from ..functions.tokenizer import tokenize
+
+        tokens = list(dict.fromkeys(tokenize(req.query)))
+        if not tokens:
+            return eng._empty_result()
+        cand = eng.candidate_terms(tokens, req.typo_tolerance)
+        matched = eng.scan_candidates(cand, fields)
+        scored = eng.score_and_intersect(matched, n_tokens=len(tokens))
+        hits = scored.join(eng.docs, "doc_id")
+
+        # filter tree + filter scoring (service.go:717-795)
+        matches, fscore = compile_filters(hits, req.filters)
+        hits = hits.withColumn("filter_score", fscore.cast("double")).filter(matches)
+
+        order = _ranking_order(s, hits)
+        # DistinctField dedup keeps the best-ranked hit per distinct value;
+        # docs missing the field are always kept (service.go:678-715)
+        if s.distinct_field and s.distinct_field in hits.columns:
+            dcol = F.col(s.distinct_field)
+            w = Window.partitionBy(dcol).orderBy(*order)
+            deduped = (
+                hits.filter(dcol.isNotNull())
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            hits = deduped.unionByName(hits.filter(dcol.isNull()))
+        return hits.orderBy(*order)
+
+    def search(self, req: SearchRequest) -> SearchResult:
+        t0 = time.time()
+        ranked = self._ranked_frame(req)
+        page = max(req.page, 1)
+        size = req.page_size if req.page_size > 0 else 10
+        # total BEFORE pagination (service.go:651-662)
+        total = ranked.count()
+        page_rows = ranked.offset((page - 1) * size).limit(size)
+        proj = self._project(page_rows, req.retrievable_fields)
+        hits = [r.asDict(recursive=True) for r in proj.collect()]
+        return SearchResult(
+            hits=hits,
+            total=total,
+            page=page,
+            page_size=size,
+            took_ms=(time.time() - t0) * 1000.0,
+            query_id=uuid.uuid4().hex,
+        )
+
+    def _project(self, df: DataFrame, retrievable: list[str] | None) -> DataFrame:
+        """R4 (filtering.go:10-35): documentID always included."""
+        meta = ["doc_id", "documentID", "score", "num_typos", "filter_score"]
+        if retrievable is None:
+            return df
+        keep = meta + [c for c in retrievable if c in df.columns and c not in meta]
+        return df.select(*keep)
+
+    def multi_search(self, requests: dict[str, SearchRequest],
+                     k: int = 10) -> DataFrame:
+        """J4 (multi_search.go:12-81): N named queries as ONE unioned plan
+        with a query_name column -- a single Spark job instead of N."""
+        frames = []
+        for name, req in requests.items():
+            f = (
+                self._ranked_frame(req)
+                .limit(k)
+                .select(
+                    F.lit(name).alias("query_name"),
+                    "doc_id",
+                    "documentID",
+                    "score",
+                    "num_typos",
+                )
+            )
+            frames.append(f)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out

@@ -1,0 +1,262 @@
+"""Reference-behavior invariants on the movies fixture (FIXTURES.md
+section 4, transcribed from /root/reference/internal/search/
+service_test.go and internal/testing/utils.go:88-119): AND intersection,
+exact-beats-typo, ranking criteria with ~score pseudo-field and
+missing-field null ordering, DistinctField dedup, filter truth table,
+projection, pagination, multi-search.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_search_engine_spark.build.builder import IndexBuilder
+from go_search_engine_spark.config import IndexSettings, RankingCriterion
+from go_search_engine_spark.query.engine import SearchEngine
+from go_search_engine_spark.query.filters import (
+    FilterCondition,
+    Filters,
+    compile_filters,
+)
+from go_search_engine_spark.query.service import SearchRequest, SearchService
+
+MOVIES = [
+    # documentID, title, content, description, tags, category, year, rating, release_date
+    ("m01", "The Matrix", "neo fights the matrix agents", "sci-fi classic action", ["sci-fi", "action"], "movie", 1999, 8.7, "1999-03-31"),
+    ("m02", "The Matrix Reloaded", "neo returns to the matrix", "sci-fi sequel action", ["sci-fi", "action"], "movie", 2003, 7.2, "2003-05-15"),
+    ("m03", "The Matrix Revolutions", "the matrix war ends", "sci-fi finale", ["sci-fi"], "movie", 2003, 6.8, "2003-11-05"),
+    ("m04", "Inception", "dreams within dreams heist", "mind-bending thriller", ["sci-fi", "thriller"], "movie", 2010, 8.8, "2010-07-16"),
+    ("m05", "Interstellar", "space farmers save humanity", "epic space opera", ["sci-fi", "space"], "movie", 2014, 8.6, "2014-11-07"),
+    ("m06", "The Office", "paper company comedy", "mockumentary sitcom", ["comedy"], "series", 2005, 9.0, "2005-03-24"),
+    ("m07", "Matrix Documentary", "making of the matrix film", "behind the scenes", ["documentary"], "movie", 2001, 6.0, None),
+    ("m08", "Speed", "bus cannot slow down", "action thriller", ["action"], "movie", 1994, 7.3, "1994-06-10"),
+    ("m09", "Spud", "boarding school story", "coming of age", ["drama"], "movie", 2010, 6.9, "2010-12-03"),
+    ("m10", "Spede", "finnish comedy legend", "classic comedy", ["comedy"], "movie", 1972, 6.5, "1972-01-01"),
+]
+
+COLS = [
+    "documentID", "title", "content", "description", "tags", "category",
+    "year", "rating", "release_date",
+]
+
+
+@pytest.fixture(scope="module")
+def service(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_movies"))
+    settings = IndexSettings(
+        name="movies",
+        searchable_fields=["title", "content", "description"],
+        filterable_fields=["category", "year", "rating", "tags"],
+        ranking_criteria=[
+            RankingCriterion("~score", "desc"),
+            RankingCriterion("rating", "desc"),
+        ],
+        fields_without_prefix_search=["content", "description"],
+        distinct_field=None,
+    )
+    corpus = spark.createDataFrame(MOVIES, COLS)
+    IndexBuilder(spark, settings, wh).build(corpus, num_shards=2)
+    return SearchService(SearchEngine(spark, wh, "movies"))
+
+
+def _ids(result):
+    return [h["documentID"] for h in result.hits]
+
+
+def test_and_intersection(service):
+    # service_test.go:137-144: multi-token queries intersect
+    r = service.search(SearchRequest(query="matrix neo", typo_tolerance=False))
+    assert set(_ids(r)) == {"m01", "m02"}
+
+
+def test_prefix_search_on_title(service):
+    # title is prefix-indexed: "mat" matches every Matrix title via doc-side
+    # edge n-grams (service.go:133 -- nothing query-side)
+    r = service.search(SearchRequest(query="mat", typo_tolerance=False))
+    assert {"m01", "m02", "m03", "m07"} <= set(_ids(r))
+
+
+def test_exact_beats_typo(service):
+    # service_test.go:1912-2024: exact "spud" outranks typo match "spede"
+    r = service.search(SearchRequest(query="spud"))
+    ids = _ids(r)
+    assert ids[0] == "m09"
+    by_id = {h["documentID"]: h for h in r.hits}
+    if "m10" in by_id:  # spede is 2 edits from spud
+        assert by_id["m09"]["score"] > by_id["m10"]["score"]
+        assert by_id["m09"]["num_typos"] == 0
+        assert by_id["m10"]["num_typos"] == 1
+
+
+def test_ranking_criteria_order(service):
+    # criteria applied in order: ~score desc, then rating desc, then the
+    # engine fallback (score desc, doc_id asc) -- verify against a local
+    # sort of the same hits (service_test.go:1738-1908 analogue)
+    r = service.search(
+        SearchRequest(query="matrix", typo_tolerance=False, retrievable_fields=["rating"])
+    )
+    got = _ids(r)
+    want = [
+        h["documentID"]
+        for h in sorted(
+            r.hits, key=lambda h: (-h["score"], -h["rating"], h["doc_id"])
+        )
+    ]
+    assert got == want
+    assert set(got) >= {"m01", "m02", "m03", "m07"}
+
+
+def test_filter_tree_and_scoring(service):
+    tree = Filters(
+        operator="AND",
+        filters=[
+            FilterCondition("category", "_exact", "movie", score=1.0),
+            FilterCondition("year", "_gte", 2003, score=2.0),
+        ],
+    )
+    r = service.search(
+        SearchRequest(query="matrix", filters=tree, typo_tolerance=False)
+    )
+    assert set(_ids(r)) == {"m02", "m03"}
+    assert all(h["filter_score"] == 3.0 for h in r.hits)
+
+
+def test_filter_array_contains(service):
+    tree = Filters(filters=[FilterCondition("tags", "_exact", "action")])
+    r = service.search(
+        SearchRequest(query="matrix", filters=tree, typo_tolerance=False)
+    )
+    assert set(_ids(r)) == {"m01", "m02"}
+
+
+def test_pagination_total(service):
+    r = service.search(
+        SearchRequest(query="matrix", page=1, page_size=2, typo_tolerance=False)
+    )
+    assert r.total >= 4  # total counted BEFORE pagination
+    assert len(r.hits) == 2
+    r2 = service.search(
+        SearchRequest(query="matrix", page=2, page_size=2, typo_tolerance=False)
+    )
+    assert _ids(r)[0] != _ids(r2)[0]
+
+
+def test_projection(service):
+    r = service.search(
+        SearchRequest(
+            query="matrix",
+            retrievable_fields=["title"],
+            typo_tolerance=False,
+        )
+    )
+    h = r.hits[0]
+    assert "title" in h and "documentID" in h  # documentID always included
+    assert "content" not in h  # projected away
+
+
+def test_multi_search_single_plan(service):
+    out = service.multi_search(
+        {
+            "a": SearchRequest(query="matrix", typo_tolerance=False),
+            "b": SearchRequest(query="dreams", typo_tolerance=False),
+        },
+        k=5,
+    ).collect()
+    by_name = {}
+    for r in out:
+        by_name.setdefault(r["query_name"], []).append(r["documentID"])
+    assert "m01" in by_name["a"]
+    assert by_name["b"] == ["m04"]
+
+
+def test_filter_truth_table(spark):
+    """Operator truth table (service_test.go:367-450 analogue) evaluated
+    directly through compile_filters on a typed frame."""
+    df = spark.createDataFrame(
+        [
+            (1, "go", ["x", "y"], 10.0),
+            (2, "py", ["y"], 20.0),
+            (3, None, [], 30.0),
+        ],
+        "id int, lang string, tags array<string>, v double",
+    )
+    cases = [
+        (FilterCondition("lang", "_exact", "go"), {1}),
+        (FilterCondition("lang", "_ne", "go"), {2}),  # null never matches !=
+        (FilterCondition("v", "_gt", 10.0), {2, 3}),
+        (FilterCondition("v", "_gte", 20.0), {2, 3}),
+        (FilterCondition("v", "_lt", 20.0), {1}),
+        (FilterCondition("v", "_lte", 20.0), {1, 2}),
+        (FilterCondition("lang", "_contains", "G"), {1}),  # case-insensitive
+        (FilterCondition("lang", "_ncontains", "o"), {2}),
+        (FilterCondition("tags", "_exact", "x"), {1}),  # array any-element
+        (FilterCondition("tags", None, "y"), {1, 2}),  # auto => _contains
+        (FilterCondition("lang", "_contains_any_of", ["go", "rs"]), {1}),
+        (FilterCondition("tags", "_contains_any_of", ["y", "z"]), {1, 2}),
+        (FilterCondition("lang", "_bogus_op", "go"), set()),  # unknown op
+    ]
+    for cond, want in cases:
+        matched, _ = compile_filters(df, Filters(filters=[cond]))
+        got = {r["id"] for r in df.filter(matched).select("id").collect()}
+        assert got == want, f"{cond.operator} on {cond.field}"
+
+
+def test_distinct_field_dedup(spark, tmp_path_factory):
+    """R2 (service_test.go:285-364): keep best-ranked per distinct value,
+    rows missing the field always kept."""
+    wh = str(tmp_path_factory.mktemp("wh_dedup"))
+    settings = IndexSettings(
+        name="dd",
+        searchable_fields=["title"],
+        fields_without_prefix_search=["title"],
+        ranking_criteria=[RankingCriterion("rating", "desc")],
+        distinct_field="franchise",
+    )
+    rows = [
+        ("d1", "alpha saga part one", "alpha", 7.0),
+        ("d2", "alpha saga part two", "alpha", 9.0),
+        ("d3", "alpha saga part three", "alpha", 8.0),
+        ("d4", "alpha standalone", None, 5.0),
+        ("d5", "alpha other", "beta", 6.0),
+    ]
+    corpus = spark.sparkSession if False else spark
+    df = spark.createDataFrame(
+        rows, "documentID string, title string, franchise string, rating double"
+    )
+    IndexBuilder(spark, settings, wh).build(df, num_shards=1)
+    svc = SearchService(SearchEngine(spark, wh, "dd"))
+    r = svc.search(SearchRequest(query="alpha", typo_tolerance=False))
+    ids = set(_ids(r))
+    # best of franchise alpha = d2 (rating 9); d4 kept (missing field);
+    # d5 kept (franchise beta)
+    assert ids == {"d2", "d4", "d5"}
+
+
+def test_ranking_null_ordering(spark, tmp_path_factory):
+    """Missing-field rule (service.go:561-566): asc sorts missing first,
+    desc sorts missing last."""
+    wh = str(tmp_path_factory.mktemp("wh_nulls"))
+    settings = IndexSettings(
+        name="nulls",
+        searchable_fields=["title"],
+        fields_without_prefix_search=["title"],
+        ranking_criteria=[RankingCriterion("popularity", "desc")],
+    )
+    rows = [
+        ("n1", "zeta item", 5.0),
+        ("n2", "zeta item", None),
+        ("n3", "zeta item", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "documentID string, title string, popularity double"
+    )
+    IndexBuilder(spark, settings, wh).build(df, num_shards=1)
+    svc = SearchService(SearchEngine(spark, wh, "nulls"))
+    r = svc.search(SearchRequest(query="zeta", typo_tolerance=False))
+    assert _ids(r) == ["n3", "n1", "n2"]  # desc => null last
+
+    # asc => null first
+    svc.settings.ranking_criteria = [RankingCriterion("popularity", "asc")]
+    r = svc.search(SearchRequest(query="zeta", typo_tolerance=False))
+    assert _ids(r) == ["n2", "n1", "n3"]
