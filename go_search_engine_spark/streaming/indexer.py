@@ -68,7 +68,10 @@ class StreamingIndexer:
 def windowed_event_counts(events: DataFrame, watermark: str = "10 minutes",
                           window: str = "5 minutes") -> DataFrame:
     """Watermarked tumbling-window counts per event type (late data beyond
-    the watermark is dropped by Spark's state store)."""
+    the watermark is dropped by Spark's state store). Event time must be
+    TIMESTAMP (not NTZ) for watermarks; session TZ is pinned to UTC so the
+    cast is value-preserving."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
