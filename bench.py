@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus index-build
+throughput and the two-parallelism scaling-efficiency run the north rule
+requires (local[N] vs local[4N] stand-in for N vs 4N executors).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "build": {...}, "scaling": {...}}
+
+Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling phase.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "120000"))
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def build_index(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from go_search_engine_spark.build.builder import IndexBuilder
+    from go_search_engine_spark.config import IndexSettings
+
+    settings = IndexSettings(
+        name="bench_idx",
+        searchable_fields=["text"],
+        fields_without_prefix_search=["text"],
+        salt_df_threshold=100_000,
+        term_buckets=32,
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("documentID", F.format_string("doc-%08d", F.col("doc_id")))
+        .drop("doc_id")
+    )
+    wh = tempfile.mkdtemp(prefix="gse_bench_wh_")
+    report = IndexBuilder(spark, settings, wh).build(docs, num_shards=8)
+    return wh, report
+
+
+def run_queries(spark, sf_dir: str, engine, wand) -> dict[str, float]:
+    from go_search_engine_spark.entry_queries import QUERIES
+
+    times: dict[str, float] = {}
+
+    def q(name, fn):
+        sec, _ = timed(fn)
+        times[name] = round(sec, 4)
+
+    # search-engine hot path (the real product queries)
+    q("bm25_search_multi", lambda: engine.search(
+        "data value table", k=10, typo_tolerance=False).collect())
+    q("bm25_search_typo", lambda: engine.search(
+        "valu tabel", k=10, typo_tolerance=True).collect())
+    q("bm25_wand_topk", lambda: wand(
+        engine, "data value table", k=10, typo_tolerance=False).collect())
+    # operator sweep from the driver-gate set
+    for name in [
+        "tokenize_tf",
+        "bm25_and_query",
+        "term_df_idf",
+        "analytics_hourly",
+        "events_window_5m",
+        "dedup_exact_groups",
+        "minhash_lsh_pairs",
+        "simhash16",
+        "ngram_jaccard_pairs",
+        "embedding_cosine_topk",
+        "quality_scores",
+    ]:
+        fn = QUERIES[name]
+        q(name, lambda fn=fn: fn(spark, sf_dir).collect())
+    return times
+
+
+def query_latency_profile(engine, wand, n: int = 15) -> dict:
+    """p50/p95 of repeated top-k queries (exhaustive vs WAND)."""
+    import statistics
+
+    lats = {"exhaustive": [], "wand": []}
+    queries = ["data value table", "spark query", "key value", "batch window",
+               "customer order"]
+    for i in range(n):
+        qq = queries[i % len(queries)]
+        sec, _ = timed(lambda: engine.search(qq, k=10, typo_tolerance=False).collect())
+        lats["exhaustive"].append(sec)
+        sec, _ = timed(lambda: wand(engine, qq, k=10, typo_tolerance=False).collect())
+        lats["wand"].append(sec)
+
+    def pcts(xs):
+        xs = sorted(xs)
+        return {
+            "p50_ms": round(1000 * xs[len(xs) // 2], 1),
+            "p95_ms": round(1000 * xs[min(len(xs) - 1, int(len(xs) * 0.95))], 1),
+        }
+
+    return {k: pcts(v) for k, v in lats.items()}
+
+
+def scaling_run(n_docs: int, cpus: int) -> dict:
+    """Build throughput of the core pipeline at a given parallelism, in a
+    fresh SparkSession (same input, deterministic corpus)."""
+    from go_search_engine_spark.build.builder import IndexBuilder
+    from go_search_engine_spark.config import IndexSettings
+    from go_search_engine_spark.corpus import generate_corpus
+    from go_search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling_{cpus}", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus = generate_corpus(spark, n_docs, seed=42, words_per_doc=40,
+                                 num_partitions=4 * cpus)
+        settings = IndexSettings(
+            name=f"scale_{cpus}",
+            searchable_fields=["content"],
+            fields_without_prefix_search=["content"],
+            salt_df_threshold=50_000,
+        )
+        wh = tempfile.mkdtemp(prefix=f"gse_scale_{cpus}_")
+        t0 = time.time()
+        report = IndexBuilder(spark, settings, wh).build(
+            corpus, num_shards=4
+        )
+        wall = time.time() - t0
+        return {
+            "cpus": cpus,
+            "docs": n_docs,
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(n_docs / wall, 1),
+            "postings_per_sec": round(report.n_postings / wall, 1),
+            "n_postings": report.n_postings,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    from go_search_engine_spark.query.wand import wand_topk
+    from go_search_engine_spark.session import get_spark
+
+    result: dict = {"sf": SF_DIR, "unit": "sec"}
+
+    spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build_sec, (wh, report) = timed(lambda: build_index(spark, SF_DIR))
+    from go_search_engine_spark.query.engine import SearchEngine
+
+    engine = SearchEngine(spark, wh, "bench_idx")
+    times = run_queries(spark, SF_DIR, engine, wand_topk)
+    times["index_build"] = round(build_sec, 4)
+    result["build"] = {
+        "wall_sec": round(build_sec, 2),
+        "docs_per_sec": round(report.n_docs / build_sec, 1),
+        "postings_per_sec": round(report.n_postings / build_sec, 1),
+        "n_docs": report.n_docs,
+        "n_postings": report.n_postings,
+        "n_terms": report.n_terms,
+        "n_blocks": report.n_blocks,
+    }
+    result["latency"] = query_latency_profile(engine, wand_topk)
+    spark.stop()
+
+    if RUN_SCALING:
+        lo = scaling_run(SCALING_DOCS, max(CPUS // 4, 1))
+        hi = scaling_run(SCALING_DOCS, CPUS)
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
+            hi["cpus"] / lo["cpus"]
+        )
+        result["scaling"] = {
+            "low": lo,
+            "high": hi,
+            "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+            "efficiency": round(eff, 3),
+        }
+
+    result["queries"] = times
+    result["metric"] = "headline_queries_total"
+    result["value"] = round(sum(times.values()), 4)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

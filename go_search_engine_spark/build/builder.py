@@ -127,26 +127,49 @@ class IndexBuilder:
 
         docs = self._prepare_docs(corpus, id_col, num_shards)
 
+        # ONE job computes every shard's fingerprint (count + order-
+        # insensitive sum of row hashes); the per-shard loop then only
+        # pays for work that actually runs
+        fp_rows = (
+            docs.select(
+                "shard",
+                F.xxhash64(
+                    F.concat_ws("\x1f", "documentID", F.col("doc_id").cast("string"))
+                ).cast("decimal(38,0)").alias("h"),
+            )
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"), F.sum("h").alias("s"))
+            .collect()
+        )
+        fps = {
+            int(r["shard"]): (f"{r['n']}:{r['s']}", int(r["n"])) for r in fp_rows
+        }
+
+        # docs table: one partitioned write, marker-gated for resume
+        marker = self.path("_docs_complete.json")
+        total_fp = ":".join(fps.get(k, ("0:0", 0))[0] for k in sorted(fps))
+        docs_ok = False
+        if resume and os.path.exists(marker):
+            with open(marker) as f:
+                docs_ok = json.load(f).get("fingerprint") == total_fp
+        if not docs_ok:
+            self._write(docs, self.path("docs"), partition_by=["shard"])
+            with open(marker, "w") as f:
+                json.dump({"fingerprint": total_fp}, f)
+
         completed = self._completed_shards() if resume else {}
         flat_map = make_flatmap(self.settings)
         built = 0
         for shard in range(num_shards):
-            shard_docs = docs.filter(F.col("shard") == shard)
-            # cheap order-insensitive shard fingerprint: count + sum of row hashes
-            agg = shard_docs.select(
-                F.xxhash64(
-                    F.concat_ws("\x1f", "documentID", F.col("doc_id").cast("string"))
-                ).cast("decimal(38,0)").alias("h")
-            ).agg(F.count("*").alias("n"), F.sum("h").alias("s")).collect()[0]
-            fingerprint = f"{agg['n']}:{agg['s']}"
+            fingerprint, n_docs = fps.get(shard, ("0:None", 0))
+            if n_docs == 0:
+                continue
             if shard in completed and completed[shard] == fingerprint:
                 report.shards_skipped += 1
                 continue
 
             ts = time.time()
-            self._write(
-                shard_docs.drop("shard"), self.path("docs", f"shard={shard}")
-            )
+            shard_docs = docs.filter(F.col("shard") == shard)
             seg_in = shard_docs.select(
                 "doc_id",
                 "doc_len",
@@ -157,7 +180,6 @@ class IndexBuilder:
             )
             segment = seg_in.mapInPandas(flat_map, schema=POSTINGS_SCHEMA)
             self._write(segment, self.path("segments", f"shard={shard}"))
-            n_docs = int(agg["n"])
             n_post = self.spark.read.parquet(
                 self.path("segments", f"shard={shard}")
             ).count()
