@@ -58,7 +58,8 @@ _MIX3 = np.uint64(0x94D049BB133111EB)
 
 def _mix(x: np.ndarray, salt: int) -> np.ndarray:
     """splitmix64-style deterministic hash of uint64 index."""
-    z = (x + np.uint64(salt) * _MIX1).astype(np.uint64)
+    salted = np.uint64((salt * int(_MIX1)) % (1 << 64))
+    z = (x + salted).astype(np.uint64)
     z = (z ^ (z >> np.uint64(30))) * _MIX2
     z = (z ^ (z >> np.uint64(27))) * _MIX3
     return z ^ (z >> np.uint64(31))

@@ -179,19 +179,17 @@ def wand_topk(
     rest = rare_contrib.join(seed.select("doc_id"), "doc_id", "left_anti")
     if theta is not None:
         rest = rest.filter(F.col("rare_score") + F.lit(others_ub) >= F.lit(theta))
-    n_rest = rest.count()
-    phase2 = exact_scores(rest) if n_rest else None
+    phase2 = exact_scores(rest)
 
-    if report is not None:
-        n_total_other = other_blk_all.count()
+    if report is not None:  # extra jobs only when stats were asked for
         report.update(
             {
                 "rare_token": rare,
                 "theta": theta,
                 "others_ub": others_ub,
                 "n_rare_docs": rare_contrib.count(),
-                "n_phase2_docs": n_rest,
-                "n_other_blocks_total": n_total_other,
+                "n_phase2_docs": rest.count(),
+                "n_other_blocks_total": other_blk_all.count(),
             }
         )
 
