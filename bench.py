@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "120000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1000000"))
 
 
 def timed(fn):
@@ -117,30 +117,55 @@ def query_latency_profile(engine, wand, n: int = 15) -> dict:
     return {k: pcts(v) for k, v in lats.items()}
 
 
-def scaling_run(n_docs: int, cpus: int) -> dict:
-    """Build throughput of the core pipeline at a given parallelism, in a
-    fresh SparkSession (same input, deterministic corpus)."""
-    from go_search_engine_spark.build.builder import IndexBuilder
-    from go_search_engine_spark.config import IndexSettings
+def materialize_scaling_corpus(n_docs: int) -> str:
+    """Write the deterministic corpus once (at full parallelism); both
+    scaling runs then READ the same parquet -- the measured job is the
+    build (corpus scan -> index), matching the real workload shape."""
     from go_search_engine_spark.corpus import generate_corpus
     from go_search_engine_spark.session import get_spark
 
-    spark = get_spark(app_name=f"scaling_{cpus}", cpus=cpus,
-                      shuffle_partitions=max(cpus, 8))
+    path = os.path.join(
+        tempfile.gettempdir(), f"gse_scaling_corpus_{n_docs}"
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = get_spark(app_name="scaling_gen", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        corpus = generate_corpus(spark, n_docs, seed=42, words_per_doc=40,
-                                 num_partitions=4 * cpus)
+        generate_corpus(
+            spark, n_docs, seed=42, words_per_doc=50, num_partitions=4 * CPUS
+        ).write.mode("overwrite").parquet(path)
+    finally:
+        spark.stop()
+    return path
+
+
+def scaling_run(corpus_path: str, n_docs: int, cpus: int) -> dict:
+    """Build throughput at a given parallelism in a fresh SparkSession
+    over the same materialized input."""
+    from go_search_engine_spark.build.builder import IndexBuilder
+    from go_search_engine_spark.config import IndexSettings
+    from go_search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scaling_{cpus}",
+        cpus=cpus,
+        shuffle_partitions=2 * cpus,
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus = spark.read.parquet(corpus_path)
         settings = IndexSettings(
             name=f"scale_{cpus}",
             searchable_fields=["content"],
             fields_without_prefix_search=["content"],
-            salt_df_threshold=50_000,
+            salt_df_threshold=n_docs // 4,
         )
         wh = tempfile.mkdtemp(prefix=f"gse_scale_{cpus}_")
         t0 = time.time()
         report = IndexBuilder(spark, settings, wh).build(
-            corpus, num_shards=4
+            corpus, num_shards=2
         )
         wall = time.time() - t0
         return {
@@ -183,8 +208,9 @@ def main() -> None:
     spark.stop()
 
     if RUN_SCALING:
-        lo = scaling_run(SCALING_DOCS, max(CPUS // 4, 1))
-        hi = scaling_run(SCALING_DOCS, CPUS)
+        corpus_path = materialize_scaling_corpus(SCALING_DOCS)
+        lo = scaling_run(corpus_path, SCALING_DOCS, max(CPUS // 4, 1))
+        hi = scaling_run(corpus_path, SCALING_DOCS, CPUS)
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
             hi["cpus"] / lo["cpus"]
         )

@@ -41,7 +41,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IndexSettings
@@ -179,10 +179,10 @@ class IndexBuilder:
                 ],
             )
             segment = seg_in.mapInPandas(flat_map, schema=POSTINGS_SCHEMA)
+            obs = Observation(f"seg{shard}")
+            segment = segment.observe(obs, F.count(F.lit(1)).alias("n"))
             self._write(segment, self.path("segments", f"shard={shard}"))
-            n_post = self.spark.read.parquet(
-                self.path("segments", f"shard={shard}")
-            ).count()
+            n_post = int(obs.get["n"])  # no second pass over the segment
             wall = time.time() - ts
             ck = {
                 "shard": shard,
@@ -244,7 +244,11 @@ class IndexBuilder:
         df = df.withColumn("doc_len", dl.cast("long")).withColumn(
             "content_sha256", F.sha2(sha_src, 256)
         )
-        df = assign_doc_ids(df, "documentID", max(num_shards, 8))
+        df = assign_doc_ids(
+            df,
+            "documentID",
+            max(num_shards, self.spark.sparkContext.defaultParallelism),
+        )
         df = df.withColumn(
             "shard", F.pmod(F.xxhash64("documentID"), F.lit(num_shards)).cast("int")
         )
@@ -261,7 +265,8 @@ class IndexBuilder:
         report.avgdl = avgdl
 
         flat = self.spark.read.parquet(self.path("segments"))
-        report.n_postings = flat.count()
+        flat_obs = Observation("flat")
+        flat = flat.observe(flat_obs, F.count(F.lit(1)).alias("n"))
 
         # df dedups by doc across fields (reference bm25.go:44-57);
         # idf = ln(N/df) (bm25.go:26-41)
@@ -275,17 +280,22 @@ class IndexBuilder:
                 F.pmod(F.xxhash64("term"), F.lit(s.term_buckets)).cast("int"),
             )
         )
+        ts_obs = Observation("term_stats")
+        term_stats = term_stats.observe(
+            ts_obs, F.count(F.lit(1)).alias("n"), F.max("df").alias("max_df")
+        )
         self._write(term_stats, self.path("term_stats"))
+        report.n_postings = int(flat_obs.get["n"])
+        report.n_terms = int(ts_obs.get["n"])
+        report.max_df = int(ts_obs.get["max_df"] or 0)
         term_stats = self.spark.read.parquet(self.path("term_stats"))
-        report.n_terms = term_stats.count()
         head = term_stats.filter(F.col("df") >= s.salt_df_threshold).select(
             "term", "df"
         )
         head_rows = head.collect()
         report.n_salted_terms = len(head_rows)
-        mx = term_stats.agg(F.max("df")).collect()[0][0]
-        report.max_df = int(mx or 0)
 
+        flat = self.spark.read.parquet(self.path("segments"))
         # explicit head-term salting: terms above the df threshold shuffle
         # into salt_buckets sub-lists so no single reducer owns a hot term
         salted = flat.join(
@@ -310,8 +320,10 @@ class IndexBuilder:
             .sortWithinPartitions("term", "field", "salt", "doc_id")
             .mapInPandas(block_builder, schema=BLOCKS_SCHEMA)
         )
+        blk_obs = Observation("blocks")
+        blocks = blocks.observe(blk_obs, F.count(F.lit(1)).alias("n"))
         self._write(blocks, self.path("blocks"), partition_by=["bucket"])
-        report.n_blocks = self.spark.read.parquet(self.path("blocks")).count()
+        report.n_blocks = int(blk_obs.get["n"])
 
         with open(self.path("stats.json"), "w") as f:
             json.dump(

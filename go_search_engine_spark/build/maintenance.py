@@ -1,0 +1,165 @@
+"""Index lifecycle + document maintenance operators.
+
+Reference equivalents:
+- T11 delete document: strips the doc's entries from every posting list
+  and drops empty terms (/root/reference/internal/indexing/
+  service.go:344-427). Here: anti-join on the segments + docs tables,
+  then a stats/blocks refresh -- the batch expression of the same
+  mutation. On Iceberg this would be a MERGE/DELETE commit; on local
+  parquet it rewrites the affected tables.
+- T13 update document: delete-then-add (service.go:166-215) => here
+  upsert = anti-join + union + refresh.
+- T12 delete all / T14 bulk reindex: clear + rebuild
+  (service.go:324-340, bulk_operations.go:427-467) => builder re-run with
+  resume=False.
+- O1/O2/O3 create/delete/rename index (internal/engine/
+  index_management.go:15-114) => warehouse directory/manifest ops
+  (Iceberg: CREATE/DROP/ALTER TABLE).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexSettings
+from .builder import IndexBuilder, load_settings
+
+
+# --- O1/O2/O3: index lifecycle --------------------------------------------
+
+def create_index(warehouse: str, settings: IndexSettings) -> str:
+    base = os.path.join(warehouse, settings.name)
+    os.makedirs(base, exist_ok=True)
+    with open(os.path.join(base, "settings.json"), "w") as f:
+        json.dump(settings.to_dict(), f, indent=2)
+    return base
+
+
+def delete_index(warehouse: str, name: str) -> None:
+    shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+
+
+def rename_index(warehouse: str, old: str, new: str) -> None:
+    src = os.path.join(warehouse, old)
+    dst = os.path.join(warehouse, new)
+    os.rename(src, dst)
+    settings = load_settings(dst)
+    settings.name = new
+    with open(os.path.join(dst, "settings.json"), "w") as f:
+        json.dump(settings.to_dict(), f, indent=2)
+
+
+def list_indexes(warehouse: str) -> list[str]:
+    """S4: index discovery -- directories holding a settings manifest."""
+    if not os.path.isdir(warehouse):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(warehouse)
+        if os.path.exists(os.path.join(warehouse, d, "settings.json"))
+    )
+
+
+# --- O5: settings update with reindex detection ----------------------------
+
+CORE_SETTINGS = {
+    "searchable_fields",
+    "filterable_fields",
+    "min_word_size_for_1_typo",
+    "min_word_size_for_2_typos",
+    "fields_without_prefix_search",
+    "block_size",
+    "term_buckets",
+}
+
+
+def requires_full_reindex(old: IndexSettings, new: IndexSettings) -> bool:
+    """Core-setting diff => rebuild; else metadata-only commit (reference
+    settings_management.go:119-138 -- note the reference docs claim typo
+    thresholds are search-time-only but the code forces reindex; code
+    wins, mirrored here)."""
+    a, b = old.to_dict(), new.to_dict()
+    return any(a.get(k) != b.get(k) for k in CORE_SETTINGS)
+
+
+def update_settings(
+    spark: SparkSession,
+    warehouse: str,
+    new_settings: IndexSettings,
+    corpus: DataFrame | None = None,
+    id_col: str = "documentID",
+) -> bool:
+    """Apply a settings update; returns True if a full reindex ran."""
+    base = os.path.join(warehouse, new_settings.name)
+    old = load_settings(base)
+    if requires_full_reindex(old, new_settings):
+        if corpus is None:
+            raise ValueError("core settings changed: corpus required for reindex")
+        IndexBuilder(spark, new_settings, warehouse).build(
+            corpus, id_col=id_col, resume=False
+        )
+        return True
+    with open(os.path.join(base, "settings.json"), "w") as f:
+        json.dump(new_settings.to_dict(), f, indent=2)
+    return False
+
+
+# --- T11/T13: document-level maintenance ------------------------------------
+
+class IndexMaintenance:
+    def __init__(self, spark: SparkSession, warehouse: str, name: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.base = os.path.join(warehouse, name)
+        self.settings = load_settings(self.base)
+        self.builder = IndexBuilder(self.spark, self.settings, warehouse)
+
+    def _refresh(self, docs: DataFrame, segments: DataFrame) -> None:
+        """Rewrite docs + segments, then recompute stats/blocks via the
+        builder's finalize (the sorted-merge). Two-phase via temp dirs so a
+        crash mid-rewrite leaves the old tables readable."""
+        tmp_docs = self.base + "/_docs_new"
+        tmp_seg = self.base + "/_segments_new"
+        docs.write.mode("overwrite").partitionBy("shard").parquet(tmp_docs)
+        segments.write.mode("overwrite").parquet(tmp_seg)
+        for sub, tmp in (("docs", tmp_docs), ("segments", tmp_seg)):
+            final = os.path.join(self.base, sub)
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+        from .builder import BuildReport
+
+        report = BuildReport()
+        self.builder._finalize(report)
+
+    def delete_documents(self, document_ids: list[str]) -> int:
+        """T11: remove docs + their postings; empty terms disappear from
+        term_stats/blocks in the refresh (the reference's empty-term
+        cleanup, service.go:407-416)."""
+        docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
+        victims = docs.filter(F.col("documentID").isin(document_ids)).select(
+            "doc_id"
+        )
+        n = victims.count()
+        if n == 0:
+            return 0
+        segments = self.spark.read.parquet(os.path.join(self.base, "segments"))
+        new_docs = docs.join(F.broadcast(victims), "doc_id", "left_anti")
+        new_segments = segments.drop("shard").join(
+            F.broadcast(victims), "doc_id", "left_anti"
+        )
+        self._refresh(new_docs, new_segments)
+        return n
+
+    def delete_all(self) -> None:
+        """T12: clear everything; next build starts fresh."""
+        for sub in ("docs", "segments", "term_stats", "blocks", "_checkpoints"):
+            shutil.rmtree(os.path.join(self.base, sub), ignore_errors=True)
+        for f in ("stats.json", "metrics.json", "_docs_complete.json"):
+            p = os.path.join(self.base, f)
+            if os.path.exists(p):
+                os.remove(p)

@@ -65,7 +65,9 @@ def _mix(x: np.ndarray, salt: int) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _batch(idx: np.ndarray, seed: int, words_per_doc: int) -> pd.DataFrame:
+def _batch(
+    idx: np.ndarray, seed: int, words_per_doc: int, vocab_size: int
+) -> pd.DataFrame:
     n = len(idx)
     x = idx.astype(np.uint64) + np.uint64(seed) * np.uint64(1_000_003)
     repo_i = (_mix(x, 1) % np.uint64(7)).astype(np.int64)
@@ -83,7 +85,12 @@ def _batch(idx: np.ndarray, seed: int, words_per_doc: int) -> pd.DataFrame:
         hashlib.sha1(f"{r}/{p}".encode()).hexdigest() for r, p in zip(repos, paths)
     ]
 
-    # content: words_per_doc words drawn deterministically; Zipf-ish head
+    # content: words_per_doc words drawn deterministically. Mix shaped like
+    # real source code: a Zipf head (keywords), shared camelCase
+    # identifiers (incl. planted typo pairs), common library words, and a
+    # long tail of corpus-unique identifiers (vocab grows with corpus size
+    # like real identifiers do -- vital so term-keyed shuffles see a
+    # realistic key space, not 80 terms).
     docs = []
     n_head, n_id, n_tail = len(HEAD_TERMS), len(IDENTIFIERS), len(TAIL_WORDS)
     for r in range(n):
@@ -93,12 +100,15 @@ def _batch(idx: np.ndarray, seed: int, words_per_doc: int) -> pd.DataFrame:
         widx = _mix(hs, 11)
         words = []
         for s, w in zip(sel, widx):
-            if s < 45:  # 45% head terms -> Zipf skew
+            if s < 40:  # 40% head terms -> Zipf skew
                 words.append(HEAD_TERMS[int(w % n_head)])
-            elif s < 75:  # 30% camelCase identifiers
+            elif s < 60:  # 20% camelCase identifiers
                 words.append(IDENTIFIERS[int(w % n_id)])
-            else:
+            elif s < 75:  # 15% common library words
                 words.append(TAIL_WORDS[int(w % n_tail)])
+            else:  # 25% unique-ish identifiers (long tail)
+                u = int(w % max(vocab_size, 1))
+                words.append(f"sym{u}{TAIL_WORDS[u % n_tail].capitalize()}")
         docs.append(" ".join(words))
 
     return pd.DataFrame(
@@ -119,13 +129,17 @@ def generate_corpus(
     seed: int = 42,
     words_per_doc: int = 40,
     num_partitions: int | None = None,
+    vocab_size: int | None = None,
 ) -> DataFrame:
-    """Distributed deterministic corpus of ``n_rows`` files."""
+    """Distributed deterministic corpus of ``n_rows`` files. The unique-
+    identifier vocabulary defaults to n_rows/10 (grows with the corpus,
+    like real code)."""
     parts = num_partitions or spark.sparkContext.defaultParallelism
+    vocab = vocab_size if vocab_size is not None else max(n_rows // 10, 16)
 
     def gen(batches):
         for pdf in batches:
-            yield _batch(pdf["id"].to_numpy(), seed, words_per_doc)
+            yield _batch(pdf["id"].to_numpy(), seed, words_per_doc, vocab)
 
     from pyspark.sql import functions as F
 

@@ -868,3 +868,62 @@ def engine_typo_search(spark, sf_dir):
     (service.go:176-326)."""
     eng = _engine(spark, sf_dir)
     return _engine_result(eng.search("valu", k=1_000_000, typo_tolerance=True))
+
+
+# ---------------------------------------------------------------------------
+# Relational star-schema queries over the TPC-H-ish tables: exercises
+# Catalyst join planning (broadcast dims), partial aggregation, and top-k
+# -- the general-analytics surface around the search engine.
+# ---------------------------------------------------------------------------
+
+@register(
+    "star_join_revenue",
+    "SELECT n.n_name AS nation, round(sum(l.l_extendedprice * "
+    "(1 - l.l_discount)), 2) AS revenue, count(*) AS n_items "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name",
+)
+def star_join_revenue(spark, sf_dir):
+    """Fact-to-dims star join: lineitem |><| orders |><| customer |><|
+    broadcast(nation), two-stage aggregation."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "top_parts_by_revenue",
+    "SELECT p_partkey, revenue, rnk FROM ("
+    "SELECT p_partkey, revenue, row_number() OVER "
+    "(ORDER BY revenue DESC, p_partkey ASC) AS rnk FROM ("
+    "SELECT l_partkey AS p_partkey, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem GROUP BY l_partkey)) WHERE rnk <= 15",
+)
+def top_parts_by_revenue(spark, sf_dir):
+    """Top-k by aggregated measure with a total-order tiebreak."""
+    l = load(spark, sf_dir, "lineitem")
+    agg = l.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 15)
+    )

@@ -1,0 +1,93 @@
+"""Index lifecycle + document maintenance (T11-T14, O1-O5 analogues)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_search_engine_spark.build.builder import IndexBuilder
+from go_search_engine_spark.build.maintenance import (
+    IndexMaintenance,
+    create_index,
+    delete_index,
+    list_indexes,
+    rename_index,
+    requires_full_reindex,
+    update_settings,
+)
+from go_search_engine_spark.config import IndexSettings
+from go_search_engine_spark.corpus import generate_corpus
+from go_search_engine_spark.query.engine import SearchEngine
+
+
+def _settings(name, **kw):
+    return IndexSettings(
+        name=name,
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+        **kw,
+    )
+
+
+def test_lifecycle_ops(tmp_path):
+    wh = str(tmp_path)
+    create_index(wh, _settings("a"))
+    create_index(wh, _settings("b"))
+    assert list_indexes(wh) == ["a", "b"]
+    rename_index(wh, "a", "c")
+    assert list_indexes(wh) == ["b", "c"]
+    delete_index(wh, "b")
+    assert list_indexes(wh) == ["c"]
+
+
+def test_reindex_detection():
+    old = _settings("x")
+    same = _settings("x")
+    assert not requires_full_reindex(old, same)
+    core = _settings("x")
+    core.min_word_size_for_1_typo = 5
+    assert requires_full_reindex(old, core)
+    soft = _settings("x")
+    soft.ranking_criteria = []
+    soft.distinct_field = "lang"
+    assert not requires_full_reindex(old, soft)
+
+
+def test_settings_update_metadata_only(spark, tmp_path):
+    wh = str(tmp_path)
+    s = _settings("m")
+    corpus = generate_corpus(spark, 60, seed=4, words_per_doc=10)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    s2 = _settings("m")
+    s2.distinct_field = "lang"
+    assert update_settings(spark, wh, s2) is False  # metadata-only commit
+    from go_search_engine_spark.build.builder import load_settings
+
+    assert load_settings(f"{wh}/m").distinct_field == "lang"
+
+
+def test_delete_documents(spark, tmp_path):
+    wh = str(tmp_path)
+    s = _settings("del")
+    corpus = generate_corpus(spark, 100, seed=6, words_per_doc=15)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    eng = SearchEngine(spark, wh, "del")
+    before = eng.search("tokenizer", k=100, typo_tolerance=False).collect()
+    assert before
+    victims = [r["documentID"] for r in before[:2]]
+
+    n = IndexMaintenance(spark, wh, "del").delete_documents(victims)
+    assert n == 2
+    eng2 = SearchEngine(spark, wh, "del")
+    after = eng2.search("tokenizer", k=100, typo_tolerance=False).collect()
+    assert {r["documentID"] for r in after} == {
+        r["documentID"] for r in before
+    } - set(victims)
+    # stats refreshed: N dropped by 2, no dangling postings
+    assert eng2.stats["N"] == eng.stats["N"] - 2
+    segs = spark.read.parquet(f"{wh}/del/segments")
+    victims_ids = [r["doc_id"] for r in before[:2]]
+    assert segs.filter(F.col("doc_id").isin(victims_ids)).count() == 0
+    # empty-term cleanup: every term in term_stats still has postings
+    ts = spark.read.parquet(f"{wh}/del/term_stats")
+    assert ts.join(segs.select("term").distinct(), "term", "left_anti").count() == 0
