@@ -52,48 +52,117 @@ def bm25_score(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.n
     return idf * (tf * (BM25_K1 + 1.0)) / denom
 
 
-def _encode_group(g: pd.DataFrame, block_size: int, avgdl: float) -> list[tuple]:
-    term = g["term"].iloc[0]
-    field = g["field"].iloc[0]
-    salt = int(g["salt"].iloc[0])
-    bucket = int(g["bucket"].iloc[0])
-    idf = float(g["idf"].iloc[0])
-    doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
-    order = np.argsort(doc_ids, kind="stable")
-    doc_ids = doc_ids[order]
-    tfs = g["tf"].to_numpy(dtype=np.float64)[order]
-    dls = g["dl"].to_numpy(dtype=np.int64)[order]
-    positions = g["positions"].to_numpy()[order]
-    scores = bm25_score(tfs, dls, idf, avgdl)
-    out = []
-    for b, start in enumerate(range(0, len(doc_ids), block_size)):
-        sl = slice(start, start + block_size)
-        ids = doc_ids[sl]
-        out.append(
-            (
-                bucket,
-                term,
-                field,
-                salt,
-                b,
-                int(len(ids)),
-                int(ids[0]),
-                int(ids[-1]),
-                delta_encode(ids.astype(np.uint64)),
-                varint_encode(tfs[sl].astype(np.uint64)),
-                varint_encode(dls[sl].astype(np.uint64)),
-                encode_positions([list(p) for p in positions[sl]]),
-                float(tfs[sl].max()),
-                float(scores[sl].max()),
-            )
+def _encode_partition(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.DataFrame:
+    """Whole-partition vectorized encoder.
+
+    Rows arrive sorted by (term, field, salt, doc_id) with groups
+    contiguous, so group and block boundaries are numpy boundary masks;
+    doc-id deltas, per-entry BM25 scores, block maxima (reduceat) and the
+    three varint streams are computed over the WHOLE partition at once,
+    then sliced per block at value boundaries. The only Python-level loop
+    is over blocks (n_rows / block_size) to cut the byte buffers.
+    """
+    from itertools import chain
+
+    from ..functions.codec import varint_encode_with_widths
+
+    n = len(pdf)
+    term = pdf["term"].to_numpy(dtype=object)
+    field = pdf["field"].to_numpy(dtype=object)
+    salt = pdf["salt"].to_numpy(dtype=np.int64)
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.float64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    idfs = pdf["idf"].to_numpy(dtype=np.float64)
+    buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+
+    ng = np.empty(n, dtype=bool)
+    ng[0] = True
+    ng[1:] = (term[1:] != term[:-1]) | (field[1:] != field[:-1]) | (
+        salt[1:] != salt[:-1]
+    )
+    gstart_idx = np.nonzero(ng)[0]
+    gid = np.cumsum(ng) - 1
+    row_in_g = np.arange(n) - gstart_idx[gid]
+    blk_in_g = row_in_g // block_size
+    nb = np.empty(n, dtype=bool)
+    nb[0] = True
+    nb[1:] = ng[1:] | (blk_in_g[1:] != blk_in_g[:-1])
+    bstart = np.nonzero(nb)[0]
+    n_blocks = len(bstart)
+    bcount = np.diff(np.append(bstart, n))
+    bend = bstart + bcount - 1
+
+    scores = bm25_score(tfs, dls, idfs, avgdl)
+    max_tf = np.maximum.reduceat(tfs, bstart)
+    max_score = np.maximum.reduceat(scores, bstart)
+
+    # doc-id deltas restart at each block
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[nb] = doc_ids[nb].astype(np.uint64)
+    prev = np.empty(n, dtype=np.int64)
+    prev[1:] = doc_ids[:-1]
+    prev[0] = 0
+    deltas[~nb] = (doc_ids - prev)[~nb].astype(np.uint64)
+
+    def per_block_bufs(values: np.ndarray, item_starts: np.ndarray):
+        """varint-encode once; slice at per-block value boundaries."""
+        data, widths = varint_encode_with_widths(values)
+        wcum = np.zeros(len(widths) + 1, dtype=np.int64)
+        np.cumsum(widths, out=wcum[1:])
+        byte_offs = wcum[item_starts]
+        ends = np.append(byte_offs[1:], len(data))
+        raw = data.tobytes()
+        return [raw[byte_offs[i] : ends[i]] for i in range(len(item_starts))]
+
+    doc_bufs = per_block_bufs(deltas, bstart)
+    tf_bufs = per_block_bufs(tfs.astype(np.uint64), bstart)
+    dl_bufs = per_block_bufs(dls.astype(np.uint64), bstart)
+
+    # positions: per-row record [count, first, deltas...], one global stream
+    pos_lists = pdf["positions"].to_numpy(dtype=object)
+    pcounts = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=n)
+    ptotal = int(pcounts.sum())
+    rec_starts = np.zeros(n, dtype=np.int64)
+    rec_starts[1:] = np.cumsum(pcounts + 1)[:-1]
+    stream = np.zeros(n + ptotal, dtype=np.uint64)
+    stream[rec_starts] = pcounts.astype(np.uint64)
+    if ptotal:
+        flatp = np.fromiter(
+            chain.from_iterable(pos_lists), dtype=np.int64, count=ptotal
         )
-    return out
+        row_of_pos = np.repeat(np.arange(n), pcounts)
+        pos_starts = np.zeros(n, dtype=np.int64)
+        pos_starts[1:] = np.cumsum(pcounts)[:-1]
+        within = np.arange(ptotal) - pos_starts[row_of_pos]
+        pdelta = np.empty(ptotal, dtype=np.uint64)
+        first_of_row = within == 0
+        pdelta[first_of_row] = flatp[first_of_row].astype(np.uint64)
+        prevp = np.empty(ptotal, dtype=np.int64)
+        prevp[1:] = flatp[:-1]
+        prevp[0] = 0
+        pdelta[~first_of_row] = (flatp - prevp)[~first_of_row].astype(np.uint64)
+        stream[rec_starts[row_of_pos] + 1 + within] = pdelta
+    pos_bufs = per_block_bufs(stream, rec_starts[bstart])
 
-
-_COLS = [
-    "bucket", "term", "field", "salt", "block_id", "n", "first_doc",
-    "last_doc", "doc_ids", "tfs", "dls", "positions", "max_tf", "max_score",
-]
+    return pd.DataFrame(
+        {
+            "bucket": buckets[bstart].astype(np.int32),
+            "term": term[bstart],
+            "field": field[bstart],
+            "salt": salt[bstart].astype(np.int32),
+            "block_id": (blk_in_g[bstart]).astype(np.int32),
+            "n": bcount.astype(np.int32),
+            "first_doc": doc_ids[bstart],
+            "last_doc": doc_ids[bend],
+            "doc_ids": doc_bufs,
+            "tfs": tf_bufs,
+            "dls": dl_bufs,
+            "positions": pos_bufs,
+            "max_tf": max_tf,
+            "max_score": max_score,
+        }
+    )
 
 
 def make_block_builder(settings: IndexSettings, avgdl: float):
@@ -101,6 +170,8 @@ def make_block_builder(settings: IndexSettings, avgdl: float):
     block_size = settings.block_size
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # carry-over buffering: a group split across Arrow batches must be
+        # encoded whole, or block_ids would collide/restart mid-group
         leftover: pd.DataFrame | None = None
         for pdf in batches:
             if leftover is not None and len(leftover):
@@ -114,15 +185,9 @@ def make_block_builder(settings: IndexSettings, avgdl: float):
             leftover = pdf[tail_mask]
             done = pdf[~tail_mask]
             if len(done):
-                yield _encode_batch(done, block_size, avgdl)
+                yield _encode_partition(done, block_size, avgdl)
         if leftover is not None and len(leftover):
-            yield _encode_batch(leftover, block_size, avgdl)
-
-    def _encode_batch(pdf: pd.DataFrame, block_size: int, avgdl: float):
-        rows: list[tuple] = []
-        for _, g in pdf.groupby(GROUP_COLS, sort=False):
-            rows.extend(_encode_group(g, block_size, avgdl))
-        return pd.DataFrame(rows, columns=_COLS)
+            yield _encode_partition(leftover, block_size, avgdl)
 
     return build
 

@@ -244,10 +244,12 @@ class IndexBuilder:
         df = df.withColumn("doc_len", dl.cast("long")).withColumn(
             "content_sha256", F.sha2(sha_src, 256)
         )
+        par = self.spark.sparkContext.defaultParallelism
         df = assign_doc_ids(
             df,
             "documentID",
-            max(num_shards, self.spark.sparkContext.defaultParallelism),
+            max(num_shards, par),
+            out_partitions=4 * par,
         )
         df = df.withColumn(
             "shard", F.pmod(F.xxhash64("documentID"), F.lit(num_shards)).cast("int")

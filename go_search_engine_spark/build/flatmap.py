@@ -31,6 +31,7 @@ from __future__ import annotations
 from collections import Counter
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from ..config import IndexSettings
@@ -74,11 +75,61 @@ def _doc_postings(doc_id: int, field: str, tokens: list[str], use_prefix: bool, 
             yield (doc_id, field, t, float(c), all_pos[t], True, dl)
 
 
+_COLS = ["doc_id", "field", "term", "tf", "positions", "is_full_word", "dl"]
+
+
+def _field_postings_vectorized(
+    doc_ids: np.ndarray, dls: np.ndarray, token_lists, field: str
+) -> pd.DataFrame:
+    """No-prefix path, numpy-vectorized: factorize tokens, lexsort on
+    (doc, token-code), group boundaries -> tf + position lists. No
+    per-document Python loop -- this field path carries the bulk of a
+    source-code corpus (file bodies)."""
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                         count=len(token_lists))
+    total = int(counts.sum())
+    if total == 0:
+        return pd.DataFrame(columns=_COLS)
+    flat = np.empty(total, dtype=object)
+    off = 0
+    for toks in token_lists:  # list concatenation only; no counting logic
+        flat[off : off + len(toks)] = toks
+        off += len(toks)
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    offsets[1:] = np.cumsum(counts)[:-1]
+    pos_in_doc = np.arange(total) - np.repeat(offsets, counts)
+
+    codes, uniques = pd.factorize(flat)  # C-speed string interning
+    order = np.lexsort((codes, doc_idx))  # stable: positions stay ascending
+    sd, sc, sp = doc_idx[order], codes[order], pos_in_doc[order]
+    new_group = np.empty(total, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+    starts = np.nonzero(new_group)[0]
+    tf = np.diff(np.append(starts, total)).astype(np.float64)
+    positions = [p.astype(np.int32) for p in np.split(sp, starts[1:])]
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids[sd[starts]],
+            "field": field,
+            "term": uniques[sc[starts]],
+            "tf": tf,
+            "positions": positions,
+            "is_full_word": True,
+            "dl": dls[sd[starts]],
+        }
+    )
+
+
 def make_flatmap(settings: IndexSettings):
     """Return a mapInPandas function emitting POSTINGS_SCHEMA rows.
 
     Expects input batches with columns: doc_id, doc_len, plus one string
-    column per searchable field.
+    column per searchable field. No-prefix fields take the fully
+    vectorized path; prefix-n-gram fields keep the per-doc loop (their
+    dedup-interleaved ordering is inherently sequential, and such fields
+    are short -- titles/paths).
     """
     fields = list(settings.searchable_fields)
     prefix_flags = {f: settings.uses_prefix(f) for f in fields}
@@ -89,25 +140,22 @@ def make_flatmap(settings: IndexSettings):
                 continue
             doc_ids = pdf["doc_id"].to_numpy()
             dls = pdf["doc_len"].to_numpy()
-            rows: list[tuple] = []
+            frames: list[pd.DataFrame] = []
             for field in fields:
                 token_lists = tokenize_series(pdf[field])
-                use_prefix = prefix_flags[field]
-                for did, dl, toks in zip(doc_ids, dls, token_lists):
-                    rows.extend(
-                        _doc_postings(int(did), field, toks, use_prefix, int(dl))
+                if not prefix_flags[field]:
+                    frames.append(
+                        _field_postings_vectorized(
+                            doc_ids, dls, list(token_lists), field
+                        )
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "field",
-                    "term",
-                    "tf",
-                    "positions",
-                    "is_full_word",
-                    "dl",
-                ],
-            )
+                else:
+                    rows: list[tuple] = []
+                    for did, dl, toks in zip(doc_ids, dls, token_lists):
+                        rows.extend(
+                            _doc_postings(int(did), field, toks, True, int(dl))
+                        )
+                    frames.append(pd.DataFrame(rows, columns=_COLS))
+            yield pd.concat(frames, ignore_index=True)
 
     return flat_map

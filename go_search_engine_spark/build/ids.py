@@ -22,8 +22,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_doc_ids(df: DataFrame, id_col: str, num_partitions: int) -> DataFrame:
-    """Return ``df`` plus a dense 0-based ``doc_id`` = rank of ``id_col``."""
+def assign_doc_ids(
+    df: DataFrame,
+    id_col: str,
+    num_partitions: int,
+    out_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df`` plus a dense 0-based ``doc_id`` = rank of ``id_col``.
+
+    The window exchange hash-partitions on ``_pid`` (few distinct values),
+    leaving empty/doubled partitions -- a straggler factory for every
+    downstream stage. The final round-robin ``repartition(out_partitions)``
+    restores balance; one extra all-to-all over the corpus, which the
+    flatMap amortizes (on a cluster, size out_partitions ~ 2-4x total
+    cores)."""
+    out_partitions = out_partitions or num_partitions
     parted = df.repartitionByRange(num_partitions, id_col).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -48,4 +61,4 @@ def assign_doc_ids(df: DataFrame, id_col: str, num_partitions: int) -> DataFrame
         .withColumn("doc_id", (F.col("_offset") + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
-    return out
+    return out.repartition(out_partitions)

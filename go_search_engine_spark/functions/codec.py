@@ -18,12 +18,13 @@ from __future__ import annotations
 import numpy as np
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array."""
+def varint_encode_with_widths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array; returns (byte array, per-value byte
+    widths) so callers can slice the stream at value boundaries (the
+    whole-partition block encoder needs this)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # byte width per value: ceil(bitlen/7), min 1
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     bitlen = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     while True:
@@ -35,16 +36,21 @@ def varint_encode(values: np.ndarray) -> bytes:
     widths = np.maximum((bitlen + 6) // 7, 1)
     total = int(widths.sum())
     out = np.zeros(total, dtype=np.uint8)
-    # byte position of each value's first byte
     starts = np.zeros(v.size, dtype=np.int64)
     starts[1:] = np.cumsum(widths)[:-1]
     max_w = int(widths.max())
     for k in range(max_w):
-        has = widths > k  # values that emit a k-th byte
+        has = widths > k
         pos = starts[has] + k
         chunk = (v[has] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (widths[has] > k + 1).astype(np.uint8) << 7
         out[pos] = chunk.astype(np.uint8) | cont
+    return out, widths
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array."""
+    out, _ = varint_encode_with_widths(values)
     return out.tobytes()
 
 
