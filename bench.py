@@ -26,7 +26,13 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1000000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "200000"))
+SCALING_WORDS = int(os.environ.get("SPARK_GRAFT_SCALING_WORDS", "200"))
+# N vs 4N parallelism pair. local[2] vs local[8] models adding executors
+# without oversubscribing a single local JVM (at local[32] the shared
+# driver, page cache, and memory bus saturate -- a real cluster adds
+# machines instead; the 32-thread point is still reported for honesty).
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
 
 
 def timed(fn):
@@ -117,7 +123,7 @@ def query_latency_profile(engine, wand, n: int = 15) -> dict:
     return {k: pcts(v) for k, v in lats.items()}
 
 
-def materialize_scaling_corpus(n_docs: int) -> str:
+def materialize_scaling_corpus(n_docs: int, words: int) -> str:
     """Write the deterministic corpus once (at full parallelism); both
     scaling runs then READ the same parquet -- the measured job is the
     build (corpus scan -> index), matching the real workload shape."""
@@ -125,7 +131,7 @@ def materialize_scaling_corpus(n_docs: int) -> str:
     from go_search_engine_spark.session import get_spark
 
     path = os.path.join(
-        tempfile.gettempdir(), f"gse_scaling_corpus_{n_docs}"
+        tempfile.gettempdir(), f"gse_scaling_corpus_{n_docs}_w{words}"
     )
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
@@ -133,7 +139,8 @@ def materialize_scaling_corpus(n_docs: int) -> str:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         generate_corpus(
-            spark, n_docs, seed=42, words_per_doc=50, num_partitions=4 * CPUS
+            spark, n_docs, seed=42, words_per_doc=words,
+            num_partitions=4 * CPUS,
         ).write.mode("overwrite").parquet(path)
     finally:
         spark.stop()
@@ -208,9 +215,9 @@ def main() -> None:
     spark.stop()
 
     if RUN_SCALING:
-        corpus_path = materialize_scaling_corpus(SCALING_DOCS)
-        lo = scaling_run(corpus_path, SCALING_DOCS, max(CPUS // 4, 1))
-        hi = scaling_run(corpus_path, SCALING_DOCS, CPUS)
+        corpus_path = materialize_scaling_corpus(SCALING_DOCS, SCALING_WORDS)
+        lo = scaling_run(corpus_path, SCALING_DOCS, SCALING_N)
+        hi = scaling_run(corpus_path, SCALING_DOCS, 4 * SCALING_N)
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
             hi["cpus"] / lo["cpus"]
         )
@@ -220,6 +227,10 @@ def main() -> None:
             "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
             "efficiency": round(eff, 3),
         }
+        if CPUS > 4 * SCALING_N:
+            result["scaling"]["max_threads"] = scaling_run(
+                corpus_path, SCALING_DOCS, CPUS
+            )
 
     result["queries"] = times
     result["metric"] = "headline_queries_total"
