@@ -26,13 +26,16 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "200000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))
 SCALING_WORDS = int(os.environ.get("SPARK_GRAFT_SCALING_WORDS", "200"))
-# N vs 4N parallelism pair. local[2] vs local[8] models adding executors
-# without oversubscribing a single local JVM (at local[32] the shared
-# driver, page cache, and memory bus saturate -- a real cluster adds
-# machines instead; the 32-thread point is still reported for honesty).
-SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+# N vs 4N parallelism pair. local[1] vs local[4] models adding executors
+# without oversubscribing a single local JVM: in local mode every thread
+# shares one JVM, one memory bus, and one page cache, so beyond ~8
+# threads the vectorized kernels go memory-bandwidth-bound and the curve
+# flattens (the 32-thread point is still measured and reported). A real
+# cluster's 4N executors add machines -- memory channels and disks scale
+# with N -- which the low-thread pair models more faithfully.
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
 
 
 def timed(fn):
@@ -101,8 +104,6 @@ def run_queries(spark, sf_dir: str, engine, wand) -> dict[str, float]:
 
 def query_latency_profile(engine, wand, n: int = 15) -> dict:
     """p50/p95 of repeated top-k queries (exhaustive vs WAND)."""
-    import statistics
-
     lats = {"exhaustive": [], "wand": []}
     queries = ["data value table", "spark query", "key value", "batch window",
                "customer order"]

@@ -26,14 +26,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import BM25_B, BM25_K1, IndexSettings
-from ..functions.codec import (
-    decode_positions,
-    delta_decode,
-    delta_encode,
-    encode_positions,
-    varint_decode,
-    varint_encode,
-)
+from ..functions.codec import decode_positions, delta_decode, varint_decode
 
 BLOCKS_SCHEMA = (
     "bucket int, term string, field string, salt int, block_id int, n int, "

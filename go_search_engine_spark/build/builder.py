@@ -34,7 +34,6 @@ an Iceberg catalog and checkpoints become snapshot metadata):
 from __future__ import annotations
 
 import json
-import math
 import os
 import shutil
 import time

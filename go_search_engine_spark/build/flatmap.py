@@ -43,7 +43,14 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _doc_postings(doc_id: int, field: str, tokens: list[str], use_prefix: bool, dl: int):
+def _doc_postings(
+    doc_id: int,
+    field: str,
+    tokens: list[str],
+    use_prefix: bool,
+    dl: int,
+    max_ngram_len: int | None = None,
+):
     """Yield posting tuples for one (doc, field)."""
     if not tokens:
         return
@@ -64,7 +71,10 @@ def _doc_postings(doc_id: int, field: str, tokens: list[str], use_prefix: bool, 
             if t not in seen:
                 seen.add(t)
                 yield (doc_id, field, t, 1.0, all_pos[t], True, dl)
-            for g in prefix_ngrams(t):
+            grams = prefix_ngrams(t)
+            if max_ngram_len is not None:
+                grams = grams[:max_ngram_len]
+            for g in grams:
                 if g not in seen:
                     seen.add(g)
                     full = g in counts
@@ -153,7 +163,10 @@ def make_flatmap(settings: IndexSettings):
                     rows: list[tuple] = []
                     for did, dl, toks in zip(doc_ids, dls, token_lists):
                         rows.extend(
-                            _doc_postings(int(did), field, toks, True, int(dl))
+                            _doc_postings(
+                                int(did), field, toks, True, int(dl),
+                                settings.max_ngram_len,
+                            )
                         )
                     frames.append(pd.DataFrame(rows, columns=_COLS))
             yield pd.concat(frames, ignore_index=True)

@@ -55,6 +55,12 @@ class IndexSettings:
     no_typo_tolerance_fields: list[str] = field(default_factory=list)
     non_typo_tolerant_words: list[str] = field(default_factory=list)
     distinct_field: str | None = None
+    # Deviation flag (default None = faithful): cap edge-n-gram length.
+    # The reference emits every byte-prefix of every token
+    # (tokenizer.go:41-52), which explodes on long source-code
+    # identifiers; SURVEY.md section 7 risk (c) allows a cap behind a
+    # flag. None preserves reference behavior exactly.
+    max_ngram_len: int | None = None
 
     # --- engine-level build knobs (new work, not in the reference) ---
     # Posting block size for delta+varint block-max compression.
@@ -84,6 +90,7 @@ class IndexSettings:
             "no_typo_tolerance_fields": list(self.no_typo_tolerance_fields),
             "non_typo_tolerant_words": list(self.non_typo_tolerant_words),
             "distinct_field": self.distinct_field,
+            "max_ngram_len": self.max_ngram_len,
             "block_size": self.block_size,
             "salt_df_threshold": self.salt_df_threshold,
             "salt_buckets": self.salt_buckets,

@@ -67,6 +67,25 @@ class OracleHit:
     num_typos: int
 
 
+def _prefix_tokens(text: str, max_ngram_len: int | None) -> list[str]:
+    """T3 with the optional n-gram length cap (config.max_ngram_len)."""
+    if max_ngram_len is None:
+        return tokenize_with_prefix_ngrams(text)
+    out: list[str] = []
+    seen: set[str] = set()
+    for t in tokenize(text):
+        if t not in seen:
+            out.append(t)
+            seen.add(t)
+        from ..functions.tokenizer import prefix_ngrams
+
+        for g in prefix_ngrams(t)[:max_ngram_len]:
+            if g not in seen:
+                out.append(g)
+                seen.add(g)
+    return out
+
+
 def _norm(v) -> str:
     """Array fields join with a space (indexing/service.go:233-241)."""
     if v is None:
@@ -95,7 +114,7 @@ class OracleIndex:
                 text = _norm(d.get(f))
                 dl += whitespace_word_count(text)
                 toks = (
-                    tokenize_with_prefix_ngrams(text)
+                    _prefix_tokens(text, settings.max_ngram_len)
                     if settings.uses_prefix(f)
                     else tokenize(text)
                 )
