@@ -927,3 +927,57 @@ def top_parts_by_revenue(spark, sf_dir):
         agg.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 15)
     )
+
+
+@register(
+    "analytics_avg_response",
+    "SELECT round(avg(value), 6) AS avg_ms, count(*) AS n FROM events",
+)
+def analytics_avg_response(spark, sf_dir):
+    """A5: average response time (analytics/service.go:143-154)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.avg("value"), 6).alias("avg_ms"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "events_sessionization",
+    "WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes' "
+    "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "THEN 1 ELSE 0 END AS new_s, event_id FROM events), "
+    "s AS (SELECT user_id, event_id, sum(new_s) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS session_id FROM g) "
+    "SELECT user_id, session_id, count(*) AS n_events FROM s "
+    "GROUP BY user_id, session_id",
+)
+def events_sessionization(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions via lag + running sum --
+    the window-function composition Spark lacks a batch primitive for."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # NTZ -> TS for epoch math (UTC)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_s).over(w)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+@register("multimodal_metadata")  # rows-only: binary decode is stubbed
+def multimodal_metadata(spark, sf_dir):
+    """Multimodal plumbing: deterministic binary payloads -> Arrow-batched
+    metadata extraction (decode stubbed; pipeline/multimodal.py)."""
+    from .pipeline.multimodal import extract_metadata, synthesize_media
+
+    docs = load(spark, sf_dir, "documents")
+    return extract_metadata(synthesize_media(docs), fake_decode=True)

@@ -170,15 +170,13 @@ class SearchEngine:
 
     # ------------------------------------------------------------------
     def _term_buckets(self, terms: list[str]) -> list[int]:
-        """Bucket of each candidate term, computed with the same JVM
-        xxhash64 the build used (exact partition pruning)."""
-        df = self.spark.createDataFrame([(t,) for t in terms], ["term"])
-        rows = df.select(
-            F.pmod(F.xxhash64("term"), F.lit(self.settings.term_buckets))
-            .cast("int")
-            .alias("b")
-        ).distinct().collect()
-        return [r["b"] for r in rows]
+        """Bucket of each candidate term via the pure-Python XXH64 replica
+        of Spark's xxhash64 (bit-identical, tests/test_xxhash.py) -- exact
+        partition pruning with zero Spark jobs."""
+        from ..functions.xxhash import term_bucket
+
+        nb = self.settings.term_buckets
+        return sorted({term_bucket(t, nb) for t in terms})
 
     def scan_candidates(
         self, cand: pd.DataFrame, fields: list[str]
