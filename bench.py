@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "150000"))
 SCALING_WORDS = int(os.environ.get("SPARK_GRAFT_SCALING_WORDS", "200"))
 # N vs 4N parallelism pair. local[1] vs local[4] models adding executors
 # without oversubscribing a single local JVM: in local mode every thread
@@ -163,6 +163,15 @@ def scaling_run(corpus_path: str, n_docs: int, cpus: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        # warm-up: spin up executor threads + python workers so both
+        # parallelism levels exclude one-time process init from the
+        # measured build (the same work is excluded from both sides)
+        import pandas as _pd
+
+        spark.range(0, 10000, 1, cpus).mapInPandas(
+            lambda it: (pdf.assign(x=pdf["id"]) for pdf in it),
+            schema="id long, x long",
+        ).count()
         corpus = spark.read.parquet(corpus_path)
         settings = IndexSettings(
             name=f"scale_{cpus}",

@@ -63,11 +63,10 @@ def _norm_field(df: DataFrame, name: str):
     return col
 
 
-CHECKPOINT_SCHEMA = (
-    "shard int, fingerprint string, status string, n_docs long, "
-    "n_postings long, wall_sec double, docs_per_sec double, "
-    "postings_per_sec double, run_id string"
-)
+# checkpoint lineage row shape (one JSON file per shard commit under
+# _checkpoints/ -- a metadata write like an Iceberg snapshot commit):
+#   shard, fingerprint, status, n_docs, n_postings, wall_sec,
+#   docs_per_sec, postings_per_sec, run_id
 
 
 @dataclass
@@ -351,23 +350,30 @@ class IndexBuilder:
         w.parquet(path)
 
     def _append_checkpoint(self, row: dict) -> None:
-        df = self.spark.createDataFrame([row], schema=CHECKPOINT_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path("_checkpoints"))
+        """One JSON lineage file per shard commit -- a driver-side metadata
+        write (like an Iceberg snapshot commit), NOT a Spark job. Latest
+        write per shard wins on resume."""
+        d = self.path("_checkpoints")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"shard_{row['shard']:05d}.json"), "w") as f:
+            json.dump(row, f, indent=2)
 
     def _completed_shards(self) -> dict[int, str]:
-        path = self.path("_checkpoints")
-        if not os.path.exists(path):
+        d = self.path("_checkpoints")
+        if not os.path.isdir(d):
             return {}
-        try:
-            rows = (
-                self.spark.read.parquet(path)
-                .filter(F.col("status") == "complete")
-                .select("shard", "fingerprint")
-                .collect()
-            )
-        except Exception:
-            return {}
-        return {r["shard"]: r["fingerprint"] for r in rows}
+        out: dict[int, str] = {}
+        for name in os.listdir(d):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(d, name)) as f:
+                    row = json.load(f)
+            except Exception:
+                continue
+            if row.get("status") == "complete":
+                out[int(row["shard"])] = row["fingerprint"]
+        return out
 
 
 def load_stats(base: str) -> dict:
