@@ -155,10 +155,14 @@ def scaling_run(corpus_path: str, n_docs: int, cpus: int) -> dict:
     from go_search_engine_spark.config import IndexSettings
     from go_search_engine_spark.session import get_spark
 
+    # identical shuffle partitioning at every parallelism level so the
+    # per-task work is the same and only the executor count varies (with
+    # 2*cpus partitions the 1-core run got 2 huge spilling partitions --
+    # unfair in the other direction, showing superlinear speedup)
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         cpus=cpus,
-        shuffle_partitions=2 * cpus,
+        shuffle_partitions=max(16, 2 * cpus),
         extra_conf={"spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -55,7 +55,6 @@ def _encode_partition(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.Da
     then sliced per block at value boundaries. The only Python-level loop
     is over blocks (n_rows / block_size) to cut the byte buffers.
     """
-    from itertools import chain
 
     from ..functions.codec import varint_encode_with_widths
 
@@ -112,31 +111,17 @@ def _encode_partition(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.Da
     tf_bufs = per_block_bufs(tfs.astype(np.uint64), bstart)
     dl_bufs = per_block_bufs(dls.astype(np.uint64), bstart)
 
-    # positions: per-row record [count, first, deltas...], one global stream
-    pos_lists = pdf["positions"].to_numpy(dtype=object)
-    pcounts = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=n)
-    ptotal = int(pcounts.sum())
-    rec_starts = np.zeros(n, dtype=np.int64)
-    rec_starts[1:] = np.cumsum(pcounts + 1)[:-1]
-    stream = np.zeros(n + ptotal, dtype=np.uint64)
-    stream[rec_starts] = pcounts.astype(np.uint64)
-    if ptotal:
-        flatp = np.fromiter(
-            chain.from_iterable(pos_lists), dtype=np.int64, count=ptotal
-        )
-        row_of_pos = np.repeat(np.arange(n), pcounts)
-        pos_starts = np.zeros(n, dtype=np.int64)
-        pos_starts[1:] = np.cumsum(pcounts)[:-1]
-        within = np.arange(ptotal) - pos_starts[row_of_pos]
-        pdelta = np.empty(ptotal, dtype=np.uint64)
-        first_of_row = within == 0
-        pdelta[first_of_row] = flatp[first_of_row].astype(np.uint64)
-        prevp = np.empty(ptotal, dtype=np.int64)
-        prevp[1:] = flatp[:-1]
-        prevp[0] = 0
-        pdelta[~first_of_row] = (flatp - prevp)[~first_of_row].astype(np.uint64)
-        stream[rec_starts[row_of_pos] + 1 + within] = pdelta
-    pos_bufs = per_block_bufs(stream, rec_starts[bstart])
+    # positions arrive ALREADY varint-encoded per row (flatmap.py records
+    # [count, first, deltas...]); a block's positions stream is just the
+    # concatenation of its rows' buffers -- no re-encode on the hot path
+    pos_rows = [bytes(b) for b in pdf["positions"].to_numpy(dtype=object)]
+    all_pos = b"".join(pos_rows)
+    plens = np.fromiter((len(b) for b in pos_rows), dtype=np.int64, count=n)
+    poffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(plens, out=poffs[1:])
+    bpos_start = poffs[bstart]
+    bpos_end = np.append(bpos_start[1:], len(all_pos))
+    pos_bufs = [all_pos[bpos_start[i] : bpos_end[i]] for i in range(n_blocks)]
 
     return pd.DataFrame(
         {

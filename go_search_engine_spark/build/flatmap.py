@@ -35,11 +35,17 @@ import numpy as np
 import pandas as pd
 
 from ..config import IndexSettings
+from ..functions.codec import encode_positions
 from ..functions.tokenizer import prefix_ngrams, tokenize_series
 
+# ``positions`` is ALREADY varint-encoded per row ([count, first,
+# deltas...] -- functions.codec.encode_positions record format): the codec
+# runs at the earliest point so the big (term, salt) shuffle moves compact
+# bytes, and the block builder concatenates buffers instead of re-encoding.
+# Decode with functions.codec.decode_positions(buf, 1).
 POSTINGS_SCHEMA = (
     "doc_id long, field string, term string, tf double, "
-    "positions array<int>, is_full_word boolean, dl long"
+    "positions binary, is_full_word boolean, dl long"
 )
 
 
@@ -70,7 +76,7 @@ def _doc_postings(
         for i, t in enumerate(tokens):
             if t not in seen:
                 seen.add(t)
-                yield (doc_id, field, t, 1.0, all_pos[t], True, dl)
+                yield (doc_id, field, t, 1.0, encode_positions([all_pos[t]]), True, dl)
             grams = prefix_ngrams(t)
             if max_ngram_len is not None:
                 grams = grams[:max_ngram_len]
@@ -79,10 +85,10 @@ def _doc_postings(
                     seen.add(g)
                     full = g in counts
                     pos = all_pos[g] if full else [i]
-                    yield (doc_id, field, g, 1.0, pos, full, dl)
+                    yield (doc_id, field, g, 1.0, encode_positions([pos]), full, dl)
     else:
         for t, c in counts.items():
-            yield (doc_id, field, t, float(c), all_pos[t], True, dl)
+            yield (doc_id, field, t, float(c), encode_positions([all_pos[t]]), True, dl)
 
 
 _COLS = ["doc_id", "field", "term", "tf", "positions", "is_full_word", "dl"]
@@ -117,8 +123,9 @@ def _field_postings_vectorized(
     new_group[0] = True
     new_group[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
     starts = np.nonzero(new_group)[0]
-    tf = np.diff(np.append(starts, total)).astype(np.float64)
-    positions = [p.astype(np.int32) for p in np.split(sp, starts[1:])]
+    counts = np.diff(np.append(starts, total))
+    tf = counts.astype(np.float64)
+    positions = _encode_position_records(sp, starts, counts)
     return pd.DataFrame(
         {
             "doc_id": doc_ids[sd[starts]],
@@ -130,6 +137,38 @@ def _field_postings_vectorized(
             "dl": dls[sd[starts]],
         }
     )
+
+
+def _encode_position_records(
+    sp: np.ndarray, starts: np.ndarray, counts: np.ndarray
+) -> list[bytes]:
+    """Per-group [count, first, deltas...] varint records, built from the
+    flat sorted position stream without materializing per-group lists."""
+    from ..functions.codec import varint_encode_with_widths
+
+    n = len(starts)
+    total = len(sp)
+    rec_starts = np.arange(n, dtype=np.int64)  # one count slot per group
+    rec_starts += np.cumsum(np.append(0, counts[:-1]).astype(np.int64))
+    stream = np.zeros(n + total, dtype=np.uint64)
+    stream[rec_starts] = counts.astype(np.uint64)
+    gid = np.repeat(np.arange(n), counts)
+    within = np.arange(total) - np.repeat(starts, counts)
+    deltas = np.empty(total, dtype=np.uint64)
+    first = within == 0
+    deltas[first] = sp[first].astype(np.uint64)
+    prev = np.empty(total, dtype=np.int64)
+    prev[1:] = sp[:-1]
+    prev[0] = 0
+    deltas[~first] = (sp - prev)[~first].astype(np.uint64)
+    stream[rec_starts[gid] + 1 + within] = deltas
+    data, widths = varint_encode_with_widths(stream)
+    wcum = np.zeros(len(widths) + 1, dtype=np.int64)
+    np.cumsum(widths, out=wcum[1:])
+    offs = wcum[rec_starts]
+    ends = np.append(offs[1:], len(data))
+    raw = data.tobytes()
+    return [raw[offs[i] : ends[i]] for i in range(n)]
 
 
 def make_flatmap(settings: IndexSettings):

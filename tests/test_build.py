@@ -100,8 +100,13 @@ def test_blocks_roundtrip_to_flat(built):
     spark, wh, settings, builder, *_ = built
     flat = spark.read.parquet(builder.path("segments"))
     blocks = spark.read.parquet(builder.path("blocks"))
+    from go_search_engine_spark.functions.codec import decode_positions
+
     want = {
-        (r["term"], r["field"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        (r["term"], r["field"], r["doc_id"]): (
+            r["tf"],
+            decode_positions(bytes(r["positions"]), 1)[0].astype(int).tolist(),
+        )
         for r in flat.collect()
     }
     got = {}

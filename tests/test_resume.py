@@ -28,7 +28,7 @@ def _snapshot(spark, builder):
     flat = spark.read.parquet(builder.path("segments"))
     docs = spark.read.parquet(builder.path("docs"))
     posts = {
-        (r["doc_id"], r["field"], r["term"]): (r["tf"], tuple(r["positions"]))
+        (r["doc_id"], r["field"], r["term"]): (r["tf"], bytes(r["positions"]))
         for r in flat.collect()
     }
     ids = {r["documentID"]: r["doc_id"] for r in docs.collect()}

@@ -48,8 +48,8 @@ def test_streaming_index_matches_batch(spark, tmp_path):
     ).select("doc_id", "doc_len", "content")
     batch = batch_in.mapInPandas(make_flatmap(settings), schema=POSTINGS_SCHEMA)
     key = lambda r: (r["doc_id"], r["field"], r["term"])
-    got = {key(r): (r["tf"], tuple(r["positions"])) for r in streamed.collect()}
-    want = {key(r): (r["tf"], tuple(r["positions"])) for r in batch.collect()}
+    got = {key(r): (r["tf"], bytes(r["positions"])) for r in streamed.collect()}
+    want = {key(r): (r["tf"], bytes(r["positions"])) for r in batch.collect()}
     assert got == want
 
 
