@@ -150,22 +150,16 @@ class IndexBuilder:
         if resume and os.path.exists(marker):
             with open(marker) as f:
                 docs_ok = json.load(f).get("fingerprint") == total_fp
-        if not docs_ok:
+
+        def write_docs() -> None:
             self._write(docs, self.path("docs"), partition_by=["shard"])
             with open(marker, "w") as f:
                 json.dump({"fingerprint": total_fp}, f)
 
         completed = self._completed_shards() if resume else {}
         flat_map = make_flatmap(self.settings)
-        built = 0
-        for shard in range(num_shards):
-            fingerprint, n_docs = fps.get(shard, ("0:None", 0))
-            if n_docs == 0:
-                continue
-            if shard in completed and completed[shard] == fingerprint:
-                report.shards_skipped += 1
-                continue
 
+        def build_shard(shard: int, fingerprint: str, n_docs: int) -> dict:
             ts = time.time()
             shard_docs = docs.filter(F.col("shard") == shard)
             seg_in = shard_docs.select(
@@ -177,7 +171,7 @@ class IndexBuilder:
                 ],
             )
             segment = seg_in.mapInPandas(flat_map, schema=POSTINGS_SCHEMA)
-            obs = Observation(f"seg{shard}")
+            obs = Observation(f"seg{shard}_{run_id}")
             segment = segment.observe(obs, F.count(F.lit(1)).alias("n"))
             self._write(segment, self.path("segments", f"shard={shard}"))
             n_post = int(obs.get["n"])  # no second pass over the segment
@@ -194,12 +188,52 @@ class IndexBuilder:
                 "run_id": run_id,
             }
             self._append_checkpoint(ck)
-            report.per_shard.append(ck)
-            built += 1
-            if fail_after_shards is not None and built >= fail_after_shards:
-                raise RuntimeError(
-                    f"injected failure after {built} shard(s) (test hook)"
-                )
+            return ck
+
+        pending: list[tuple[int, str, int]] = []
+        for shard in range(num_shards):
+            fingerprint, n_docs = fps.get(shard, ("0:None", 0))
+            if n_docs == 0:
+                continue
+            if shard in completed and completed[shard] == fingerprint:
+                report.shards_skipped += 1
+                continue
+            pending.append((shard, fingerprint, n_docs))
+
+        built = 0
+        if fail_after_shards is not None:
+            # test hook path: deterministic sequential order so "crash
+            # after N shards" is well-defined
+            if not docs_ok:
+                write_docs()
+            for shard, fingerprint, n_docs in pending:
+                report.per_shard.append(build_shard(shard, fingerprint, n_docs))
+                built += 1
+                if built >= fail_after_shards:
+                    raise RuntimeError(
+                        f"injected failure after {built} shard(s) (test hook)"
+                    )
+        else:
+            # independent jobs run CONCURRENTLY: Spark's scheduler
+            # interleaves their tasks, so cores stay busy through each
+            # job's I/O and commit stalls (each shard commit is still an
+            # independent checkpoint -- a failure loses only unfinished
+            # shards, exactly as in the sequential path)
+            from concurrent.futures import ThreadPoolExecutor
+
+            max_conc = min(4, 1 + len(pending))
+            with ThreadPoolExecutor(max_workers=max_conc) as pool:
+                futs = []
+                if not docs_ok:
+                    futs.append(pool.submit(write_docs))
+                shard_futs = [
+                    pool.submit(build_shard, s, fp, nd) for s, fp, nd in pending
+                ]
+                for f in futs:
+                    f.result()
+                for f in shard_futs:
+                    report.per_shard.append(f.result())
+                    built += 1
 
         report.shards_built = built
         self._finalize(report)
