@@ -28,24 +28,31 @@ import pandas as pd
 from ..config import BM25_B, BM25_K1, IndexSettings
 from ..functions.codec import decode_positions, delta_decode, varint_decode
 
+# block-max metadata is (max_tf, min_dl): since BM25 is increasing in tf
+# and decreasing in dl, score(tf, dl) <= score(max_tf, min_dl) for every
+# entry in the block -- a valid (slightly looser) WAND upper bound that
+# does NOT require idf at build time, which lets the blocks job run
+# concurrently with the term-stats job (see builder._finalize).
 BLOCKS_SCHEMA = (
     "bucket int, term string, field string, salt int, block_id int, n int, "
     "first_doc long, last_doc long, doc_ids binary, tfs binary, dls binary, "
-    "positions binary, max_tf double, max_score double"
+    "positions binary, max_tf double, min_dl long"
 )
 
 GROUP_COLS = ["term", "field", "salt"]
 
 
 def bm25_score(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
-    """Exact BM25 per entry (reference bm25.go:59-83; k1=1.2, b=0.75)."""
+    """Exact BM25 per entry (reference bm25.go:59-83; k1=1.2, b=0.75).
+    Also the block upper-bound formula: score(max_tf, min_dl) bounds every
+    entry because BM25 is monotone increasing in tf, decreasing in dl."""
     tf = np.asarray(tf, dtype=np.float64)
     dl = np.asarray(dl, dtype=np.float64)
     denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
     return idf * (tf * (BM25_K1 + 1.0)) / denom
 
 
-def _encode_partition(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.DataFrame:
+def _encode_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """Whole-partition vectorized encoder.
 
     Rows arrive sorted by (term, field, salt, doc_id) with groups
@@ -65,7 +72,6 @@ def _encode_partition(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.Da
     doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.float64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
-    idfs = pdf["idf"].to_numpy(dtype=np.float64)
     buckets = pdf["bucket"].to_numpy(dtype=np.int64)
 
     ng = np.empty(n, dtype=bool)
@@ -85,9 +91,8 @@ def _encode_partition(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.Da
     bcount = np.diff(np.append(bstart, n))
     bend = bstart + bcount - 1
 
-    scores = bm25_score(tfs, dls, idfs, avgdl)
     max_tf = np.maximum.reduceat(tfs, bstart)
-    max_score = np.maximum.reduceat(scores, bstart)
+    min_dl = np.minimum.reduceat(dls, bstart)
 
     # doc-id deltas restart at each block
     deltas = np.empty(n, dtype=np.uint64)
@@ -138,13 +143,13 @@ def _encode_partition(pdf: pd.DataFrame, block_size: int, avgdl: float) -> pd.Da
             "dls": dl_bufs,
             "positions": pos_bufs,
             "max_tf": max_tf,
-            "max_score": max_score,
+            "min_dl": min_dl,
         }
     )
 
 
-def make_block_builder(settings: IndexSettings, avgdl: float):
-    """mapInPandas fn: sorted flat postings (+idf, bucket, salt) -> blocks."""
+def make_block_builder(settings: IndexSettings):
+    """mapInPandas fn: sorted flat postings (+bucket, salt) -> blocks."""
     block_size = settings.block_size
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -163,9 +168,9 @@ def make_block_builder(settings: IndexSettings, avgdl: float):
             leftover = pdf[tail_mask]
             done = pdf[~tail_mask]
             if len(done):
-                yield _encode_partition(done, block_size, avgdl)
+                yield _encode_partition(done, block_size)
         if leftover is not None and len(leftover):
-            yield _encode_partition(leftover, block_size, avgdl)
+            yield _encode_partition(leftover, block_size)
 
     return build
 

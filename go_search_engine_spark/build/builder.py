@@ -288,7 +288,41 @@ class IndexBuilder:
         )
         return df.persist()
 
+    def _head_terms(self, flat: DataFrame, n_postings_hint: int) -> list[str]:
+        """Terms to salt (df >= salt_df_threshold).
+
+        Small inputs: exact (one groupBy). Large inputs: a DETERMINISTIC
+        5% hash-sample of doc ids estimates df -- conservatively biased
+        low on the cutoff (0.5x) so a true head term is salted with
+        overwhelming probability; a false positive merely splits a
+        mid-size term into sub-lists (harmless). Deterministic because the
+        sample is keyed on xxhash64(doc_id), not on partitioning.
+        """
+        s = self.settings
+        if n_postings_hint < 2_000_000:
+            rows = (
+                flat.groupBy("term")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .filter(F.col("df") >= s.salt_df_threshold)
+                .select("term")
+                .collect()
+            )
+            return [r["term"] for r in rows]
+        rows = (
+            flat.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0)
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df_hat"))
+            .filter(F.col("df_hat") * 20 >= s.salt_df_threshold / 2)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def _finalize(self, report: BuildReport) -> None:
+        """Stats + blocks. The term-stats job and the block-build job both
+        read the segments and are INDEPENDENT (blocks need neither df nor
+        idf: bucket is computed inline and block-max bounds are
+        (max_tf, min_dl)), so they run concurrently on the scheduler."""
         s = self.settings
         docs = self.spark.read.parquet(self.path("docs"))
         n_docs, avgdl = docs.agg(
@@ -297,67 +331,71 @@ class IndexBuilder:
         avgdl = float(avgdl or 0.0)
         report.n_docs = int(n_docs)
         report.avgdl = avgdl
+        n_post_hint = sum(c["n_postings"] for c in report.per_shard) or 0
 
         flat = self.spark.read.parquet(self.path("segments"))
-        flat_obs = Observation("flat")
-        flat = flat.observe(flat_obs, F.count(F.lit(1)).alias("n"))
+        head_terms = self._head_terms(flat, n_post_hint)
+        report.n_salted_terms = len(head_terms)
 
-        # df dedups by doc across fields (reference bm25.go:44-57);
-        # idf = ln(N/df) (bm25.go:26-41)
-        term_stats = (
-            flat.groupBy("term")
-            .agg(F.countDistinct("doc_id").alias("df"))
-            .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
-            .withColumn("term_len", F.length("term"))
-            .withColumn(
+        def build_term_stats() -> None:
+            f = self.spark.read.parquet(self.path("segments"))
+            flat_obs = Observation(f"flat_{uuid.uuid4().hex[:6]}")
+            f = f.observe(flat_obs, F.count(F.lit(1)).alias("n"))
+            # df dedups by doc across fields (reference bm25.go:44-57);
+            # idf = ln(N/df) (bm25.go:26-41)
+            ts = (
+                f.groupBy("term")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+                .withColumn("term_len", F.length("term"))
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(s.term_buckets)).cast("int"),
+                )
+            )
+            ts_obs = Observation(f"ts_{uuid.uuid4().hex[:6]}")
+            ts = ts.observe(
+                ts_obs, F.count(F.lit(1)).alias("n"), F.max("df").alias("max_df")
+            )
+            self._write(ts, self.path("term_stats"))
+            report.n_postings = int(flat_obs.get["n"])
+            report.n_terms = int(ts_obs.get["n"])
+            report.max_df = int(ts_obs.get["max_df"] or 0)
+
+        def build_blocks() -> None:
+            f = self.spark.read.parquet(self.path("segments"))
+            # explicit head-term salting: terms above the df threshold
+            # shuffle into salt_buckets sub-lists so no single reducer
+            # owns a hot term
+            if head_terms:
+                salt = F.when(
+                    F.col("term").isin(head_terms),
+                    F.pmod(F.xxhash64("doc_id"), F.lit(s.salt_buckets)).cast("int"),
+                ).otherwise(F.lit(0))
+            else:
+                salt = F.lit(0)
+            salted = f.withColumn("salt", salt.cast("int")).withColumn(
                 "bucket",
                 F.pmod(F.xxhash64("term"), F.lit(s.term_buckets)).cast("int"),
             )
-        )
-        ts_obs = Observation("term_stats")
-        term_stats = term_stats.observe(
-            ts_obs, F.count(F.lit(1)).alias("n"), F.max("df").alias("max_df")
-        )
-        self._write(term_stats, self.path("term_stats"))
-        report.n_postings = int(flat_obs.get["n"])
-        report.n_terms = int(ts_obs.get["n"])
-        report.max_df = int(ts_obs.get["max_df"] or 0)
-        term_stats = self.spark.read.parquet(self.path("term_stats"))
-        head = term_stats.filter(F.col("df") >= s.salt_df_threshold).select(
-            "term", "df"
-        )
-        head_rows = head.collect()
-        report.n_salted_terms = len(head_rows)
+            shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            blocks = (
+                salted.repartition(shuffle_n, "term", "salt")
+                .sortWithinPartitions("term", "field", "salt", "doc_id")
+                .mapInPandas(make_block_builder(s), schema=BLOCKS_SCHEMA)
+            )
+            blk_obs = Observation(f"blk_{uuid.uuid4().hex[:6]}")
+            blocks = blocks.observe(blk_obs, F.count(F.lit(1)).alias("n"))
+            self._write(blocks, self.path("blocks"), partition_by=["bucket"])
+            report.n_blocks = int(blk_obs.get["n"])
 
-        flat = self.spark.read.parquet(self.path("segments"))
-        # explicit head-term salting: terms above the df threshold shuffle
-        # into salt_buckets sub-lists so no single reducer owns a hot term
-        salted = flat.join(
-            F.broadcast(head.select("term").withColumn("is_head", F.lit(True))),
-            "term",
-            "left",
-        ).withColumn(
-            "salt",
-            F.when(
-                F.col("is_head").isNotNull(),
-                F.pmod(F.xxhash64("doc_id"), F.lit(s.salt_buckets)).cast("int"),
-            ).otherwise(F.lit(0)),
-        ).drop("is_head")
+        from concurrent.futures import ThreadPoolExecutor
 
-        joined = salted.join(
-            term_stats.select("term", "idf", "bucket"), "term"
-        )
-        shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        block_builder = make_block_builder(s, avgdl)
-        blocks = (
-            joined.repartition(shuffle_n, "term", "salt")
-            .sortWithinPartitions("term", "field", "salt", "doc_id")
-            .mapInPandas(block_builder, schema=BLOCKS_SCHEMA)
-        )
-        blk_obs = Observation("blocks")
-        blocks = blocks.observe(blk_obs, F.count(F.lit(1)).alias("n"))
-        self._write(blocks, self.path("blocks"), partition_by=["bucket"])
-        report.n_blocks = int(blk_obs.get["n"])
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(build_term_stats)
+            f2 = pool.submit(build_blocks)
+            f1.result()
+            f2.result()
 
         with open(self.path("stats.json"), "w") as f:
             json.dump(

@@ -16,7 +16,8 @@ definition) are decoded in full and anchor everything:
      ALL of R's entries are present; no cross-phase split of a token's
      exact/typo entries (that split would break exact-skip soundness).
   2. block-max upper bound: UB(d) = rare_contrib(d) + sum over other
-     tokens of max(penalty * block max_score). Since the true score is
+     tokens of max(penalty * block upper bound, where the bound is
+     idf * bm25(max_tf, min_dl) -- monotone BM25). Since the true score is
      rare_contrib(d) + sum of other-token contributions <= UB(d), any doc
      with UB(d) < theta (strictly) cannot reach the top-k, even on
      tie-break.
@@ -116,13 +117,28 @@ def wand_topk(
         )
         return _finish(engine, out, k)
 
-    # ---- block-max upper bound of every other token
-    meta = blk.select("term", "max_score")
+    # ---- block-max upper bound of every other token. Blocks store
+    # (max_tf, min_dl); BM25 is monotone (increasing in tf, decreasing in
+    # dl) so idf * bm25_tf(max_tf, min_dl) bounds every entry's score.
+    from ..config import BM25_B, BM25_K1
+
+    avgdl = float(engine.stats["avgdl"])
+    block_ub = (
+        F.col("idf")
+        * F.col("max_tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("max_tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("min_dl") / F.lit(avgdl))
+        )
+    )
+    meta = blk.select("term", "max_tf", "min_dl")
     ub_rows = (
-        meta.join(cand_meta.select("term", "token", "penalty"), "term")
+        meta.join(cand_meta.select("term", "token", "penalty", "idf"), "term")
         .filter(F.col("token") != rare)
         .groupBy("token")
-        .agg(F.max(F.col("max_score") * F.col("penalty")).alias("ub"))
+        .agg(F.max(block_ub * F.col("penalty")).alias("ub"))
         .collect()
     )
     tok_ub = {r["token"]: float(r["ub"]) for r in ub_rows}

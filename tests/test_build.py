@@ -127,9 +127,8 @@ def test_block_invariants(built):
     for b in blocks:
         assert 1 <= b["n"] <= settings.block_size
         assert b["first_doc"] <= b["last_doc"]
-        # IDF = ln(N/df) => a term present in every doc legitimately
-        # scores 0 (reference bm25.go:26-41)
-        assert b["max_score"] >= 0
+        assert b["max_tf"] >= 1.0
+        assert b["min_dl"] >= 0
 
 
 def test_stats_and_salting(built):

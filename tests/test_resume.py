@@ -55,7 +55,7 @@ def test_kill_and_resume(spark, tmp_path):
     # blocks identical too (decoded content, order-insensitive)
     a = spark.read.parquet(clean.path("blocks"))
     b = spark.read.parquet(crashy.path("blocks"))
-    cols = ["term", "field", "block_id", "n", "first_doc", "last_doc", "max_score"]
+    cols = ["term", "field", "block_id", "n", "first_doc", "last_doc", "max_tf", "min_dl"]
     assert sorted(map(tuple, a.select(cols).collect())) == sorted(
         map(tuple, b.select(cols).collect())
     )
