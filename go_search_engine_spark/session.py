@@ -45,6 +45,11 @@ def get_spark(
         # (task x bucket) and v1's driver-side rename loop was a measured
         # serial floor in the build
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # default 128MB splits collapse a few-hundred-MB table into 2-3
+        # scan tasks -- parallelism-starving every stage rooted at a scan;
+        # 16MB keeps scan parallelism >= cores at bench scale (at real
+        # scale files are plentiful and this matters less)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
