@@ -22,8 +22,12 @@ Faithful semantics notes:
   postings-by-doc join.
 
 The heavy regex passes run vectorized over the whole Arrow batch
-(pandas .str ops in C); the per-document counting loop is plain Python over
-an in-memory batch -- Arrow-batched, never per-row Spark Python.
+(pandas .str ops in C). No-prefix fields (file bodies -- the bulk of the
+corpus) are then fully numpy-vectorized (factorize + lexsort + boundary
+masks), including the varint position records; only prefix-n-gram fields
+(short: titles/paths) keep a per-doc Python loop, because their
+order-preserving dedup interleave is inherently sequential. Arrow-batched
+throughout, never per-row Spark Python.
 """
 
 from __future__ import annotations
