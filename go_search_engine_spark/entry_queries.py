@@ -605,9 +605,12 @@ def dedup_exact_groups(spark, sf_dir):
 @register(
     "ngram_jaccard_pairs",
     "WITH " + SHINGLE_CTE + ", "
-    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    # stop-shingle guard mirrored from pipeline.dedup (default df cap 1000)
+    "shg AS (SELECT * FROM sh WHERE shingle NOT IN "
+    "(SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM shg GROUP BY doc_id), "
     "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i "
-    "FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id "
+    "FROM shg x JOIN shg y USING(shingle) WHERE x.doc_id < y.doc_id "
     "GROUP BY 1, 2) "
     "SELECT a, b, round(i::DOUBLE/(sa.sz + sb.sz - i), 6) AS jaccard "
     "FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b "
@@ -615,7 +618,8 @@ def dedup_exact_groups(spark, sf_dir):
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
     """3-shingle Jaccard near-dup pairs via the shingle inverted join
-    (candidates = docs sharing a shingle; never a cross join)."""
+    (candidates = docs sharing a shingle; never a cross join). The
+    default-on stop-shingle df guard (1000) is mirrored in the oracle."""
     from .pipeline.dedup import ngram_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")
@@ -704,15 +708,69 @@ def embedding_cosine_topk_q(spark, sf_dir):
     )
 
 
-@register("embedding_lsh_topk")  # rows-only: hyperplanes are not SQL-portable
+# SRP hyperplanes are deterministic (seed=42, dim=64 fixed by the
+# embeddings tables), so the oracle embeds them as SQL literals and
+# recomputes the exact same bucket assignment + in-bucket cosine top-k.
+def _lsh_oracle_sql() -> str:
+    from .pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=4, seed=42)
+
+    def plane_lit(p):
+        return "[" + ",".join(repr(float(v)) for v in p) + "]::DOUBLE[]"
+
+    def bucket_expr(vec):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec}, {plane_lit(p)}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    return (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+        "WHERE vec_id = 0), "
+        f"qb AS (SELECT {bucket_expr('qv')} AS b FROM q), "
+        "db AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+        f"{bucket_expr('embedding::DOUBLE[]')} AS b "
+        "FROM embeddings WHERE vec_id <> 0), "
+        "cand AS (SELECT vec_id, v FROM db JOIN qb ON db.b = qb.b), "
+        "scored AS (SELECT vec_id, round(list_cosine_similarity(v, q.qv), 5) "
+        "AS cos FROM cand, q) "
+        "SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) "
+        "AS rank FROM scored QUALIFY rank <= 10"
+    )
+
+
+_LSH_IDX_CACHE: dict = {}
+
+
+@register("embedding_lsh_topk", _lsh_oracle_sql())
 def embedding_lsh_topk_q(spark, sf_dir):
-    """ANN scale path: SRP-LSH bucket probe + exact cosine within bucket."""
-    from .pipeline.similarity import hyperplanes, lsh_topk
+    """ANN scale path: SRP bucket MATERIALIZED as a parquet partition
+    column (built once per sf_dir), then a single-bucket partition-pruned
+    probe + exact cosine within the bucket (pipeline/similarity.py)."""
+    from .pipeline.similarity import (
+        build_lsh_index,
+        hyperplanes,
+        lsh_topk_indexed,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     planes = hyperplanes(dim=len(qv), n_planes=4, seed=42)
-    return lsh_topk(emb.filter(F.col("vec_id") != 0), qv, planes, k=10)
+    if sf_dir not in _LSH_IDX_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="gse_lsh_idx_") + "/emb"
+        build_lsh_index(emb.filter(F.col("vec_id") != 0), planes, path)
+        _LSH_IDX_CACHE[sf_dir] = path
+    scored = lsh_topk_indexed(
+        spark, _LSH_IDX_CACHE[sf_dir], qv, planes, k=1_000_000
+    ).select("vec_id", F.round("cos", 5).alias("cos"))
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
 
 
 @register(
@@ -947,22 +1005,26 @@ def analytics_avg_response(spark, sf_dir):
     "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes' "
     "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
     "THEN 1 ELSE 0 END AS new_s, event_id FROM events), "
-    "s AS (SELECT user_id, event_id, sum(new_s) OVER "
-    "(PARTITION BY user_id ORDER BY ts, event_id) AS session_id FROM g) "
+    "s AS (SELECT user_id, event_id, (sum(new_s) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS session_id "
+    "FROM g) "
     "SELECT user_id, session_id, count(*) AS n_events FROM s "
     "GROUP BY user_id, session_id",
 )
 def events_sessionization(spark, sf_dir):
     """Sessionization: 30-minute-gap sessions via lag + running sum --
-    the window-function composition Spark lacks a batch primitive for."""
+    the window-function composition Spark lacks a batch primitive for.
+
+    The gap compare runs at full timestamp precision (``prev + INTERVAL``),
+    never via epoch-second casts that would truncate sub-second gaps."""
     ev = load(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")  # NTZ -> TS for epoch math (UTC)
+        "ts", F.col("ts").cast("timestamp")  # NTZ -> TS (UTC session)
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_s = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     sess = ev.withColumn(
@@ -973,11 +1035,38 @@ def events_sessionization(spark, sf_dir):
     )
 
 
-@register("multimodal_metadata")  # rows-only: binary decode is stubbed
+# DuckDB replica of the deterministic fake decoder (pipeline/multimodal.py
+# decode_image): width/height come from the first two BYTES of
+# sha256(payload), extracted here as hex-digit pairs.
+_HX = "(strpos('0123456789abcdef', substr(sha256, {p}, 1)) - 1)"
+_MM_ORACLE = (
+    "WITH m AS (SELECT doc_id AS media_id, "
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS kind, "
+    "octet_length(encode(text))::BIGINT AS n_bytes, "
+    "sha256(text) AS sha256 FROM documents), "
+    "h AS (SELECT *, "
+    f"(16*{_HX.format(p=1)} + {_HX.format(p=2)}) AS h0, "
+    f"(16*{_HX.format(p=3)} + {_HX.format(p=4)}) AS h1 FROM m) "
+    "SELECT media_id, kind, n_bytes, sha256, "
+    # width/height 0 (not NULL) for non-images: deterministic sort/hash
+    "(CASE WHEN kind = 'image' THEN 4 + h0 % 13 ELSE 0 END)::INT AS width, "
+    "(CASE WHEN kind = 'image' THEN 4 + h1 % 7 ELSE 0 END)::INT AS height, "
+    "(CASE WHEN kind = 'image' THEN 1 "
+    "ELSE greatest(1, n_bytes // 64) END)::INT AS n_frames FROM h"
+)
+
+
+@register("multimodal_metadata", _MM_ORACLE)
 def multimodal_metadata(spark, sf_dir):
     """Multimodal plumbing: deterministic binary payloads -> Arrow-batched
-    metadata extraction (decode stubbed; pipeline/multimodal.py)."""
+    metadata extraction (decode stubbed; pipeline/multimodal.py). Every
+    output field is deterministic, so the DuckDB oracle replicates the
+    fake decoder's sha256-derived dimensions exactly."""
     from .pipeline.multimodal import extract_metadata, synthesize_media
 
     docs = load(spark, sf_dir, "documents")
-    return extract_metadata(synthesize_media(docs), fake_decode=True)
+    meta = extract_metadata(synthesize_media(docs), fake_decode=True)
+    return meta.withColumn("width", F.coalesce("width", F.lit(0))).withColumn(
+        "height", F.coalesce("height", F.lit(0))
+    )

@@ -61,18 +61,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """(a, b, jaccard): pairs of docs with k-shingle Jaccard >= threshold.
 
     Candidate generation is the shingle inverted join (docs sharing >= 1
-    shingle), NOT a cross join; ``max_shingle_df`` drops stop-shingles
-    before pairing (skew guard).
+    shingle), NOT a cross join. ``max_shingle_df`` drops stop-shingles
+    before pairing and is ON BY DEFAULT (1000): a single stop-shingle
+    ("the quick brown") otherwise yields df^2 candidate pairs -- the
+    classic silent scale-killer. Dropped shingles are logged (never a
+    silent cap); pass ``max_shingle_df=None`` for exact inverted-join
+    semantics on corpora known to be stop-shingle-free.
     """
     sh = word_shingles(df, text_col, id_col, k)
     if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_shingle_df)
+            .select("shingle")
+            .persist()
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d stop-shingles with "
+                "df > %d (skew guard)", n_hot, max_shingle_df
+            )
+        # no broadcast hint: AQE broadcasts when small, shuffles when the
+        # stop-shingle set itself is huge (degenerate corpora)
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")

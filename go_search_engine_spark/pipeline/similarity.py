@@ -78,6 +78,28 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.cast("int").alias("bucket"))
 
 
+def query_bucket(query_vec: list[float], planes: np.ndarray) -> int:
+    """Driver-side SRP bucket of a query vector (sequential fold matches
+    the executor-side ``_dot`` to float precision for the sign test)."""
+    qb = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(query_vec, p):
+            acc += float(x) * float(y)
+        if acc > 0:
+            qb |= 1 << i
+    return qb
+
+
+def probe_buckets(qb: int, n_planes: int, n_probe: int = 1) -> list[int]:
+    """Multi-probe set: the query bucket plus (n_probe - 1) single-bit
+    flips -- the standard recall knob for SRP-LSH."""
+    out = [qb]
+    for i in range(min(n_probe - 1, n_planes)):
+        out.append(qb ^ (1 << i))
+    return sorted(set(out))
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -86,16 +108,53 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ANN top-k: probe only the query's LSH bucket, then exact cosine.
-    Recall < 1 by construction; the scale path (bucket pruning) vs
-    cosine_topk's exactness."""
-    qb = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, query_vec)) > 0))
+    """ANN top-k over an UNINDEXED frame: computes every vector's bucket at
+    query time (a full scan -- correct but not sublinear). For the scale
+    path, materialize buckets once with ``build_lsh_index`` and probe with
+    ``lsh_topk_indexed`` (partition pruning reads ~1/2^n_planes of input)."""
+    qb = query_bucket(query_vec, planes)
     buckets = hyperplane_lsh_buckets(df, planes, vec_col, id_col)
     cand = df.join(
         buckets.filter(F.col("bucket") == qb),
         df[id_col] == F.col("id"),
     ).drop("id", "bucket")
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def build_lsh_index(
+    df: DataFrame,
+    planes: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the SRP bucket as a parquet PARTITION column. One pass
+    over the vectors at build time; afterwards a query probes only its
+    bucket directory -- at 100 TB this is the difference between scanning
+    everything per query (lsh_topk) and reading ~1/2^n_planes of it."""
+    with_b = df.join(
+        hyperplane_lsh_buckets(df, planes, vec_col, id_col),
+        df[id_col] == F.col("id"),
+    ).drop("id")
+    with_b.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 1,
+) -> DataFrame:
+    """ANN top-k over a bucket-partitioned index built by
+    ``build_lsh_index``: the bucket filter is a partition filter (zero
+    rows outside the probed directories are read)."""
+    probes = probe_buckets(query_bucket(query_vec, planes), len(planes), n_probe)
+    df = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return cosine_topk(df, query_vec, k, vec_col, id_col)
 
 
 def embedding_cosine_pairs(

@@ -46,7 +46,9 @@ def _norm(v):
 
 def _rows(cols, data):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in data)
+    # null-safe total order: sort on the repr of the normalized tuple
+    rows = [tuple(_norm(r[i]) for i in idx) for r in data]
+    return sorted(rows, key=repr)
 
 
 QUERY_NAMES = sorted(entry_mod.queries())

@@ -1,0 +1,101 @@
+"""ANN indexed-bucket path: partition pruning is real (files read ~
+1/2^n_planes of the index) and in-bucket results equal brute-force cosine
+restricted to the probed bucket. Plus the default-on stop-shingle guard.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_search_engine_spark.pipeline.similarity import (
+    build_lsh_index,
+    cosine_topk,
+    hyperplane_lsh_buckets,
+    hyperplanes,
+    lsh_topk_indexed,
+    probe_buckets,
+    query_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(16)]) for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_indexed_probe_matches_in_bucket_bruteforce(spark, emb):
+    planes = hyperplanes(dim=16, n_planes=3, seed=42)
+    path = os.path.join(tempfile.mkdtemp(prefix="gse_lsh_t_"), "idx")
+    build_lsh_index(emb, planes, path)
+    qv = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+
+    got = lsh_topk_indexed(spark, path, qv, planes, k=10).collect()
+
+    qb = query_bucket(qv, planes)
+    in_bucket_ids = {
+        r["id"]
+        for r in hyperplane_lsh_buckets(emb, planes).filter(
+            F.col("bucket") == qb
+        ).collect()
+    }
+    want = cosine_topk(
+        emb.filter(F.col("vec_id").isin(list(in_bucket_ids))), qv, k=10
+    ).collect()
+    assert [(r["vec_id"], round(r["cos"], 9)) for r in got] == [
+        (r["vec_id"], round(r["cos"], 9)) for r in want
+    ]
+    # every returned id really is in the probed bucket
+    assert all(r["vec_id"] in in_bucket_ids for r in got)
+
+
+def test_indexed_probe_prunes_partitions(spark, emb):
+    planes = hyperplanes(dim=16, n_planes=3, seed=42)
+    path = os.path.join(tempfile.mkdtemp(prefix="gse_lsh_t_"), "idx")
+    build_lsh_index(emb, planes, path)
+    qv = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+    qb = query_bucket(qv, planes)
+
+    total_files = glob.glob(os.path.join(path, "bucket=*", "*.parquet"))
+    bucket_files = glob.glob(os.path.join(path, f"bucket={qb}", "*.parquet"))
+    assert len(bucket_files) < len(total_files)
+
+    probed = spark.read.parquet(path).filter(F.col("bucket") == qb)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate must be a PARTITION filter (directory pruning),
+    # not a post-scan data filter
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_probe_buckets_multiprobe():
+    assert probe_buckets(0b101, 3, 1) == [0b101]
+    assert sorted(probe_buckets(0b101, 3, 3)) == sorted([0b101, 0b100, 0b111])
+
+
+def test_ngram_guard_drops_stop_shingles(spark):
+    from go_search_engine_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    # 30 docs all sharing one stop-shingle; two genuinely-near docs
+    stop = [(i, f"alpha beta gamma unique{i} tail{i}") for i in range(30)]
+    near = [
+        (100, "red green blue cyan magenta yellow"),
+        (101, "red green blue cyan magenta olive"),
+    ]
+    df = spark.createDataFrame(stop + near, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, threshold=0.2, max_shingle_df=10).collect()
+    ids = {(r["a"], r["b"]) for r in pairs}
+    # the stop-shingle 'alpha beta gamma' (df=30 > 10) is dropped, so no
+    # pair among the 30 filler docs survives; the near pair does
+    assert (100, 101) in ids
+    assert all(a >= 100 for a, b in ids)
