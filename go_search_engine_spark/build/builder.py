@@ -156,6 +156,13 @@ class IndexBuilder:
             with open(marker, "w") as f:
                 json.dump({"fingerprint": total_fp}, f)
 
+        # resume hygiene: a shard that vanished from the new corpus (or a
+        # shard id beyond a shrunk num_shards) must not leave stale
+        # segments behind -- _finalize reads the whole segments/ tree and
+        # doc_ids are dense ranks, so stale postings would silently
+        # misattribute old postings to new documents
+        self._clean_stale_shards(fps, num_shards)
+
         completed = self._completed_shards() if resume else {}
         flat_map = make_flatmap(self.settings)
 
@@ -420,6 +427,37 @@ class IndexBuilder:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+
+    def _clean_stale_shards(self, fps: dict, num_shards: int) -> list[int]:
+        """Delete segment dirs + checkpoints of shards absent from the
+        current corpus (no rows, or id >= num_shards from an earlier
+        build with more shards). Returns the removed shard ids."""
+        live = {s for s, (_fp, n) in fps.items() if n > 0 and s < num_shards}
+        removed: list[int] = []
+        seg_root = self.path("segments")
+        if os.path.isdir(seg_root):
+            for name in os.listdir(seg_root):
+                if not name.startswith("shard="):
+                    continue
+                try:
+                    sid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if sid not in live:
+                    shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+                    removed.append(sid)
+        ck = self.path("_checkpoints")
+        if os.path.isdir(ck):
+            for name in os.listdir(ck):
+                if not (name.startswith("shard_") and name.endswith(".json")):
+                    continue
+                try:
+                    sid = int(name[len("shard_"):-len(".json")])
+                except ValueError:
+                    continue
+                if sid not in live:
+                    os.remove(os.path.join(ck, name))
+        return removed
 
     def _append_checkpoint(self, row: dict) -> None:
         """One JSON lineage file per shard commit -- a driver-side metadata

@@ -131,6 +131,14 @@ class IndexMaintenance:
             final = os.path.join(self.base, sub)
             shutil.rmtree(final, ignore_errors=True)
             os.rename(tmp, final)
+        # the rewritten tables no longer correspond to any build's shard
+        # fingerprints: invalidate resume state so the next
+        # build(resume=True) re-verifies shard contents instead of
+        # silently skipping (e.g. never re-adding deleted documents)
+        shutil.rmtree(os.path.join(self.base, "_checkpoints"), ignore_errors=True)
+        marker = os.path.join(self.base, "_docs_complete.json")
+        if os.path.exists(marker):
+            os.remove(marker)
         from .builder import BuildReport
 
         report = BuildReport()

@@ -38,17 +38,31 @@ class StreamingIndexer:
         self.batches_seen = 0
 
     def _prep(self, batch: DataFrame) -> DataFrame:
+        """Identical normalization to the batch builder: array<string>
+        searchable fields join with a space (builder._norm_field,
+        reference indexing/service.go:233-241) BEFORE doc_len and the
+        flatMap -- required for the 'identical segments to batch'
+        guarantee."""
+        from ..build.builder import _norm_field
+
         s = self.settings
         dl = None
         for f_name in s.searchable_fields:
-            c = whitespace_word_count_col(F.coalesce(F.col(f_name), F.lit("")))
+            c = whitespace_word_count_col(
+                F.coalesce(_norm_field(batch, f_name), F.lit(""))
+            )
             dl = c if dl is None else dl + c
         return batch.withColumn("doc_len", dl.cast("long"))
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from ..build.builder import _norm_field
+
         s = self.settings
-        prepped = self._prep(batch).select(
-            "doc_id", "doc_len", *s.searchable_fields
+        prepped = self._prep(batch)
+        prepped = prepped.select(
+            "doc_id",
+            "doc_len",
+            *[_norm_field(prepped, f).alias(f) for f in s.searchable_fields],
         )
         segment = prepped.mapInPandas(make_flatmap(s), schema=POSTINGS_SCHEMA)
         segment.write.mode("append").parquet(

@@ -91,3 +91,30 @@ def test_delete_documents(spark, tmp_path):
     # empty-term cleanup: every term in term_stats still has postings
     ts = spark.read.parquet(f"{wh}/del/term_stats")
     assert ts.join(segs.select("term").distinct(), "term", "left_anti").count() == 0
+
+
+def test_refresh_invalidates_resume_state(spark, tmp_path):
+    """delete_documents rewrites docs+segments; a later resume build over
+    the ORIGINAL corpus must notice (fingerprints no longer describe what
+    is on disk) and re-add the deleted documents instead of skipping."""
+    wh = str(tmp_path)
+    s = _settings("rewind")
+    corpus = generate_corpus(spark, 80, seed=8, words_per_doc=12)
+    builder = IndexBuilder(spark, s, wh)
+    builder.build(corpus, num_shards=2)
+    eng = SearchEngine(spark, wh, "rewind")
+    n0 = eng.stats["N"]
+
+    victim = eng.search("tokenizer", k=1, typo_tolerance=False).collect()[0][
+        "documentID"
+    ]
+    assert IndexMaintenance(spark, wh, "rewind").delete_documents([victim]) == 1
+
+    report = builder.build(corpus, num_shards=2, resume=True)
+    assert report.shards_built > 0  # NOT silently skipped
+    eng2 = SearchEngine(spark, wh, "rewind")
+    assert eng2.stats["N"] == n0
+    assert victim in {
+        r["documentID"]
+        for r in eng2.search("tokenizer", k=100, typo_tolerance=False).collect()
+    }

@@ -81,3 +81,29 @@ def test_changed_input_invalidates_fingerprint(spark, tmp_path):
     )
     assert report.shards_built == 2
     assert report.shards_skipped == 0
+
+
+def test_resume_cleans_stale_shards(spark, tmp_path):
+    """A corpus shrink (or num_shards shrink) between builds must not
+    leave stale segment shards feeding _finalize: doc_ids are dense
+    ranks, so stale postings would corrupt df/idf/avgdl silently."""
+    big = generate_corpus(spark, 200, seed=3, words_per_doc=12)
+    small = big.filter(F.xxhash64("documentID") % 5 == 0)
+
+    dirty = IndexBuilder(spark, _settings("stale"), str(tmp_path))
+    dirty.build(big, num_shards=6)
+    # resume onto the smaller corpus with FEWER shards: shard ids 2-5 and
+    # any shard emptied by the filter are stale on disk
+    dirty.build(small, num_shards=2, resume=True)
+
+    clean = IndexBuilder(spark, _settings("stale_clean"), str(tmp_path))
+    clean.build(small, num_shards=2, resume=False)
+
+    assert _snapshot(spark, dirty) == _snapshot(spark, clean)
+    import json
+
+    with open(dirty.path("stats.json")) as f:
+        d = json.load(f)
+    with open(clean.path("stats.json")) as f:
+        c = json.load(f)
+    assert d == c

@@ -80,3 +80,44 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     total_batch = sum(r["n"] for r in batch_rows)
     assert total_batch == ev.count()
     assert total_stream <= total_batch
+
+
+def test_streaming_array_field_matches_batch(spark, tmp_path):
+    """array<string> searchable fields must go through the same
+    normalization as the batch builder (_norm_field: array_join ' ')."""
+    settings = IndexSettings(
+        name="stream_arr",
+        searchable_fields=["tags"],
+        fields_without_prefix_search=["tags"],
+    )
+    rows = [
+        (1, ["alpha beta", "gamma"]),
+        (2, ["delta"]),
+        (3, ["alpha", "beta gamma", "alpha"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tags array<string>")
+    src = str(tmp_path / "src_arr")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    base = str(tmp_path / "idx_arr")
+    ix = StreamingIndexer(spark, settings, base)
+    q = ix.start(stream, checkpoint=str(tmp_path / "ckpt_arr"))
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(os.path.join(base, "stream_segments"))
+    from go_search_engine_spark.build.builder import _norm_field
+
+    batch_in = df.withColumn(
+        "doc_len",
+        whitespace_word_count_col(
+            F.coalesce(_norm_field(df, "tags"), F.lit(""))
+        ).cast("long"),
+    ).select("doc_id", "doc_len", _norm_field(df, "tags").alias("tags"))
+    batch = batch_in.mapInPandas(make_flatmap(settings), schema=POSTINGS_SCHEMA)
+    key = lambda r: (r["doc_id"], r["field"], r["term"])
+    got = {key(r): (r["tf"], r["dl"]) for r in streamed.collect()}
+    want = {key(r): (r["tf"], r["dl"]) for r in batch.collect()}
+    assert got == want
