@@ -36,7 +36,7 @@ from ..functions.codec import decode_positions, delta_decode, varint_decode
 BLOCKS_SCHEMA = (
     "bucket int, term string, field string, salt int, block_id int, n int, "
     "first_doc long, last_doc long, doc_ids binary, tfs binary, dls binary, "
-    "positions binary, max_tf double, min_dl long"
+    "positions binary, fws binary, max_tf double, min_dl long"
 )
 
 GROUP_COLS = ["term", "field", "salt"]
@@ -128,6 +128,16 @@ def _encode_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     bpos_end = np.append(bpos_start[1:], len(all_pos))
     pos_bufs = [all_pos[bpos_start[i] : bpos_end[i]] for i in range(n_blocks)]
 
+    # is_full_word bitmask (1 bit/entry): the reference declares this flag
+    # but never writes it (index/posting.go:9-10); the A3 exact-word
+    # accounting (service.go:443-509) needs it at query time
+    fw = pdf["is_full_word"].to_numpy(dtype=bool)
+    bend_excl = np.append(bstart[1:], n)
+    fw_bufs = [
+        np.packbits(fw[bstart[i] : bend_excl[i]]).tobytes()
+        for i in range(n_blocks)
+    ]
+
     return pd.DataFrame(
         {
             "bucket": buckets[bstart].astype(np.int32),
@@ -142,6 +152,7 @@ def _encode_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
             "tfs": tf_bufs,
             "dls": dl_bufs,
             "positions": pos_bufs,
+            "fws": fw_bufs,
             "max_tf": max_tf,
             "min_dl": min_dl,
         }
@@ -181,6 +192,9 @@ def decode_block(row) -> pd.DataFrame:
     tfs = varint_decode(bytes(row["tfs"])).astype(np.float64)
     dls = varint_decode(bytes(row["dls"])).astype(np.int64)
     pos = decode_positions(bytes(row["positions"]), len(ids))
+    fw = np.unpackbits(np.frombuffer(bytes(row["fws"]), dtype=np.uint8))[
+        : len(ids)
+    ].astype(bool)
     return pd.DataFrame(
         {
             "term": row["term"],
@@ -189,5 +203,6 @@ def decode_block(row) -> pd.DataFrame:
             "tf": tfs,
             "dl": dls,
             "positions": [p.astype(np.int64).tolist() for p in pos],
+            "is_full_word": fw,
         }
     )

@@ -24,6 +24,12 @@ TYPO_PENALTY_2 = 0.6
 # candidates ordered by (distance asc, term asc).
 MAX_TYPO_CANDIDATES = 500
 
+# Block-max WAND cost gate: below this estimated candidate posting volume
+# (sum of candidate-term df), the pruned path's extra metadata/seed jobs
+# cost more than simply decoding everything once, so wand_topk falls back
+# to the single-pass exhaustive plan (rank-identical either way).
+WAND_MIN_POSTINGS = 500_000
+
 
 @dataclass
 class RankingCriterion:

@@ -928,6 +928,53 @@ def engine_typo_search(spark, sf_dir):
     return _engine_result(eng.search("valu", k=1_000_000, typo_tolerance=True))
 
 
+@register(
+    "engine_hit_info",
+    # A3 hit-info accounting (service.go:443-509) on the typo query
+    # 'valu data': num_typos = tokens matched only via typo (exact-skip),
+    # number_exact_words = tokens whose exact term is a full word of the
+    # doc. The docs_idx text field is no-prefix, so every posting is a
+    # full word and the exact check degenerates to 'exact term present'
+    # (the prefix-n-gram case is covered by tests/test_service_movies.py).
+    "WITH " + BM25_CTES + ", "
+    "vocab AS (SELECT DISTINCT term FROM toks), "
+    "cand AS (SELECT 'valu' AS token, term, "
+    "CASE WHEN term = 'valu' THEN 0 ELSE 1 END AS d FROM vocab "
+    "WHERE term = 'valu' OR (abs(length(term) - 4) <= 1 "
+    "AND damerau_levenshtein('valu', term) = 1) "
+    "UNION ALL "
+    "SELECT 'data', term, CASE WHEN term = 'data' THEN 0 ELSE 1 END "
+    "FROM vocab WHERE term = 'data' OR (abs(length(term) - 4) <= 1 "
+    "AND damerau_levenshtein('data', term) = 1)), "
+    "entries AS (SELECT cand.token, toks.doc_id, cand.d, "
+    f"(CASE cand.d WHEN 0 THEN 1.0 ELSE 0.8 END) * ln(stats.n/df.df) * "
+    f"toks.tf*{BM25_K1 + 1.0}/(toks.tf + {BM25_K1}*({1.0 - BM25_B} + "
+    f"{BM25_B}*dl.dl/stats.avgdl)) AS contrib "
+    "FROM toks JOIN cand USING(term) JOIN df USING(term) "
+    "JOIN dl USING(doc_id), stats), "
+    "best AS (SELECT token, doc_id, min(d) AS bd FROM entries "
+    "GROUP BY token, doc_id), "
+    "per_tok AS (SELECT e.token, e.doc_id, max(e.contrib) AS c, "
+    "min(e.d) AS bd FROM entries e JOIN best b ON e.token = b.token "
+    "AND e.doc_id = b.doc_id AND e.d = b.bd GROUP BY e.token, e.doc_id) "
+    "SELECT doc_id, round(sum(c), 6) AS score, "
+    "sum(CASE WHEN bd > 0 THEN 1 ELSE 0 END)::INT AS num_typos, "
+    "sum(CASE WHEN bd = 0 THEN 1 ELSE 0 END)::INT AS number_exact_words "
+    "FROM per_tok GROUP BY doc_id HAVING count(*) = 2",
+)
+def engine_hit_info(spark, sf_dir):
+    """A3 hit-info end-to-end: per-hit num_typos + number_exact_words
+    surfaced from the build-time is_full_word bitmask."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search("valu data", k=1_000_000, typo_tolerance=True)
+    return res.select(
+        F.substring("documentID", 5, 8).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "num_typos",
+        "number_exact_words",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational star-schema queries over the TPC-H-ish tables: exercises
 # Catalyst join planning (broadcast dims), partial aggregation, and top-k

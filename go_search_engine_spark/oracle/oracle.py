@@ -65,6 +65,7 @@ class OracleHit:
     document_id: str
     score: float
     num_typos: int
+    number_exact_words: int = 0
 
 
 def _prefix_tokens(text: str, max_ngram_len: int | None) -> list[str]:
@@ -108,15 +109,21 @@ class OracleIndex:
         # postings[(term, field)] = {doc_id: tf}
         self.postings: dict[tuple[str, str], dict[int, float]] = defaultdict(dict)
         self.doc_len: dict[int, int] = {}
+        # full_words[(doc, field)]: the field's actual token set -- the A3
+        # exactness check tokenizes field content per hit
+        # (service.go:452-474); an n-gram-only match is NOT an exact word
+        self.full_words: dict[tuple[int, str], set[str]] = {}
         for i, d in self.docs.items():
             dl = 0
             for f in settings.searchable_fields:
                 text = _norm(d.get(f))
                 dl += whitespace_word_count(text)
+                real_toks = tokenize(text)
+                self.full_words[(i, f)] = set(real_toks)
                 toks = (
                     _prefix_tokens(text, settings.max_ngram_len)
                     if settings.uses_prefix(f)
-                    else tokenize(text)
+                    else real_toks
                 )
                 for t, c in Counter(toks).items():
                     self.postings[(t, f)][i] = float(c)
@@ -239,8 +246,22 @@ class OracleIndex:
         for doc in docs:
             score = sum(contrib[tok][doc] for tok in tokens)
             n_typos = sum(1 for tok in tokens if doc in typo_only[tok])
+            # A3 (service.go:475-505): distinct tokens matched exactly
+            # (term == token posting) in a field where the token is a
+            # FULL word of that field's content
+            n_exact = sum(
+                1
+                for tok in tokens
+                if any(
+                    doc in self.postings.get((tok, f), {})
+                    and tok in self.full_words.get((doc, f), ())
+                    for f in fields
+                )
+            )
             hits.append(
-                OracleHit(doc, self.docs[doc][self.id_col], score, n_typos)
+                OracleHit(
+                    doc, self.docs[doc][self.id_col], score, n_typos, n_exact
+                )
             )
         hits.sort(key=lambda h: (-h.score, h.doc_id))
         return hits[:k]

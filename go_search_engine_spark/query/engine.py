@@ -47,15 +47,17 @@ from ..functions.codec import varint_decode, delta_decode
 from ..functions.edit_distance import damerau_levenshtein_batch
 from ..functions.tokenizer import tokenize
 
-DECODED_SCHEMA = "term string, field string, doc_id long, tf double, dl long"
+DECODED_SCHEMA = (
+    "term string, field string, doc_id long, tf double, dl long, fw boolean"
+)
 
 
 def decode_blocks_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas: block rows -> flat (term, field, doc_id, tf, dl)."""
+    """mapInPandas: block rows -> flat (term, field, doc_id, tf, dl, fw)."""
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        terms, fields, dids, tfs, dls = [], [], [], [], []
+        terms, fields, dids, tfs, dls, fws = [], [], [], [], [], []
         for rec in pdf.itertuples():
             ids = delta_decode(bytes(rec.doc_ids)).astype(np.int64)
             terms.append(np.repeat(rec.term, len(ids)))
@@ -63,6 +65,11 @@ def decode_blocks_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             dids.append(ids)
             tfs.append(varint_decode(bytes(rec.tfs)).astype(np.float64))
             dls.append(varint_decode(bytes(rec.dls)).astype(np.int64))
+            fws.append(
+                np.unpackbits(np.frombuffer(bytes(rec.fws), dtype=np.uint8))[
+                    : len(ids)
+                ].astype(bool)
+            )
         yield pd.DataFrame(
             {
                 "term": np.concatenate(terms),
@@ -70,12 +77,27 @@ def decode_blocks_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "doc_id": np.concatenate(dids),
                 "tf": np.concatenate(tfs),
                 "dl": np.concatenate(dls),
+                "fw": np.concatenate(fws),
             }
         )
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, warehouse: str, name: str):
+    """``vocab_cache_max``: when the index's vocabulary is at most this
+    many terms, (term, df, idf, term_len) is pulled to the driver ONCE and
+    typo scans + candidate stats run driver-side in numpy with ZERO Spark
+    jobs per query -- the Spark analogue of the reference's in-memory
+    vocabulary (typo_finder.go:10-76). Above the cap (billion-term
+    corpora) the distributed scan path is used; both paths produce
+    byte-identical candidate tables (tests/test_rank_identity.py)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        name: str,
+        vocab_cache_max: int = 1_000_000,
+    ):
         self.spark = spark
         self.base = os.path.join(warehouse, name)
         self.settings = load_settings(self.base)
@@ -83,90 +105,209 @@ class SearchEngine:
         self.blocks = spark.read.parquet(os.path.join(self.base, "blocks"))
         self.term_stats = spark.read.parquet(os.path.join(self.base, "term_stats"))
         self.docs = spark.read.parquet(os.path.join(self.base, "docs"))
+        self._vocab_cache_max = vocab_cache_max
+        self._vocab_pd: pd.DataFrame | None = None
 
     # ------------------------------------------------------------------
-    def _token_gates(self, tokens: list[str], typo_tolerance: bool):
+    def _vocab(self) -> pd.DataFrame | None:
+        """Driver-side vocabulary cache, or None when too large."""
+        if self.stats.get("n_terms", 1 << 62) > self._vocab_cache_max:
+            return None
+        if self._vocab_pd is None:
+            self._vocab_pd = (
+                self.term_stats.select("term", "df", "idf", "term_len")
+                .toPandas()
+                .sort_values("term", ignore_index=True)
+            )
+        return self._vocab_pd
+
+    def _token_gates(
+        self,
+        tokens: list[str],
+        typo_tolerance: bool,
+        min_word_size_for_1_typo: int | None = None,
+        min_word_size_for_2_typos: int | None = None,
+    ):
         """Max typo distance per token (reference Q7 gates,
-        service.go:176-226; defaults config/settings.go:141-153)."""
+        service.go:176-226; defaults config/settings.go:141-153).
+        Per-query overrides mirror query.MinWordSizeFor1Typo/2Typos
+        (service.go:191-200)."""
         s = self.settings
+        min1 = (
+            min_word_size_for_1_typo
+            if min_word_size_for_1_typo is not None
+            else s.min_word_size_for_1_typo
+        )
+        min2 = (
+            min_word_size_for_2_typos
+            if min_word_size_for_2_typos is not None
+            else s.min_word_size_for_2_typos
+        )
         gates = {}
         for tok in tokens:
             maxd = 0
             if typo_tolerance and tok not in s.non_typo_tolerant_words:
-                if len(tok) >= s.min_word_size_for_2_typos:
+                if min2 > 0 and len(tok) >= min2:
                     maxd = 2
-                elif len(tok) >= s.min_word_size_for_1_typo:
+                elif min1 > 0 and len(tok) >= min1:
                     maxd = 1
             gates[tok] = maxd
         return gates
 
-    def candidate_terms(
-        self, tokens: list[str], typo_tolerance: bool = True
+    def _guard_ok(self, term: str) -> bool:
+        """Prefix guard (service.go:204-218): a candidate that is a
+        >=3-char prefix of a non-typo-tolerant word is rejected."""
+        if len(term) < 3:
+            return True
+        return not any(
+            w.startswith(term) for w in self.settings.non_typo_tolerant_words
+        )
+
+    def typo_scan(self, eligible: list[tuple[str, int]]) -> pd.DataFrame:
+        """(token, term, distance) typo candidates for the given
+        (token, max_distance) pairs -- ONE pass over the vocabulary for
+        ANY number of tokens (multi-search batches all its queries'
+        tokens through a single call). Driver-side numpy when the vocab
+        is cached; otherwise one distributed mapInPandas job."""
+        if not eligible:
+            return pd.DataFrame(columns=["token", "term", "distance"])
+        vocab = self._vocab()
+        if vocab is not None:
+            terms = vocab["term"].to_numpy(dtype=object)
+            tlen = vocab["term_len"].to_numpy()
+            out = []
+            for tok, maxd in eligible:
+                band = np.abs(tlen - len(tok)) <= maxd
+                cand_t = terms[band]
+                if len(cand_t) == 0:
+                    continue
+                dist = damerau_levenshtein_batch(tok, cand_t, maxd)
+                m = (dist > 0) & (dist <= maxd)
+                if m.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "token": tok,
+                                "term": cand_t[m],
+                                "distance": dist[m].astype("int32"),
+                            }
+                        )
+                    )
+            cands = (
+                pd.concat(out, ignore_index=True)
+                if out
+                else pd.DataFrame(columns=["token", "term", "distance"])
+            )
+            if len(cands) and self.settings.non_typo_tolerant_words:
+                keep = cands["term"].map(self._guard_ok)
+                cands = cands[keep]
+            # deterministic replacement of the 500/50ms wall-clock cutoff
+            cands = (
+                cands.sort_values(["token", "distance", "term"])
+                .groupby("token", sort=False)
+                .head(MAX_TYPO_CANDIDATES)
+                .reset_index(drop=True)
+            )
+            return cands
+        return self._typo_scan_distributed(eligible)
+
+    def _typo_scan_distributed(
+        self, eligible: list[tuple[str, int]]
     ) -> pd.DataFrame:
-        """(token, term, distance, penalty) candidate table; bounded by
-        n_tokens x (1 + MAX_TYPO_CANDIDATES)."""
-        gates = self._token_gates(tokens, typo_tolerance)
-        eligible = [(t, d) for t, d in gates.items() if d > 0]
-        rows = [(t, t, 0, 1.0) for t in tokens]
-        if eligible:
-            non_typo = list(self.settings.non_typo_tolerant_words)
-            # length-band pushdown: only vocab terms within +-maxd of some
-            # eligible token length ever reach the distance UDF
-            band = reduce(
+        non_typo = list(self.settings.non_typo_tolerant_words)
+        # length-band pushdown: only vocab terms within +-maxd of some
+        # eligible token length ever reach the distance UDF
+        band = reduce(
+            lambda a, b: a | b,
+            [(F.abs(F.col("term_len") - len(t)) <= d) for t, d in eligible],
+        )
+        vocab = self.term_stats.select("term").filter(band)
+
+        def dist_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                terms = pdf["term"].to_numpy(dtype=object)
+                if len(terms) == 0:
+                    continue
+                out = []
+                for tok, maxd in eligible:
+                    dist = damerau_levenshtein_batch(tok, terms, maxd)
+                    m = (dist > 0) & (dist <= maxd)
+                    if m.any():
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "token": tok,
+                                    "term": terms[m],
+                                    "distance": dist[m].astype("int32"),
+                                }
+                            )
+                        )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        cands = vocab.mapInPandas(
+            dist_fn, schema="token string, term string, distance int"
+        )
+        # prefix guard (service.go:204-218)
+        if non_typo:
+            guard = reduce(
                 lambda a, b: a | b,
                 [
-                    (F.abs(F.col("term_len") - len(t)) <= d)
-                    for t, d in eligible
+                    (F.length("term") >= 3) & F.lit(w).startswith(F.col("term"))
+                    for w in non_typo
                 ],
             )
-            vocab = self.term_stats.select("term").filter(band)
+            cands = cands.filter(~guard)
+        w = Window.partitionBy("token").orderBy("distance", "term")
+        cands = (
+            cands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= MAX_TYPO_CANDIDATES)
+            .drop("rn")
+        )
+        return cands.toPandas()
 
-            def dist_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    terms = pdf["term"].to_numpy(dtype=object)
-                    if len(terms) == 0:
-                        continue
-                    out = []
-                    for tok, maxd in eligible:
-                        dist = damerau_levenshtein_batch(tok, terms, maxd)
-                        m = (dist > 0) & (dist <= maxd)
-                        if m.any():
-                            out.append(
-                                pd.DataFrame(
-                                    {
-                                        "token": tok,
-                                        "term": terms[m],
-                                        "distance": dist[m].astype("int32"),
-                                    }
-                                )
-                            )
-                    if out:
-                        yield pd.concat(out, ignore_index=True)
+    def candidate_terms(
+        self,
+        tokens: list[str],
+        typo_tolerance: bool = True,
+        min_word_size_for_1_typo: int | None = None,
+        min_word_size_for_2_typos: int | None = None,
+    ) -> pd.DataFrame:
+        """(token, term, distance, penalty, df, idf) candidate table;
+        bounded by n_tokens x (1 + MAX_TYPO_CANDIDATES). Zero Spark jobs
+        when the vocab is driver-cached."""
+        gates = self._token_gates(
+            tokens,
+            typo_tolerance,
+            min_word_size_for_1_typo,
+            min_word_size_for_2_typos,
+        )
+        eligible = [(t, d) for t, d in gates.items() if d > 0]
+        rows = [(t, t, 0, 1.0) for t in tokens]
+        typos = self.typo_scan(eligible)
+        for r in typos.itertuples():
+            pen = TYPO_PENALTY_1 if r.distance == 1 else TYPO_PENALTY_2
+            rows.append((r.token, r.term, int(r.distance), pen))
+        cand = pd.DataFrame(rows, columns=["token", "term", "distance", "penalty"])
+        return self._with_stats(cand)
 
-            cands = vocab.mapInPandas(
-                dist_fn, schema="token string, term string, distance int"
+    def _with_stats(self, cand: pd.DataFrame) -> pd.DataFrame:
+        """Attach df/idf to a candidate table (driver cache or one tiny
+        filtered collect over term_stats)."""
+        vocab = self._vocab()
+        terms = sorted(set(cand["term"]))
+        if vocab is not None:
+            sub = vocab[vocab["term"].isin(terms)][["term", "df", "idf"]]
+        else:
+            sub = (
+                self.term_stats.filter(F.col("term").isin(terms))
+                .select("term", "df", "idf")
+                .toPandas()
             )
-            # prefix guard (service.go:204-218)
-            if non_typo:
-                guard = reduce(
-                    lambda a, b: a | b,
-                    [
-                        (F.length("term") >= 3) & F.lit(w).startswith(F.col("term"))
-                        for w in non_typo
-                    ],
-                )
-                cands = cands.filter(~guard)
-            # deterministic replacement of the 500/50ms wall-clock cutoff
-            w = Window.partitionBy("token").orderBy("distance", "term")
-            cands = (
-                cands.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= MAX_TYPO_CANDIDATES)
-                .drop("rn")
-            )
-            for r in cands.collect():  # bounded, tiny
-                pen = TYPO_PENALTY_1 if r["distance"] == 1 else TYPO_PENALTY_2
-                rows.append((r["token"], r["term"], r["distance"], pen))
-        return pd.DataFrame(rows, columns=["token", "term", "distance", "penalty"])
+        out = cand.merge(sub, on="term", how="left")
+        out["df"] = out["df"].fillna(0).astype("int64")
+        out["idf"] = out["idf"].fillna(0.0).astype("float64")
+        return out
 
     # ------------------------------------------------------------------
     def _term_buckets(self, terms: list[str]) -> list[int]:
@@ -178,27 +319,36 @@ class SearchEngine:
         nb = self.settings.term_buckets
         return sorted({term_bucket(t, nb) for t in terms})
 
-    def scan_candidates(
-        self, cand: pd.DataFrame, fields: list[str]
-    ) -> DataFrame:
-        """Decoded postings of candidate terms joined with candidate meta:
-        (token, term, distance, penalty, idf, field, doc_id, tf, dl)."""
+    def candidate_blocks(self, cand: pd.DataFrame, fields: list[str]) -> DataFrame:
+        """Block rows of the candidate terms: bucket partition pruning
+        (zero-job xxhash64 replica) + ``term IN`` row-group pushdown."""
         terms = sorted(set(cand["term"]))
         buckets = self._term_buckets(terms)
-        blk = self.blocks.filter(
+        return self.blocks.filter(
             F.col("bucket").isin(buckets)
             & F.col("term").isin(terms)
             & F.col("field").isin(fields)
         )
-        decoded = blk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
-        cand_df = F.broadcast(
+
+    def cand_frame(self, cand: pd.DataFrame) -> DataFrame:
+        """Broadcast-able Spark frame of the candidate table (df/idf come
+        from the candidate table itself -- no term_stats join per query)."""
+        return F.broadcast(
             self.spark.createDataFrame(
-                cand, schema="token string, term string, distance int, penalty double"
-            ).join(
-                self.term_stats.select("term", "idf"), "term", "left"
+                cand[["token", "term", "distance", "penalty", "idf"]],
+                schema="token string, term string, distance int, "
+                "penalty double, idf double",
             )
         )
-        return decoded.join(cand_df, "term")
+
+    def scan_candidates(
+        self, cand: pd.DataFrame, fields: list[str]
+    ) -> DataFrame:
+        """Decoded postings of candidate terms joined with candidate meta:
+        (token, term, distance, penalty, idf, field, doc_id, tf, dl, fw)."""
+        blk = self.candidate_blocks(cand, fields)
+        decoded = blk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+        return decoded.join(self.cand_frame(cand), "term")
 
     # ------------------------------------------------------------------
     def search(
@@ -207,9 +357,13 @@ class SearchEngine:
         k: int = 10,
         fields: list[str] | None = None,
         typo_tolerance: bool = True,
+        min_word_size_for_1_typo: int | None = None,
+        min_word_size_for_2_typos: int | None = None,
     ) -> DataFrame:
-        """Top-k BM25 search; returns (doc_id, documentID, score, num_typos,
-        rank) rank-identical to the oracle."""
+        """Top-k BM25 search; returns (rank, doc_id, documentID, score,
+        num_typos, number_exact_words) rank-identical to the oracle.
+        Per-query ``min_word_size_for_*`` override the index's typo gates
+        (reference Q7, service.go:191-200)."""
         s = self.settings
         fields = fields or s.searchable_fields
         bad = set(fields) - set(s.searchable_fields)
@@ -221,9 +375,24 @@ class SearchEngine:
         if not tokens:
             return self._empty_result()
 
-        cand = self.candidate_terms(tokens, typo_tolerance)
+        cand = self.candidate_terms(
+            tokens,
+            typo_tolerance,
+            min_word_size_for_1_typo,
+            min_word_size_for_2_typos,
+        )
+        return self.search_from_cand(cand, fields, k, n_tokens=len(tokens))
+
+    def search_from_cand(
+        self, cand: pd.DataFrame, fields: list[str], k: int, n_tokens: int
+    ) -> DataFrame:
+        """Exhaustive scoring plan from a prepared candidate table (shared
+        by search() and the WAND fallback path)."""
         matched = self.scan_candidates(cand, fields)
-        scored = self.score_and_intersect(matched, n_tokens=len(tokens))
+        scored = self.score_and_intersect(matched, n_tokens=n_tokens)
+        return self.finish_topk(scored, k)
+
+    def finish_topk(self, scored: DataFrame, k: int) -> DataFrame:
         out = (
             scored.join(self.docs.select("doc_id", "documentID"), "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -231,16 +400,31 @@ class SearchEngine:
         )
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.withColumn("rank", F.row_number().over(w)).select(
-            "rank", "doc_id", "documentID", "score", "num_typos"
+            "rank",
+            "doc_id",
+            "documentID",
+            "score",
+            "num_typos",
+            "number_exact_words",
         )
 
     def score_and_intersect(self, matched: DataFrame, n_tokens: int) -> DataFrame:
-        """exact-skip + best-distance-wins + max-per-token BM25 + AND."""
+        """exact-skip + best-distance-wins + max-per-token BM25 + AND,
+        plus the A3 hit-info accounting: ``num_typos`` = tokens matched
+        only via typo, ``number_exact_words`` = distinct tokens whose
+        exact term occurs as a FULL word in some allowed field of the doc
+        (reference service.go:443-509 -- the is_full_word flag the
+        reference declares but never writes is populated at build here)."""
         avgdl = float(self.stats["avgdl"])
-        # doc-level tf per candidate term: sum over allowed fields
+        # doc-level tf per candidate term: sum over allowed fields;
+        # fw_any: the term occurs as a full word in >= 1 allowed field
         g1 = matched.groupBy(
             "token", "term", "distance", "penalty", "idf", "doc_id"
-        ).agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
+        ).agg(
+            F.sum("tf").alias("tf"),
+            F.first("dl").alias("dl"),
+            F.max(F.col("fw").cast("int")).alias("fw_any"),
+        )
         bm25 = (
             F.col("idf")
             * F.col("tf")
@@ -262,7 +446,14 @@ class SearchEngine:
             F.col("distance") == F.col("best_d")
         )
         g3 = g2.groupBy("token", "doc_id").agg(
-            F.max("contrib").alias("contrib"), F.min("distance").alias("dist")
+            F.max("contrib").alias("contrib"),
+            F.min("distance").alias("dist"),
+            # exact full-word match for this token: distance-0 rows only
+            # ever survive the best-distance filter when they exist
+            F.max(
+                F.when((F.col("distance") == 0) & (F.col("fw_any") == 1), 1)
+                .otherwise(0)
+            ).alias("exact_w"),
         )
         # AND intersection: doc must match every query token
         return (
@@ -273,13 +464,43 @@ class SearchEngine:
                 F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
                 .cast("int")
                 .alias("num_typos"),
+                F.sum("exact_w").cast("int").alias("number_exact_words"),
             )
             .filter(F.col("_nt") == n_tokens)
             .drop("_nt")
         )
 
+    def field_matches(
+        self, cand: pd.DataFrame, fields: list[str]
+    ) -> DataFrame:
+        """(doc_id, field_matches map<field, array<display>>) -- the
+        reference's FieldMatches rendering: exact matches display as the
+        query token, typo matches as 'term(typo)' (service.go:425-432,
+        481-486), restricted to best-distance survivors per (token, doc)."""
+        matched = self.scan_candidates(cand, fields)
+        w = Window.partitionBy("token", "doc_id")
+        best = matched.withColumn("best_d", F.min("distance").over(w)).filter(
+            F.col("distance") == F.col("best_d")
+        )
+        disp = best.select(
+            "doc_id",
+            "field",
+            F.when(F.col("distance") == 0, F.col("term"))
+            .otherwise(F.concat(F.col("term"), F.lit("(typo)")))
+            .alias("display"),
+        ).distinct()
+        per_field = disp.groupBy("doc_id", "field").agg(
+            F.sort_array(F.collect_set("display")).alias("terms")
+        )
+        return per_field.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("field", "terms")))
+            ).alias("field_matches")
+        )
+
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame(
             [],
-            schema="rank int, doc_id long, documentID string, score double, num_typos int",
+            schema="rank int, doc_id long, documentID string, score double, "
+            "num_typos int, number_exact_words int",
         )

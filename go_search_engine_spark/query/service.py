@@ -35,6 +35,10 @@ class SearchRequest:
     restrict_searchable_fields: list[str] | None = None
     retrievable_fields: list[str] | None = None
     typo_tolerance: bool = True
+    # Q7 per-request typo-gate overrides (reference service.go:191-200:
+    # query.MinWordSizeFor1Typo/2Typos override the index settings)
+    min_word_size_for_1_typo: int | None = None
+    min_word_size_for_2_typos: int | None = None
 
 
 @dataclass
@@ -76,8 +80,10 @@ class SearchService:
         self.engine = engine
         self.settings = engine.settings
 
-    def _ranked_frame(self, req: SearchRequest) -> DataFrame:
-        """The full ranked+deduped hit frame (pre-pagination)."""
+    def _ranked_frame(self, req: SearchRequest, cand=None) -> DataFrame:
+        """The full ranked+deduped hit frame (pre-pagination). ``cand``:
+        a precomputed candidate table (multi-search batches one vocabulary
+        scan across requests)."""
         eng = self.engine
         s = self.settings
         fields = req.restrict_searchable_fields or s.searchable_fields
@@ -89,7 +95,13 @@ class SearchService:
         tokens = list(dict.fromkeys(tokenize(req.query)))
         if not tokens:
             return eng._empty_result()
-        cand = eng.candidate_terms(tokens, req.typo_tolerance)
+        if cand is None:
+            cand = eng.candidate_terms(
+                tokens,
+                req.typo_tolerance,
+                req.min_word_size_for_1_typo,
+                req.min_word_size_for_2_typos,
+            )
         matched = eng.scan_candidates(cand, fields)
         scored = eng.score_and_intersect(matched, n_tokens=len(tokens))
         hits = scored.join(eng.docs, "doc_id")
@@ -118,11 +130,17 @@ class SearchService:
         ranked = self._ranked_frame(req)
         page = max(req.page, 1)
         size = req.page_size if req.page_size > 0 else 10
-        # total BEFORE pagination (service.go:651-662)
-        total = ranked.count()
-        page_rows = ranked.offset((page - 1) * size).limit(size)
-        proj = self._project(page_rows, req.retrievable_fields)
-        hits = [r.asDict(recursive=True) for r in proj.collect()]
+        # total BEFORE pagination (service.go:651-662). The ranked frame
+        # is persisted so the count and the page slice are ONE pass over
+        # the scan/score pipeline, not two.
+        ranked = ranked.persist()
+        try:
+            total = ranked.count()
+            page_rows = ranked.offset((page - 1) * size).limit(size)
+            proj = self._project(page_rows, req.retrievable_fields)
+            hits = [r.asDict(recursive=True) for r in proj.collect()]
+        finally:
+            ranked.unpersist()
         return SearchResult(
             hits=hits,
             total=total,
@@ -134,7 +152,14 @@ class SearchService:
 
     def _project(self, df: DataFrame, retrievable: list[str] | None) -> DataFrame:
         """R4 (filtering.go:10-35): documentID always included."""
-        meta = ["doc_id", "documentID", "score", "num_typos", "filter_score"]
+        meta = [
+            "doc_id",
+            "documentID",
+            "score",
+            "num_typos",
+            "number_exact_words",
+            "filter_score",
+        ]
         if retrievable is None:
             return df
         keep = meta + [c for c in retrievable if c in df.columns and c not in meta]
@@ -142,12 +167,54 @@ class SearchService:
 
     def multi_search(self, requests: dict[str, SearchRequest],
                      k: int = 10) -> DataFrame:
-        """J4 (multi_search.go:12-81): N named queries as ONE unioned plan
-        with a query_name column -- a single Spark job instead of N."""
+        """J4 (multi_search.go:12-81): N named queries as ONE physical
+        plan -- candidate generation is batched through a SINGLE
+        vocabulary typo scan covering every request's tokens (merged at
+        each token's maximum gate, then sliced back per request -- the
+        slice equals a direct per-request scan because the candidate cap
+        orders by (distance, term)), and the per-request plans union into
+        one job with a query_name column. The reference fans out N
+        goroutines against shared in-memory state."""
+        import pandas as pd
+
+        from ..config import TYPO_PENALTY_1, TYPO_PENALTY_2
+        from ..functions.tokenizer import tokenize
+
+        eng = self.engine
+        toks_per: dict[str, tuple[list[str], dict[str, int]]] = {}
+        merged: dict[str, int] = {}
+        for name, req in requests.items():
+            tokens = list(dict.fromkeys(tokenize(req.query)))
+            gates = eng._token_gates(
+                tokens,
+                req.typo_tolerance,
+                req.min_word_size_for_1_typo,
+                req.min_word_size_for_2_typos,
+            )
+            toks_per[name] = (tokens, gates)
+            for t, d in gates.items():
+                merged[t] = max(merged.get(t, 0), d)
+        eligible = sorted((t, d) for t, d in merged.items() if d > 0)
+        scan = eng.typo_scan(eligible)  # ONE vocab pass for all requests
+
         frames = []
         for name, req in requests.items():
+            tokens, gates = toks_per[name]
+            if not tokens:
+                continue
+            rows = [(t, t, 0, 1.0) for t in tokens]
+            sub = scan[scan["token"].isin(tokens)] if len(scan) else scan
+            for r in sub.itertuples():
+                if r.distance <= gates.get(r.token, 0):
+                    pen = TYPO_PENALTY_1 if r.distance == 1 else TYPO_PENALTY_2
+                    rows.append((r.token, r.term, int(r.distance), pen))
+            cand = eng._with_stats(
+                pd.DataFrame(
+                    rows, columns=["token", "term", "distance", "penalty"]
+                )
+            )
             f = (
-                self._ranked_frame(req)
+                self._ranked_frame(req, cand=cand)
                 .limit(k)
                 .select(
                     F.lit(name).alias("query_name"),

@@ -16,21 +16,36 @@ definition) are decoded in full and anchor everything:
      ALL of R's entries are present; no cross-phase split of a token's
      exact/typo entries (that split would break exact-skip soundness).
   2. block-max upper bound: UB(d) = rare_contrib(d) + sum over other
-     tokens of max(penalty * block upper bound, where the bound is
-     idf * bm25(max_tf, min_dl) -- monotone BM25). Since the true score is
-     rare_contrib(d) + sum of other-token contributions <= UB(d), any doc
-     with UB(d) < theta (strictly) cannot reach the top-k, even on
-     tie-break.
+     tokens of max over that token's candidate terms of
+     penalty * idf * sum over FIELDS of the per-(term, field) max block
+     bound bm25_tf(max_tf, min_dl). The per-field SUM is required for
+     soundness: scoring sums tf across fields before BM25 saturation
+     (engine.score_and_intersect), and since bm25_tf is concave with
+     bm25_tf(0) = 0, sat(tf_a + tf_b) <= sat(tf_a) + sat(tf_b) <=
+     bound_a + bound_b. A per-field max alone can under-bound a doc
+     matching in 2+ fields and wrongly prune a true top-k doc.
   3. theta = k-th best fully-scored AND result among the 4k docs with the
      highest rare_contrib (phase 1, exact scores).
   4. the *common* tokens' blocks -- the expensive ones -- are decoded only
      if they overlap a doc-space chunk containing a surviving rare doc
      (distributed chunk equi-join, never a driver-side interval scan).
 
+A candidate term SHARED by the rare token and another token (e.g. 'cart'
+and 'card' both within distance 1 of a third term) plays BOTH roles: it
+is decoded in full for the rare anchor AND decoded for the other token's
+contribution. Exclusions are therefore by (token, term) pair (via the
+candidate-meta join), never by term.
+
 Every emitted score is computed from the complete entry set of its doc,
 so correctness never depends on the pruning arithmetic being tight --
 only the prune direction (upper bounds are maxima over penalized exact
 per-entry BM25 scores precomputed at build time, build/blocks.py).
+
+Cost gate: pruning pays for itself only when the candidate posting
+volume is large (it runs extra metadata/seed jobs). ``prune=None`` (auto)
+estimates the decoded volume as sum(df) over candidate terms and falls
+back to the single-pass exhaustive plan -- rank-identical by construction
+-- below ``config.WAND_MIN_POSTINGS``.
 """
 
 from __future__ import annotations
@@ -38,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..config import BM25_B, BM25_K1, WAND_MIN_POSTINGS
 from ..functions.tokenizer import tokenize
 from .engine import DECODED_SCHEMA, decode_blocks_fn
 
@@ -57,9 +73,12 @@ def wand_topk(
     fields: list[str] | None = None,
     typo_tolerance: bool = True,
     report: dict | None = None,
+    prune: bool | None = None,
 ) -> DataFrame:
     """Rank-identical to ``engine.search``; ``report`` receives pruning
-    statistics (blocks decoded vs alive vs total)."""
+    statistics (blocks decoded vs alive vs total). ``prune``: True forces
+    the block-max path, False forces exhaustive, None decides by
+    estimated candidate posting volume."""
     s = engine.settings
     fields = fields or s.searchable_fields
     tokens = list(dict.fromkeys(tokenize(query)))
@@ -67,46 +86,45 @@ def wand_topk(
         return engine._empty_result()
 
     cand = engine.candidate_terms(tokens, typo_tolerance)
-    terms = sorted(set(cand["term"]))
-    buckets = engine._term_buckets(terms)
-    blk = engine.blocks.filter(
-        F.col("bucket").isin(buckets)
-        & F.col("term").isin(terms)
-        & F.col("field").isin(fields)
-    )
 
-    cand_meta = F.broadcast(
-        engine.spark.createDataFrame(
-            cand, schema="token string, term string, distance int, penalty double"
-        ).join(engine.term_stats.select("term", "idf"), "term", "left")
-    )
-
-    # rarest token by summed candidate df
-    tstats = {
-        r["term"]: r["df"]
-        for r in engine.term_stats.filter(F.col("term").isin(terms))
-        .select("term", "df")
-        .collect()
-    }
+    # summed candidate df per token -- from the candidate table, no job
     tok_df = {
-        tok: int(sum(tstats.get(t, 0) for t in g["term"]))
-        for tok, g in cand.groupby("token")
+        tok: int(g["df"].sum()) for tok, g in cand.groupby("token")
     }
     if len(tok_df) < len(tokens) or min(tok_df.values(), default=0) == 0:
         return engine._empty_result()  # some token matches nothing => AND empty
+
+    est_postings = int(cand["df"].sum())
+    if prune is None:
+        prune = est_postings >= WAND_MIN_POSTINGS
+    if report is not None:
+        report["est_postings"] = est_postings
+        report["pruned_path"] = bool(prune)
+    if not prune:
+        return engine.search_from_cand(cand, fields, k, n_tokens=len(tokens))
+
     rare = min(tok_df, key=lambda t: (tok_df[t], t))
     rare_terms = sorted(cand[cand["token"] == rare]["term"])
+    other_terms = sorted(set(cand[cand["token"] != rare]["term"]))
     single_token = len(tokens) == 1
+
+    blk = engine.candidate_blocks(cand, fields)
+    cand_meta = engine.cand_frame(cand)
+    cand_rare = cand_meta.filter(F.col("token") == rare)
+    cand_other = cand_meta.filter(F.col("token") != rare)
 
     # ---- decode ALL rare-token candidate blocks (cheap by construction)
     rare_blk = blk.filter(F.col("term").isin(rare_terms))
     rare_decoded = rare_blk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
-    rare_matched = rare_decoded.join(cand_meta, "term")
+    # join ONLY the rare token's candidate rows: a term shared with
+    # another token must not smuggle that token into the anchor set
+    rare_matched = rare_decoded.join(cand_rare, "term")
     # exact per-doc contribution of the rare token (full entry set present)
     rare_contrib = (
         engine.score_and_intersect(rare_matched, n_tokens=1)
         .withColumnRenamed("score", "rare_score")
         .withColumnRenamed("num_typos", "rare_typos")
+        .withColumnRenamed("number_exact_words", "rare_exw")
     ).persist()
 
     if single_token:
@@ -114,18 +132,16 @@ def wand_topk(
             "doc_id",
             F.col("rare_score").alias("score"),
             F.col("rare_typos").alias("num_typos"),
+            F.col("rare_exw").alias("number_exact_words"),
         )
-        return _finish(engine, out, k)
+        return engine.finish_topk(out, k)
 
     # ---- block-max upper bound of every other token. Blocks store
-    # (max_tf, min_dl); BM25 is monotone (increasing in tf, decreasing in
-    # dl) so idf * bm25_tf(max_tf, min_dl) bounds every entry's score.
-    from ..config import BM25_B, BM25_K1
-
+    # (max_tf, min_dl); BM25's tf-part is monotone (increasing in tf,
+    # decreasing in dl) so bm25_tf(max_tf, min_dl) bounds every entry.
     avgdl = float(engine.stats["avgdl"])
-    block_ub = (
-        F.col("idf")
-        * F.col("max_tf")
+    block_ub_tf = (
+        F.col("max_tf")
         * F.lit(BM25_K1 + 1.0)
         / (
             F.col("max_tf")
@@ -133,12 +149,18 @@ def wand_topk(
             * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("min_dl") / F.lit(avgdl))
         )
     )
-    meta = blk.select("term", "max_tf", "min_dl")
+    # per-(term, field) max bound -> SUM over fields (soundness on
+    # multi-field indexes: doc tf is field-summed before saturation)
+    per_field = (
+        blk.filter(F.col("term").isin(other_terms))
+        .groupBy("term", "field")
+        .agg(F.max(block_ub_tf).alias("fub"))
+    )
+    per_term = per_field.groupBy("term").agg(F.sum("fub").alias("tub"))
     ub_rows = (
-        meta.join(cand_meta.select("term", "token", "penalty", "idf"), "term")
-        .filter(F.col("token") != rare)
+        per_term.join(cand_other.select("term", "token", "penalty", "idf"), "term")
         .groupBy("token")
-        .agg(F.max(block_ub * F.col("penalty")).alias("ub"))
+        .agg(F.max(F.col("penalty") * F.col("idf") * F.col("tub")).alias("ub"))
         .collect()
     )
     tok_ub = {r["token"]: float(r["ub"]) for r in ub_rows}
@@ -147,7 +169,7 @@ def wand_topk(
         return engine._empty_result()  # a non-rare token has no blocks
     others_ub = float(sum(tok_ub.values()))
 
-    other_blk_all = blk.filter(~F.col("term").isin(rare_terms))
+    other_blk_all = blk.filter(F.col("term").isin(other_terms))
     other_alive = other_blk_all.withColumn(
         "chunk", F.explode(_span_chunks(F.col("first_doc"), F.col("last_doc")))
     )
@@ -164,13 +186,14 @@ def wand_topk(
             .dropDuplicates(["term", "field", "salt", "block_id"])
         )
         other_decoded = oblk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
-        other_matched = other_decoded.join(cand_meta, "term").join(
+        other_matched = other_decoded.join(cand_other, "term").join(
             F.broadcast(rare_docs.select("doc_id")), "doc_id", "left_semi"
         )
-        other_scored = engine.score_and_intersect(
-            other_matched, n_tokens=len(tokens) - 1
-        ).withColumnRenamed("score", "other_score").withColumnRenamed(
-            "num_typos", "other_typos"
+        other_scored = (
+            engine.score_and_intersect(other_matched, n_tokens=len(tokens) - 1)
+            .withColumnRenamed("score", "other_score")
+            .withColumnRenamed("num_typos", "other_typos")
+            .withColumnRenamed("number_exact_words", "other_exw")
         )
         return (
             rare_docs.join(other_scored, "doc_id")
@@ -180,6 +203,9 @@ def wand_topk(
                 (F.col("rare_typos") + F.col("other_typos"))
                 .cast("int")
                 .alias("num_typos"),
+                (F.col("rare_exw") + F.col("other_exw"))
+                .cast("int")
+                .alias("number_exact_words"),
             )
         )
 
@@ -209,21 +235,12 @@ def wand_topk(
             }
         )
 
-    union = phase1 if phase2 is None else phase1.unionByName(phase2)
+    union = phase1.unionByName(phase2)
+    # phase doc sets are disjoint (rest anti-joins the seed); the groupBy
+    # is a cheap idempotence guard
     out = union.groupBy("doc_id").agg(
-        F.max("score").alias("score"), F.max("num_typos").alias("num_typos")
+        F.max("score").alias("score"),
+        F.max("num_typos").alias("num_typos"),
+        F.max("number_exact_words").alias("number_exact_words"),
     )
-    res = _finish(engine, out, k)
-    return res
-
-
-def _finish(engine, scored: DataFrame, k: int) -> DataFrame:
-    out = (
-        scored.join(engine.docs.select("doc_id", "documentID"), "doc_id")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return out.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", "documentID", "score", "num_typos"
-    )
+    return engine.finish_topk(out, k)

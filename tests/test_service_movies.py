@@ -260,3 +260,109 @@ def test_ranking_null_ordering(spark, tmp_path_factory):
     svc.settings.ranking_criteria = [RankingCriterion("popularity", "asc")]
     r = svc.search(SearchRequest(query="zeta", typo_tolerance=False))
     assert _ids(r) == ["n2", "n1", "n3"]
+
+
+def test_hit_info_exact_words_prefix_vs_full(service):
+    """A3 (service.go:443-509): a prefix-n-gram match is NOT an exact
+    word; the full token is."""
+    # 'mat' matches Matrix titles only via doc-side edge n-grams
+    r = service.search(SearchRequest(query="mat", typo_tolerance=False))
+    by_id = {h["documentID"]: h for h in r.hits}
+    assert by_id["m01"]["number_exact_words"] == 0
+    assert by_id["m01"]["num_typos"] == 0
+
+    # 'matrix' is a full word of the title/content
+    r = service.search(SearchRequest(query="matrix", typo_tolerance=False))
+    by_id = {h["documentID"]: h for h in r.hits}
+    assert by_id["m01"]["number_exact_words"] == 1
+
+    # two exact full words
+    r = service.search(SearchRequest(query="matrix neo", typo_tolerance=False))
+    by_id = {h["documentID"]: h for h in r.hits}
+    assert by_id["m01"]["number_exact_words"] == 2
+    assert by_id["m01"]["num_typos"] == 0
+
+
+def test_hit_info_typo_not_exact(service):
+    """A typo-only match counts in num_typos, never in
+    number_exact_words."""
+    r = service.search(SearchRequest(query="spud"))
+    by_id = {h["documentID"]: h for h in r.hits}
+    assert by_id["m09"]["number_exact_words"] == 1
+    assert by_id["m09"]["num_typos"] == 0
+    if "m10" in by_id:
+        assert by_id["m10"]["number_exact_words"] == 0
+        assert by_id["m10"]["num_typos"] == 1
+
+
+def test_field_matches_display(service):
+    """FieldMatches rendering (service.go:425-432, 481-486): exact
+    matches display as the term, typo matches as 'term(typo)'."""
+    eng = service.engine
+    cand = eng.candidate_terms(["spud"], typo_tolerance=True)
+    fm = {
+        r["doc_id"]: r["field_matches"]
+        for r in eng.field_matches(cand, eng.settings.searchable_fields).collect()
+    }
+    docs = {
+        r["documentID"]: r["doc_id"]
+        for r in eng.docs.select("documentID", "doc_id").collect()
+    }
+    m09 = fm[docs["m09"]]
+    assert "spud" in [t for terms in m09.values() for t in terms]
+    if docs["m10"] in fm:
+        m10_terms = [t for terms in fm[docs["m10"]].values() for t in terms]
+        assert all(t.endswith("(typo)") for t in m10_terms)
+
+
+def test_query_level_typo_override(service):
+    """Q7 (service.go:191-200): per-request MinWordSizeFor1Typo overrides
+    the index default."""
+    base = service.search(SearchRequest(query="spud"))
+    assert "m10" in _ids(base)  # default gate: len 4 => 1 typo allowed
+
+    strict = service.search(
+        SearchRequest(query="spud", min_word_size_for_1_typo=10,
+                      min_word_size_for_2_typos=20)
+    )
+    assert _ids(strict) == ["m09"]  # typo matching gated off
+
+    loose = service.search(
+        SearchRequest(query="spu", min_word_size_for_1_typo=3)
+    )
+    # len-3 token now typo-eligible: 'spud' at distance 1
+    assert "m09" in _ids(loose)
+
+
+def test_multi_search_single_vocab_scan(service, monkeypatch):
+    """J4: one typo scan + one action for N requests."""
+    eng = service.engine
+    calls = {"n": 0}
+    orig = type(eng).typo_scan
+
+    def counting(self, eligible):
+        calls["n"] += 1
+        return orig(self, eligible)
+
+    monkeypatch.setattr(type(eng), "typo_scan", counting)
+    sc = eng.spark.sparkContext
+    sc.setJobGroup("ms_test", "multi-search")
+    out = service.multi_search(
+        {
+            "a": SearchRequest(query="matrix"),
+            "b": SearchRequest(query="dreams"),
+            "c": SearchRequest(query="spud"),
+            "d": SearchRequest(query="space humanity"),
+        },
+        k=5,
+    ).collect()
+    sc.setJobGroup("", "")
+    assert calls["n"] == 1  # ONE vocabulary pass for all four requests
+    by_name = {}
+    for r in out:
+        by_name.setdefault(r["query_name"], []).append(r["documentID"])
+    assert "m01" in by_name["a"] and by_name["b"] == ["m04"]
+    assert by_name["c"][0] == "m09" and by_name["d"] == ["m05"]
+    # per-request results equal the direct path (merged-scan slicing)
+    direct = service.search(SearchRequest(query="spud"))
+    assert by_name["c"] == _ids(direct)[:5]

@@ -43,21 +43,99 @@ def engine(spark, tmp_path_factory):
     return SearchEngine(spark, wh, "wand")
 
 
-@pytest.mark.parametrize("query,k,typos", QUERIES)
-def test_wand_rank_identical(engine, query, k, typos):
-    exhaustive = engine.search(query, k=k, typo_tolerance=typos).collect()
-    pruned = wand_topk(engine, query, k=k, typo_tolerance=typos).collect()
+def _same(pruned, exhaustive):
     assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exhaustive]
     for p, e in zip(pruned, exhaustive):
         assert math.isclose(p["score"], e["score"], rel_tol=1e-9, abs_tol=1e-12)
         assert p["num_typos"] == e["num_typos"]
+        assert p["number_exact_words"] == e["number_exact_words"]
+
+
+@pytest.mark.parametrize("query,k,typos", QUERIES)
+def test_wand_rank_identical(engine, query, k, typos):
+    exhaustive = engine.search(query, k=k, typo_tolerance=typos).collect()
+    pruned = wand_topk(
+        engine, query, k=k, typo_tolerance=typos, prune=True
+    ).collect()
+    _same(pruned, exhaustive)
+
+
+def test_wand_auto_falls_back_at_small_scale(engine):
+    """Below WAND_MIN_POSTINGS the auto gate must take the single-pass
+    exhaustive plan (still rank-identical)."""
+    report: dict = {}
+    pruned = wand_topk(
+        engine, "deltaEncode varintDecode", k=10, report=report
+    ).collect()
+    assert report["pruned_path"] is False
+    assert report["est_postings"] < 500_000
+    _same(pruned, engine.search("deltaEncode varintDecode", k=10).collect())
+
+
+def test_wand_shared_typo_candidate(engine):
+    """Two query tokens whose candidate sets OVERLAP (a term within
+    distance 1 of both): the shared term must anchor the rare token AND
+    still feed the other token's contribution -- exclusion by
+    (token, term) pair, not by term (round-1 advice, wand.py)."""
+    # corpus vocab: 'tokenizer' with planted d1 neighbours 'tokenzier',
+    # 'tokenizr', 'toknizer' -- querying two misspellings makes both
+    # tokens share candidate 'tokenizer' (and each other's variants)
+    q = "tokenzier tokenizr"
+    exhaustive = engine.search(q, k=20, typo_tolerance=True).collect()
+    assert exhaustive, "fixture must produce overlapping-candidate matches"
+    pruned = wand_topk(engine, q, k=20, typo_tolerance=True, prune=True).collect()
+    _same(pruned, exhaustive)
 
 
 def test_wand_actually_prunes(engine):
     report: dict = {}
     wand_topk(engine, "blockMaxWand func", k=5, typo_tolerance=False,
-              report=report).collect()
+              report=report, prune=True).collect()
     # rare+head query: theta must exist and phase 2 must shrink below the
     # full rare candidate set
     assert report["theta"] is not None
     assert report["n_phase2_docs"] < report["n_rare_docs"]
+
+
+@pytest.fixture(scope="module")
+def multifield_engine(spark, tmp_path_factory):
+    """Multi-field index where some docs contain a term in BOTH fields:
+    scoring sums tf across fields, so per-field block bounds alone would
+    under-bound and could mis-prune (round-1 advice, wand.py:141)."""
+    wh = str(tmp_path_factory.mktemp("wh_wand_mf"))
+    settings = IndexSettings(
+        name="wand_mf",
+        searchable_fields=["title", "body"],
+        fields_without_prefix_search=["title", "body"],
+        block_size=4,
+        term_buckets=8,
+    )
+    rows = []
+    for i in range(120):
+        extra = " shared" * (i % 4)  # tf varies; i%4>0 => both fields
+        rows.append(
+            (
+                f"d{i:03d}",
+                ("shared title words" if i % 4 else "plain title"),
+                f"body text number{i} common shared filler{extra}",
+            )
+        )
+    corpus = spark.createDataFrame(
+        rows, "documentID string, title string, body string"
+    )
+    IndexBuilder(spark, settings, wh).build(corpus, num_shards=2)
+    return SearchEngine(spark, wh, "wand_mf")
+
+
+@pytest.mark.parametrize(
+    "query,k",
+    [("shared common", 5), ("shared common", 20), ("shared filler", 7)],
+)
+def test_wand_multifield_rank_identical(multifield_engine, query, k):
+    eng = multifield_engine
+    exhaustive = eng.search(query, k=k, typo_tolerance=False).collect()
+    assert exhaustive
+    pruned = wand_topk(
+        eng, query, k=k, typo_tolerance=False, prune=True
+    ).collect()
+    _same(pruned, exhaustive)
