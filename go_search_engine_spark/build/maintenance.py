@@ -163,6 +163,108 @@ class IndexMaintenance:
         self._refresh(new_docs, new_segments)
         return n
 
+    def upsert_documents(
+        self, new_corpus: DataFrame, id_col: str = "documentID"
+    ) -> dict:
+        """T13: document-level update/insert WITHOUT a full rebuild,
+        matching the reference's delete-then-add update path
+        (/root/reference/internal/indexing/service.go:166-215):
+
+        - existing documentIDs keep their internal doc_id (the reference
+          reuses the internal ID on update, service.go:150-163);
+        - new documentIDs get ids above the current maximum (NextID++);
+        - the updated docs' old postings are anti-joined out of the
+          segments, the new flatMap output is unioned in, and
+          stats/term_stats/blocks are recomputed by _refresh -- untouched
+          documents' postings are never re-derived.
+
+        Returns {"updated": n, "inserted": n}.
+        """
+        from pyspark.sql import Window
+
+        from ..functions.tokenizer import whitespace_word_count_col
+        from .builder import _norm_field
+        from .flatmap import POSTINGS_SCHEMA, make_flatmap
+
+        s = self.settings
+        docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
+        segments = self.spark.read.parquet(os.path.join(self.base, "segments"))
+        if "shard" in segments.columns:
+            segments = segments.drop("shard")
+
+        nc = new_corpus
+        if id_col != "documentID":
+            nc = nc.withColumnRenamed(id_col, "documentID")
+        dl = None
+        for f_name in s.searchable_fields:
+            c = whitespace_word_count_col(
+                F.coalesce(_norm_field(nc, f_name), F.lit(""))
+            )
+            dl = c if dl is None else dl + c
+        sha_src = (
+            F.col("content")
+            if "content" in nc.columns
+            else F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(_norm_field(nc, f), F.lit(""))
+                    for f in s.searchable_fields
+                ],
+            )
+        )
+        nc = nc.withColumn("doc_len", dl.cast("long")).withColumn(
+            "content_sha256", F.sha2(sha_src, 256)
+        )
+
+        max_id, max_shard = docs.agg(
+            F.max("doc_id"), F.max("shard")
+        ).collect()[0]
+        num_shards = int(max_shard) + 1
+        joined = nc.join(
+            docs.select("documentID", "doc_id"), "documentID", "left"
+        ).persist()
+        n_upd = joined.filter(F.col("doc_id").isNotNull()).count()
+        n_ins = joined.filter(F.col("doc_id").isNull()).count()
+        # inserts: dense ids appended after the current maximum (the
+        # id-assignment window is over the UPSERT BATCH only, not the
+        # corpus -- bounded by the batch size, like the reference's
+        # sequential NextID counter)
+        w = Window.orderBy("documentID")
+        news = (
+            joined.filter(F.col("doc_id").isNull())
+            .drop("doc_id")
+            .withColumn(
+                "doc_id", (F.row_number().over(w) + F.lit(int(max_id))).cast("long")
+            )
+        )
+        upserted = (
+            joined.filter(F.col("doc_id").isNotNull())
+            .unionByName(news)
+            .withColumn(
+                "shard",
+                F.pmod(F.xxhash64("documentID"), F.lit(num_shards)).cast("int"),
+            )
+            .select(*docs.columns)
+            .persist()
+        )
+
+        new_docs = docs.join(
+            upserted.select("documentID"), "documentID", "left_anti"
+        ).unionByName(upserted)
+        flat_in = upserted.select(
+            "doc_id",
+            "doc_len",
+            *[_norm_field(upserted, f).alias(f) for f in s.searchable_fields],
+        )
+        new_seg = flat_in.mapInPandas(make_flatmap(s), schema=POSTINGS_SCHEMA)
+        kept = segments.join(
+            upserted.select("doc_id"), "doc_id", "left_anti"
+        )
+        self._refresh(new_docs, kept.unionByName(new_seg))
+        joined.unpersist()
+        upserted.unpersist()
+        return {"updated": int(n_upd), "inserted": int(n_ins)}
+
     def delete_all(self) -> None:
         """T12: clear everything; next build starts fresh."""
         for sub in ("docs", "segments", "term_stats", "blocks", "_checkpoints"):

@@ -118,3 +118,66 @@ def test_refresh_invalidates_resume_state(spark, tmp_path):
         r["documentID"]
         for r in eng2.search("tokenizer", k=100, typo_tolerance=False).collect()
     }
+
+
+def test_upsert_documents(spark, tmp_path):
+    """T13 (reference indexing/service.go:166-215): in-place update keeps
+    the internal id, inserts append new ids, old postings vanish, new
+    postings appear, untouched docs are never re-derived."""
+    wh = str(tmp_path)
+    s = _settings("ups")
+    corpus = generate_corpus(spark, 60, seed=12, words_per_doc=10)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    eng = SearchEngine(spark, wh, "ups")
+    n0 = eng.stats["N"]
+    ids_before = {
+        r["documentID"]: r["doc_id"]
+        for r in eng.docs.select("documentID", "doc_id").collect()
+    }
+    victims = sorted(ids_before)[:2]
+
+    upd = spark.createDataFrame(
+        [(v, "repo", "p", "c", "go", "zzzupserted fresh words here")
+         for v in victims]
+        + [("zzz-new-doc", "repo", "p", "c", "go", "zzzbrandnew content")],
+        "documentID string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    rep = IndexMaintenance(spark, wh, "ups").upsert_documents(upd)
+    assert rep == {"updated": 2, "inserted": 1}
+
+    eng2 = SearchEngine(spark, wh, "ups")
+    assert eng2.stats["N"] == n0 + 1
+    ids_after = {
+        r["documentID"]: r["doc_id"]
+        for r in eng2.docs.select("documentID", "doc_id").collect()
+    }
+    # updated docs keep their internal id; untouched docs unchanged
+    for k, v in ids_before.items():
+        assert ids_after[k] == v
+    assert ids_after["zzz-new-doc"] == max(ids_before.values()) + 1
+
+    # new terms searchable; hit the updated docs + the new one
+    got = {
+        r["documentID"]
+        for r in eng2.search("zzzupserted", k=100, typo_tolerance=False).collect()
+    }
+    assert got == set(victims)
+    got_new = {
+        r["documentID"]
+        for r in eng2.search("zzzbrandnew", k=10, typo_tolerance=False).collect()
+    }
+    assert got_new == {"zzz-new-doc"}
+
+    # old postings of the updated docs are gone
+    segs = spark.read.parquet(f"{wh}/ups/segments")
+    vic_ids = [ids_before[v] for v in victims]
+    old_terms = segs.filter(F.col("doc_id").isin(vic_ids)).select(
+        "term"
+    ).distinct().collect()
+    assert {r["term"] for r in old_terms} <= {
+        "zzzupserted", "fresh", "words", "here"
+    }
+    # no empty terms left behind
+    ts = spark.read.parquet(f"{wh}/ups/term_stats")
+    assert ts.join(segs.select("term").distinct(), "term", "left_anti").count() == 0
