@@ -83,6 +83,27 @@ def run_queries(spark, sf_dir: str, engine, wand) -> dict[str, float]:
         "valu tabel", k=10, typo_tolerance=True).collect())
     q("bm25_wand_topk", lambda: wand(
         engine, "data value table", k=10, typo_tolerance=False).collect())
+    # the forced block-max path (auto mode falls back below its cost gate
+    # at this scale; measure the pruned machinery explicitly too)
+    q("bm25_wand_forced", lambda: wand(
+        engine, "data value table", k=10, typo_tolerance=False,
+        prune=True).collect())
+
+    from go_search_engine_spark.query.service import (
+        SearchRequest,
+        SearchService,
+    )
+
+    svc = SearchService(engine)
+    q("bm25_multi_search_4q", lambda: svc.multi_search(
+        {
+            "a": SearchRequest(query="data value"),
+            "b": SearchRequest(query="valu tabel"),
+            "c": SearchRequest(query="key table"),
+            "d": SearchRequest(query="spark query"),
+        },
+        k=10,
+    ).collect())
     # operator sweep from the driver-gate set
     for name in [
         "tokenize_tf",

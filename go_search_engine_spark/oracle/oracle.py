@@ -191,6 +191,12 @@ class OracleIndex:
     ) -> list[OracleHit]:
         s = self.settings
         fields = fields or s.searchable_fields
+        # no_typo_tolerance_fields: typo matches don't count in these
+        # fields (setting declared at config/settings.go:39; the reference
+        # never enforces it -- this engine implements the documented
+        # semantics, mirrored by query/engine.py score_and_intersect)
+        ntf = set(s.no_typo_tolerance_fields)
+        typo_fields = [f for f in fields if f not in ntf]
         tokens = list(dict.fromkeys(tokenize(query)))  # unique, order kept
         if not tokens:
             return []
@@ -217,10 +223,11 @@ class OracleIndex:
         typo_only: dict[str, set[int]] = {}
         for tok, cands in per_token.items():
             doc_best_d: dict[int, int] = {}
-            doc_entries: dict[int, list[tuple[int, str, float]]] = defaultdict(list)
+            doc_entries: dict[int, list] = defaultdict(list)
             for term, d, pen in cands:
-                for doc in self.term_docs(term, fields):
-                    doc_entries[doc].append((d, term, pen))
+                f_ok = fields if d == 0 else typo_fields
+                for doc in self.term_docs(term, f_ok):
+                    doc_entries[doc].append((d, term, pen, f_ok))
                     if d < doc_best_d.get(doc, 99):
                         doc_best_d[doc] = d
             cmap: dict[int, float] = {}
@@ -228,8 +235,8 @@ class OracleIndex:
             for doc, entries in doc_entries.items():
                 best = doc_best_d[doc]
                 vals = [
-                    pen * self.bm25(term, doc, fields)
-                    for d, term, pen in entries
+                    pen * self.bm25(term, doc, f_ok)
+                    for d, term, pen, f_ok in entries
                     if d == best
                 ]
                 cmap[doc] = max(vals)

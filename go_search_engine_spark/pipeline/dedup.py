@@ -75,12 +75,15 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, text_col, id_col, k)
     if max_shingle_df is not None:
+        # one extra aggregation pass (map-side combined, tiny shuffle) buys
+        # the quadratic-blowup guard + its no-silent-cap log; recompute
+        # beats caching here (vectorized tokenize is cheaper than a cache
+        # materialization barrier, measured at sf0.1)
         hot = (
             sh.groupBy("shingle")
             .count()
             .filter(F.col("count") > max_shingle_df)
             .select("shingle")
-            .persist()
         )
         n_hot = hot.count()
         if n_hot:
@@ -90,9 +93,9 @@ def ngram_jaccard_pairs(
                 "ngram_jaccard_pairs: dropping %d stop-shingles with "
                 "df > %d (skew guard)", n_hot, max_shingle_df
             )
-        # no broadcast hint: AQE broadcasts when small, shuffles when the
-        # stop-shingle set itself is huge (degenerate corpora)
-        sh = sh.join(hot, "shingle", "left_anti")
+            # no broadcast hint: AQE broadcasts when small, shuffles when
+            # the stop-shingle set itself is huge (degenerate corpora)
+            sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")

@@ -414,7 +414,19 @@ class SearchEngine:
         only via typo, ``number_exact_words`` = distinct tokens whose
         exact term occurs as a FULL word in some allowed field of the doc
         (reference service.go:443-509 -- the is_full_word flag the
-        reference declares but never writes is populated at build here)."""
+        reference declares but never writes is populated at build here).
+
+        ``no_typo_tolerance_fields``: typo-matched entries in these fields
+        are dropped -- only exact matches count there. The reference
+        DECLARES this setting (config/settings.go:39: "Fields for which
+        typo tolerance is disabled (only exact matches)") but its search
+        path never reads it; this engine implements the documented
+        semantics (the pure-Python oracle mirrors it)."""
+        ntf = list(self.settings.no_typo_tolerance_fields)
+        if ntf:
+            matched = matched.filter(
+                (F.col("distance") == 0) | ~F.col("field").isin(ntf)
+            )
         avgdl = float(self.stats["avgdl"])
         # doc-level tf per candidate term: sum over allowed fields;
         # fw_any: the term occurs as a full word in >= 1 allowed field
@@ -478,6 +490,12 @@ class SearchEngine:
         query token, typo matches as 'term(typo)' (service.go:425-432,
         481-486), restricted to best-distance survivors per (token, doc)."""
         matched = self.scan_candidates(cand, fields)
+        ntf = list(self.settings.no_typo_tolerance_fields)
+        if ntf:
+            # same per-field typo exclusion as score_and_intersect
+            matched = matched.filter(
+                (F.col("distance") == 0) | ~F.col("field").isin(ntf)
+            )
         w = Window.partitionBy("token", "doc_id")
         best = matched.withColumn("best_d", F.min("distance").over(w)).filter(
             F.col("distance") == F.col("best_d")

@@ -366,3 +366,52 @@ def test_multi_search_single_vocab_scan(service, monkeypatch):
     # per-request results equal the direct path (merged-scan slicing)
     direct = service.search(SearchRequest(query="spud"))
     assert by_name["c"] == _ids(direct)[:5]
+
+
+def test_no_typo_tolerance_fields(spark, tmp_path_factory):
+    """no_typo_tolerance_fields: typo matches count only in other fields
+    (setting declared at config/settings.go:39 but never enforced by the
+    reference's search path; this engine implements the documented
+    semantics). Engine must stay rank-identical to the oracle."""
+    import math
+
+    from go_search_engine_spark.oracle.oracle import OracleIndex
+
+    wh = str(tmp_path_factory.mktemp("wh_ntf"))
+    docs = [
+        # documentID, title, body
+        ("d1", "spud farm", "boarding school"),        # exact in title
+        ("d2", "harvest news", "spud recipes daily"),  # exact in body
+        ("d3", "spuds catalog", "gardening tools"),    # typo in title -> counts
+        ("d4", "tool shed", "spuds inventory list"),   # typo ONLY in body -> excluded
+    ]
+    settings = IndexSettings(
+        name="ntf",
+        searchable_fields=["title", "body"],
+        fields_without_prefix_search=["title", "body"],
+        no_typo_tolerance_fields=["body"],
+    )
+    corpus = spark.createDataFrame(docs, ["documentID", "title", "body"])
+    IndexBuilder(spark, settings, wh).build(corpus, num_shards=1)
+    engine = SearchEngine(spark, wh, "ntf")
+    oracle = OracleIndex([r.asDict() for r in corpus.collect()], settings)
+
+    got = engine.search("spud", k=10).collect()
+    want = oracle.search("spud", k=10)
+    assert [r["documentID"] for r in got] == [h.document_id for h in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g["score"], w.score, rel_tol=1e-9)
+        assert g["num_typos"] == w.num_typos
+
+    ids = {r["documentID"] for r in got}
+    assert {"d1", "d2", "d3"} <= ids      # exact anywhere + typo in title
+    assert "d4" not in ids                # typo only in the no-typo field
+
+    # field_matches applies the same exclusion: d3 shows 'spade(typo)'
+    # under title; no doc shows a typo display under body
+    cand = engine.candidate_terms(["spud"], typo_tolerance=True)
+    fm = {r["doc_id"]: r["field_matches"]
+          for r in engine.field_matches(cand, ["title", "body"]).collect()}
+    for m in fm.values():
+        for disp in m.get("body", []):
+            assert "(typo)" not in disp
