@@ -360,6 +360,26 @@ class IndexBuilder:
                     F.pmod(F.xxhash64("term"), F.lit(s.term_buckets)).cast("int"),
                 )
             )
+            # per-(term, field) (max_tf, min_dl): BM25 is monotone
+            # increasing in tf / decreasing in dl, so these bound every
+            # posting of the pair -- the WAND upper bound becomes a
+            # driver-side lookup (query/wand.py) instead of a per-query
+            # block-metadata job
+            fb = (
+                f.groupBy("term", "field")
+                .agg(F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl"))
+                .groupBy("term")
+                .agg(
+                    F.map_from_entries(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("field", F.struct("max_tf", "min_dl"))
+                            )
+                        )
+                    ).alias("field_bounds")
+                )
+            )
+            ts = ts.join(fb, "term")
             ts_obs = Observation(f"ts_{uuid.uuid4().hex[:6]}")
             ts = ts.observe(
                 ts_obs, F.count(F.lit(1)).alias("n"), F.max("df").alias("max_df")

@@ -114,12 +114,60 @@ class SearchEngine:
         if self.stats.get("n_terms", 1 << 62) > self._vocab_cache_max:
             return None
         if self._vocab_pd is None:
+            cols = ["term", "df", "idf", "term_len"]
+            if "field_bounds" in self.term_stats.columns:
+                cols.append("field_bounds")
             self._vocab_pd = (
-                self.term_stats.select("term", "df", "idf", "term_len")
+                self.term_stats.select(*cols)
                 .toPandas()
                 .sort_values("term", ignore_index=True)
             )
         return self._vocab_pd
+
+    def term_field_ub(
+        self, terms: list[str], fields: list[str]
+    ) -> dict[str, float] | None:
+        """Per-term BM25 tf-part upper bound SUMMED over the queried
+        fields, from the build-time per-(term, field) (max_tf, min_dl)
+        bounds in term_stats -- driver-side, zero jobs when the vocab is
+        cached, one tiny ``term IN`` collect otherwise. None for indexes
+        built before field_bounds existed (callers fall back to the
+        block-metadata job). The per-field SUM is required for soundness:
+        scoring sums tf across fields before BM25 saturation, and
+        sat(tf_a + tf_b) <= bound_a + bound_b (concave, sat(0) = 0)."""
+        if "field_bounds" not in self.term_stats.columns:
+            return None
+        vocab = self._vocab()
+        tset = set(terms)
+        if vocab is not None:
+            sub = vocab[vocab["term"].isin(tset)]
+            pairs = zip(sub["term"], sub["field_bounds"])
+        else:
+            rows = (
+                self.term_stats.filter(F.col("term").isin(sorted(tset)))
+                .select("term", "field_bounds")
+                .collect()
+            )
+            pairs = ((r["term"], r["field_bounds"]) for r in rows)
+        avgdl = float(self.stats["avgdl"])
+        out: dict[str, float] = {}
+        for term, fb in pairs:
+            tot = 0.0
+            for f_name, b in (fb or {}).items():
+                if f_name in fields:
+                    mtf, mdl = float(b["max_tf"]), float(b["min_dl"])
+                    tot += (
+                        mtf
+                        * (BM25_K1 + 1.0)
+                        / (
+                            mtf
+                            + BM25_K1
+                            * (1.0 - BM25_B + BM25_B * mdl / avgdl)
+                        )
+                    )
+            if tot > 0.0:
+                out[term] = tot
+        return out
 
     def _token_gates(
         self,

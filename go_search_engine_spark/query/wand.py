@@ -136,34 +136,52 @@ def wand_topk(
         )
         return engine.finish_topk(out, k)
 
-    # ---- block-max upper bound of every other token. Blocks store
-    # (max_tf, min_dl); BM25's tf-part is monotone (increasing in tf,
-    # decreasing in dl) so bm25_tf(max_tf, min_dl) bounds every entry.
+    # ---- upper bound of every other token: per-(term, field)
+    # (max_tf, min_dl) bounds, SUMMED over fields (soundness on
+    # multi-field indexes: doc tf is field-summed before saturation).
+    # Preferred source: build-time bounds in term_stats via
+    # engine.term_field_ub -- driver-side, zero jobs. Fallback for
+    # pre-field_bounds indexes: one job over candidate block metadata.
     avgdl = float(engine.stats["avgdl"])
-    block_ub_tf = (
-        F.col("max_tf")
-        * F.lit(BM25_K1 + 1.0)
-        / (
+    tub = engine.term_field_ub(other_terms, fields)
+    if tub is not None:
+        tok_ub: dict[str, float] = {}
+        other_cand = cand[cand["token"] != rare]
+        for r in other_cand.itertuples():
+            if r.term in tub:
+                v = float(r.penalty) * float(r.idf) * tub[r.term]
+                if v > tok_ub.get(r.token, -1.0):
+                    tok_ub[r.token] = v
+    else:
+        block_ub_tf = (
             F.col("max_tf")
-            + F.lit(BM25_K1)
-            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("min_dl") / F.lit(avgdl))
+            * F.lit(BM25_K1 + 1.0)
+            / (
+                F.col("max_tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * F.col("min_dl") / F.lit(avgdl)
+                )
+            )
         )
-    )
-    # per-(term, field) max bound -> SUM over fields (soundness on
-    # multi-field indexes: doc tf is field-summed before saturation)
-    per_field = (
-        blk.filter(F.col("term").isin(other_terms))
-        .groupBy("term", "field")
-        .agg(F.max(block_ub_tf).alias("fub"))
-    )
-    per_term = per_field.groupBy("term").agg(F.sum("fub").alias("tub"))
-    ub_rows = (
-        per_term.join(cand_other.select("term", "token", "penalty", "idf"), "term")
-        .groupBy("token")
-        .agg(F.max(F.col("penalty") * F.col("idf") * F.col("tub")).alias("ub"))
-        .collect()
-    )
-    tok_ub = {r["token"]: float(r["ub"]) for r in ub_rows}
+        per_field = (
+            blk.filter(F.col("term").isin(other_terms))
+            .groupBy("term", "field")
+            .agg(F.max(block_ub_tf).alias("fub"))
+        )
+        per_term = per_field.groupBy("term").agg(F.sum("fub").alias("tub"))
+        ub_rows = (
+            per_term.join(
+                cand_other.select("term", "token", "penalty", "idf"), "term"
+            )
+            .groupBy("token")
+            .agg(
+                F.max(F.col("penalty") * F.col("idf") * F.col("tub")).alias("ub")
+            )
+            .collect()
+        )
+        tok_ub = {r["token"]: float(r["ub"]) for r in ub_rows}
     if len(tok_ub) < len(tokens) - 1:
         rare_contrib.unpersist()
         return engine._empty_result()  # a non-rare token has no blocks
