@@ -975,6 +975,42 @@ def engine_hit_info(spark, sf_dir):
     )
 
 
+@register(
+    "engine_phrase_search",
+    # positional phrase oracle: tokenize with 1-based offsets (parallel
+    # unnests zip in DuckDB), anchor = pos - slot, a phrase occurrence is
+    # an anchor where every slot is present (the base offset cancels, so
+    # the engine's 0-based stored positions compare equal)
+    "WITH pt AS (SELECT doc_id, unnest(toks) AS term, "
+    "unnest(range(1, len(toks)+1)) AS pos FROM "
+    "(SELECT doc_id, " + TOK_SQL.format(col="text")
+    + " AS toks FROM documents)), "
+    "q(term, slot) AS (VALUES ('value', 0), ('table', 1)), "
+    "a AS (SELECT doc_id, pos - slot AS anchor, count(DISTINCT slot) AS c "
+    "FROM pt JOIN q USING(term) GROUP BY doc_id, pos - slot), "
+    "h AS (SELECT doc_id, count(*)::BIGINT AS n_occurrences FROM a "
+    "WHERE c = 2 GROUP BY doc_id) "
+    "SELECT doc_id, n_occurrences, rank::INT AS rank FROM "
+    "(SELECT doc_id, n_occurrences, row_number() OVER "
+    "(ORDER BY n_occurrences DESC, doc_id ASC) AS rank FROM h) "
+    "WHERE rank <= 20",
+)
+def engine_phrase_search(spark, sf_dir):
+    """Positional phrase search over the stored index: the posting
+    positions the reference declares but never writes (index/posting.go:10)
+    are populated at build and made load-bearing at query time
+    (query/phrase.py -- anchor-keyed adjacency, no token-stream rescan)."""
+    from .query.phrase import phrase_search
+
+    eng = _engine(spark, sf_dir)
+    res = phrase_search(eng, "value table", k=20)
+    return res.select(
+        F.substring("documentID", 5, 8).cast("long").alias("doc_id"),
+        "n_occurrences",
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational star-schema queries over the TPC-H-ish tables: exercises
 # Catalyst join planning (broadcast dims), partial aggregation, and top-k
