@@ -94,6 +94,11 @@ def run_queries(spark, sf_dir: str, engine, wand) -> dict[str, float]:
         SearchService,
     )
 
+    from go_search_engine_spark.query.phrase import phrase_search
+
+    q("phrase_search", lambda: phrase_search(
+        engine, "value table", k=10).collect())
+
     svc = SearchService(engine)
     q("bm25_multi_search_4q", lambda: svc.multi_search(
         {
@@ -116,6 +121,7 @@ def run_queries(spark, sf_dir: str, engine, wand) -> dict[str, float]:
         "simhash16",
         "ngram_jaccard_pairs",
         "embedding_cosine_topk",
+        "embedding_near_dup_pairs",
         "quality_scores",
     ]:
         fn = QUERIES[name]

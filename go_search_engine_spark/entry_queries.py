@@ -773,6 +773,43 @@ def embedding_lsh_topk_q(spark, sf_dir):
     )
 
 
+def _near_dup_oracle_sql() -> str:
+    from .pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=4, seed=42)
+
+    def plane_lit(p):
+        return "[" + ",".join(repr(float(v)) for v in p) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return (
+        "WITH db AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"bk AS (SELECT vec_id, v, {bucket} AS b FROM db), "
+        "p AS (SELECT x.vec_id AS a, y.vec_id AS b, "
+        "list_cosine_similarity(x.v, y.v) AS cos "
+        "FROM bk x JOIN bk y ON x.b = y.b AND x.vec_id < y.vec_id) "
+        "SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.40"
+    )
+
+
+@register("embedding_near_dup_pairs", _near_dup_oracle_sql())
+def embedding_near_dup_pairs_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: LSH bucket equi-join (never
+    a cross join) + exact cosine verify inside shared buckets
+    (pipeline/similarity.py embedding_cosine_pairs). The oracle embeds the
+    seeded hyperplanes as SQL literals and recomputes the identical bucket
+    assignment."""
+    from .pipeline.similarity import embedding_cosine_pairs, hyperplanes
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = hyperplanes(dim=64, n_planes=4, seed=42)
+    return embedding_cosine_pairs(emb, planes, threshold=0.40)
+
+
 @register(
     "lang_id_stopword_ratio",
     "WITH toks_arr AS (SELECT doc_id, " + TOK_SQL.format(col="text") + " AS toks "
