@@ -395,6 +395,10 @@ class SearchEngine:
         """Decoded postings of candidate terms joined with candidate meta:
         (token, term, distance, penalty, idf, field, doc_id, tf, dl, fw)."""
         blk = self.candidate_blocks(cand, fields)
+        # project BEFORE the decode UDF: column pruning cannot reach
+        # through mapInPandas, and the unused ``positions`` stream is the
+        # bulk of a block row's bytes
+        blk = blk.select("term", "field", "doc_ids", "tfs", "dls", "fws")
         decoded = blk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
         return decoded.join(self.cand_frame(cand), "term")
 

@@ -91,6 +91,9 @@ def phrase_search(
 
     cand = pd.DataFrame({"term": sorted(set(tokens))})
     blk = engine.candidate_blocks(cand, fields)
+    # project before the decode UDF (column pruning cannot reach through
+    # mapInPandas): phrase needs no tf/dl/bound columns
+    blk = blk.select("term", "field", "doc_ids", "positions", "fws")
     decoded = blk.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
     # full-word entries only: an edge n-gram is not a word occurrence
     decoded = decoded.filter(F.col("fw"))

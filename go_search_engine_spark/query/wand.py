@@ -113,8 +113,11 @@ def wand_topk(
     cand_rare = cand_meta.filter(F.col("token") == rare)
     cand_other = cand_meta.filter(F.col("token") != rare)
 
-    # ---- decode ALL rare-token candidate blocks (cheap by construction)
-    rare_blk = blk.filter(F.col("term").isin(rare_terms))
+    # ---- decode ALL rare-token candidate blocks (cheap by construction);
+    # project before the decode UDF (column pruning cannot reach through
+    # mapInPandas, and ``positions`` is the bulk of a block row)
+    _DEC_COLS = ["term", "field", "doc_ids", "tfs", "dls", "fws"]
+    rare_blk = blk.filter(F.col("term").isin(rare_terms)).select(*_DEC_COLS)
     rare_decoded = rare_blk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
     # join ONLY the rare token's candidate rows: a term shared with
     # another token must not smuggle that token into the anchor set
@@ -202,6 +205,7 @@ def wand_topk(
             other_alive.join(F.broadcast(doc_chunks), "chunk", "left_semi")
             .drop("chunk")
             .dropDuplicates(["term", "field", "salt", "block_id"])
+            .select(*_DEC_COLS)
         )
         other_decoded = oblk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
         other_matched = other_decoded.join(cand_other, "term").join(
