@@ -121,3 +121,127 @@ def test_streaming_array_field_matches_batch(spark, tmp_path):
     got = {key(r): (r["tf"], r["dl"]) for r in streamed.collect()}
     want = {key(r): (r["tf"], r["dl"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: every session closed by an
+    in-stream split must be emitted exactly once with boundaries identical
+    to the batch lag+cumsum reference. Per-user last sessions stay open
+    (no event can close them; the watermark never reaches last + gap
+    because every user's final event lies within 60 min of the global
+    max), so emitted == batch sessions minus each user's last."""
+    import shutil
+    from datetime import datetime, timedelta
+
+    from go_search_engine_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    base = datetime(2025, 1, 1, 8, 0, 0)
+    rows = []
+    for u in range(3):
+        t = base + timedelta(minutes=3 * u)
+        for s in range(3):
+            for e in range(2 + (u + s) % 3):
+                rows.append((u, t))
+                t += timedelta(minutes=5 + e, seconds=17 * u + e)
+            t += timedelta(minutes=41 + 2 * s)  # > 30 min => new session
+    # align final sessions: last event of every user within 60 min of max
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    spans = {u: max(t for x, t in rows if x == u) for u in range(3)}
+    assert max(spans.values()) - min(spans.values()) < timedelta(minutes=60)
+
+    # three time-ordered files so sessions split across micro-batches
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ordered = sorted(rows, key=lambda r: r[1])
+    cuts = [len(ordered) // 3, 2 * len(ordered) // 3]
+    parts = [ordered[: cuts[0]], ordered[cuts[0] : cuts[1]], ordered[cuts[1] :]]
+    for i, part in enumerate(parts):
+        d = tmp_path / f"_w{i}"
+        spark.createDataFrame(part, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d))
+        pf = next(p for p in d.iterdir() if p.suffix == ".parquet")
+        shutil.move(str(pf), str(src / f"{i:03d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = sessionize_batch(ev, gap_minutes=30).collect()
+    by_user = {}
+    for r in batch:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = set()
+    for u, sess in by_user.items():
+        sess.sort(key=lambda r: r["session_start"])
+        for r in sess[:-1]:  # all but the still-open last session
+            want.add(
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            )
+    assert len(want) == 6  # 3 users x (3 sessions - 1 open)
+    assert got == want
+
+
+def test_stateful_sessionization_timeout_close(spark, tmp_path):
+    """EventTimeTimeout path: a user who stops sending events gets their
+    open session closed (emitted once, exact boundaries) when another
+    user's events push the watermark past last + gap."""
+    import shutil
+    from datetime import datetime, timedelta
+
+    from go_search_engine_spark.streaming.sessions import sessionize_stream
+
+    t0 = datetime(2025, 3, 1, 9, 0, 0)
+    f0 = [(0, t0), (0, t0 + timedelta(minutes=7)), (1, t0 + timedelta(minutes=1))]
+    f1 = [(1, t0 + timedelta(hours=3))]   # watermark -> t0+2:30
+    f2 = [(1, t0 + timedelta(hours=4))]   # a further batch fires the timeout
+    src = tmp_path / "to_src"
+    src.mkdir()
+    for i, part in enumerate([f0, f1, f2]):
+        d = tmp_path / f"_t{i}"
+        spark.createDataFrame(part, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d))
+        pf = next(p for p in d.iterdir() if p.suffix == ".parquet")
+        shutil.move(str(pf), str(src / f"{i:03d}.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("to_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM to_out").collect()
+    }
+    # user 0's 2-event session closed by timeout; user 1's first session
+    # (single event at t0+1m) closed by the in-stream 3h gap
+    assert (0, t0, t0 + timedelta(minutes=7), 2) in rows
+    assert (1, t0 + timedelta(minutes=1), t0 + timedelta(minutes=1), 1) in rows
