@@ -11,6 +11,8 @@ Column-name + value conventions shared by both sides:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -771,6 +773,86 @@ def embedding_lsh_topk_q(spark, sf_dir):
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 10
     )
+
+
+_MAINT_CACHE: dict = {}
+
+
+@register(
+    "maintenance_delete_upsert",
+    # oracle: df/idf over the corpus AFTER the same maintenance --
+    # doc_id % 7 == 0 deleted, doc_id < 25 re-texted, 3 inserts
+    "WITH d0 AS (SELECT doc_id, CASE WHEN doc_id < 25 THEN text || ' graftzz' "
+    "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 "
+    "UNION ALL SELECT * FROM (VALUES (90000001, 'graftzz table data'), "
+    "(90000002, 'graftzz fresh row'), (90000003, 'spark graftzz value')) "
+    "v(doc_id, text)), "
+    "tok_raw AS (SELECT doc_id, unnest(" + TOK_SQL.format(col="text")
+    + ") AS term FROM d0), "
+    "n AS (SELECT count(*)::DOUBLE AS n FROM d0) "
+    "SELECT term, count(DISTINCT doc_id)::BIGINT AS df, "
+    "round(ln(n.n / count(DISTINCT doc_id)), 6) AS idf "
+    "FROM tok_raw, n GROUP BY term, n.n",
+)
+def maintenance_delete_upsert(spark, sf_dir):
+    """T11 + T13 end-to-end against an independent oracle: build an index,
+    delete_documents (anti-join + refresh, reference empty-term cleanup
+    service.go:407-416), upsert_documents (in-place update keeps internal
+    ids, inserts append -- reference indexing/service.go:166-215), then
+    read df/idf from the REFRESHED term_stats. No full rebuild happens;
+    the oracle recomputes statistics over the equivalent corpus."""
+    import tempfile
+
+    from .build.builder import IndexBuilder
+    from .build.maintenance import IndexMaintenance
+    from .config import IndexSettings
+
+    if sf_dir not in _MAINT_CACHE:
+        settings = IndexSettings(
+            name="maint_idx",
+            searchable_fields=["text"],
+            fields_without_prefix_search=["text"],
+            term_buckets=8,
+        )
+        base = load(spark, sf_dir, "documents")
+        docs = base.select(
+            F.format_string("doc-%08d", F.col("doc_id")).alias("documentID"),
+            "text",
+        )
+        wh = tempfile.mkdtemp(prefix="gse_maint_wh_")
+        IndexBuilder(spark, settings, wh).build(docs, num_shards=2)
+        m = IndexMaintenance(spark, wh, "maint_idx")
+        victims = [
+            f"doc-{r['doc_id']:08d}"
+            for r in base.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        assert m.delete_documents(victims) == len(victims)
+        updates = (
+            base.filter((F.col("doc_id") < 25) & (F.col("doc_id") % 7 != 0))
+            .withColumn(
+                "documentID", F.format_string("doc-%08d", F.col("doc_id"))
+            )
+            .select(
+                "documentID",
+                F.concat(F.col("text"), F.lit(" graftzz")).alias("text"),
+            )
+        )
+        inserts = spark.createDataFrame(
+            [
+                ("doc-90000001", "graftzz table data"),
+                ("doc-90000002", "graftzz fresh row"),
+                ("doc-90000003", "spark graftzz value"),
+            ],
+            "documentID string, text string",
+        )
+        m.upsert_documents(updates.unionByName(inserts))
+        _MAINT_CACHE[sf_dir] = wh
+    ts = spark.read.parquet(
+        os.path.join(_MAINT_CACHE[sf_dir], "maint_idx", "term_stats")
+    )
+    return ts.select("term", "df", F.round("idf", 6).alias("idf"))
 
 
 def _near_dup_oracle_sql() -> str:
