@@ -89,6 +89,21 @@ def run_queries(spark, sf_dir: str, engine, wand) -> dict[str, float]:
         engine, "data value table", k=10, typo_tolerance=False,
         prune=True).collect())
 
+    # the single-phase anchored middle tier (auto picks it when the rare
+    # anchor is medium-sized; forced here by lowering the tier-1 gate)
+    import go_search_engine_spark.query.wand as _wand_mod
+
+    def _anchored():
+        saved = _wand_mod.WAND_MIN_POSTINGS
+        _wand_mod.WAND_MIN_POSTINGS = 1
+        try:
+            wand(engine, "data value table", k=10,
+                 typo_tolerance=False).collect()
+        finally:
+            _wand_mod.WAND_MIN_POSTINGS = saved
+
+    q("bm25_wand_anchored", _anchored)
+
     from go_search_engine_spark.query.service import (
         SearchRequest,
         SearchService,

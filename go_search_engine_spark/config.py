@@ -24,6 +24,13 @@ TYPO_PENALTY_2 = 0.6
 # candidates ordered by (distance asc, term asc).
 MAX_TYPO_CANDIDATES = 500
 
+# Auto-mode middle tier: when the RARE token's candidate postings fit
+# under this bound, a single-phase rare-anchored plan (decode the rare
+# anchor in full, chunk-join the other tokens once, no theta round-trip)
+# beats the 2-phase protocol -- the extra seed/theta jobs only pay for
+# themselves when the rare anchor itself is huge.
+WAND_SINGLE_PHASE_MAX_RARE = 2_000_000
+
 # Block-max WAND cost gate: below this estimated candidate posting volume
 # (sum of candidate-term df), the pruned path's extra metadata/seed jobs
 # cost more than simply decoding everything once, so wand_topk falls back

@@ -41,11 +41,17 @@ so correctness never depends on the pruning arithmetic being tight --
 only the prune direction (upper bounds are maxima over penalized exact
 per-entry BM25 scores precomputed at build time, build/blocks.py).
 
-Cost gate: pruning pays for itself only when the candidate posting
-volume is large (it runs extra metadata/seed jobs). ``prune=None`` (auto)
-estimates the decoded volume as sum(df) over candidate terms and falls
-back to the single-pass exhaustive plan -- rank-identical by construction
--- below ``config.WAND_MIN_POSTINGS``.
+Cost gate -- three auto tiers, all chosen from driver-side candidate
+stats (zero jobs):
+  1. tiny (est_postings < ``WAND_MIN_POSTINGS``): single-pass exhaustive
+     plan, rank-identical by construction;
+  2. medium rare anchor (rare token's candidate df <=
+     ``WAND_SINGLE_PHASE_MAX_RARE``): single-phase anchored -- decode the
+     rare anchor in full, chunk-join the other tokens' blocks ONCE, score
+     everything exactly; no seed/theta round-trip, no bounds needed;
+  3. huge rare anchor: the full 2-phase block-max protocol (theta from a
+     4k seed, upper-bound-pruned remainder). ``prune=True`` forces this
+     tier (tests + bench exercise the pruning machinery explicitly).
 """
 
 from __future__ import annotations
@@ -53,7 +59,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import BM25_B, BM25_K1, WAND_MIN_POSTINGS
+from ..config import (
+    BM25_B,
+    BM25_K1,
+    WAND_MIN_POSTINGS,
+    WAND_SINGLE_PHASE_MAX_RARE,
+)
 from ..functions.tokenizer import tokenize
 from .engine import DECODED_SCHEMA, decode_blocks_fn
 
@@ -76,9 +87,10 @@ def wand_topk(
     prune: bool | None = None,
 ) -> DataFrame:
     """Rank-identical to ``engine.search``; ``report`` receives pruning
-    statistics (blocks decoded vs alive vs total). ``prune``: True forces
-    the block-max path, False forces exhaustive, None decides by
-    estimated candidate posting volume."""
+    statistics (blocks decoded vs alive vs total, chosen ``mode``).
+    ``prune``: True forces the 2-phase block-max tier, False forces
+    exhaustive, None picks among exhaustive / anchored / two-phase from
+    driver-side candidate stats."""
     s = engine.settings
     fields = fields or s.searchable_fields
     tokens = list(dict.fromkeys(tokenize(query)))
@@ -95,12 +107,26 @@ def wand_topk(
         return engine._empty_result()  # some token matches nothing => AND empty
 
     est_postings = int(cand["df"].sum())
+    est_rare = min(tok_df.values())
     if prune is None:
-        prune = est_postings >= WAND_MIN_POSTINGS
+        # three-tier auto plan choice, all from driver-side stats (no
+        # jobs): tiny -> single-pass exhaustive; medium rare anchor ->
+        # single-phase anchored (skip the theta round-trip); huge rare
+        # anchor -> full 2-phase block-max
+        if est_postings < WAND_MIN_POSTINGS:
+            mode = "exhaustive"
+        elif est_rare <= WAND_SINGLE_PHASE_MAX_RARE:
+            mode = "anchored"
+        else:
+            mode = "two_phase"
+    else:
+        mode = "two_phase" if prune else "exhaustive"
     if report is not None:
         report["est_postings"] = est_postings
-        report["pruned_path"] = bool(prune)
-    if not prune:
+        report["est_rare"] = est_rare
+        report["mode"] = mode
+        report["pruned_path"] = mode != "exhaustive"
+    if mode == "exhaustive":
         return engine.search_from_cand(cand, fields, k, n_tokens=len(tokens))
 
     rare = min(tok_df, key=lambda t: (tok_df[t], t))
@@ -139,12 +165,67 @@ def wand_topk(
         )
         return engine.finish_topk(out, k)
 
-    # ---- upper bound of every other token: per-(term, field)
-    # (max_tf, min_dl) bounds, SUMMED over fields (soundness on
-    # multi-field indexes: doc tf is field-summed before saturation).
-    # Preferred source: build-time bounds in term_stats via
-    # engine.term_field_ub -- driver-side, zero jobs. Fallback for
-    # pre-field_bounds indexes: one job over candidate block metadata.
+    other_blk_all = blk.filter(F.col("term").isin(other_terms))
+    other_alive = other_blk_all.withColumn(
+        "chunk", F.explode(_span_chunks(F.col("first_doc"), F.col("last_doc")))
+    )
+
+    def exact_scores(rare_docs: DataFrame) -> DataFrame:
+        """Full exact AND scores restricted to the given rare docs."""
+        rare_docs = rare_docs.persist()
+        doc_chunks = rare_docs.select(
+            F.shiftright(F.col("doc_id"), CHUNK_SHIFT).alias("chunk")
+        ).distinct()
+        oblk = (
+            other_alive.join(F.broadcast(doc_chunks), "chunk", "left_semi")
+            .drop("chunk")
+            .dropDuplicates(["term", "field", "salt", "block_id"])
+            .select(*_DEC_COLS)
+        )
+        other_decoded = oblk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+        other_matched = other_decoded.join(cand_other, "term").join(
+            F.broadcast(rare_docs.select("doc_id")), "doc_id", "left_semi"
+        )
+        other_scored = (
+            engine.score_and_intersect(other_matched, n_tokens=len(tokens) - 1)
+            .withColumnRenamed("score", "other_score")
+            .withColumnRenamed("num_typos", "other_typos")
+            .withColumnRenamed("number_exact_words", "other_exw")
+        )
+        return (
+            rare_docs.join(other_scored, "doc_id")
+            .select(
+                "doc_id",
+                (F.col("rare_score") + F.col("other_score")).alias("score"),
+                (F.col("rare_typos") + F.col("other_typos"))
+                .cast("int")
+                .alias("num_typos"),
+                (F.col("rare_exw") + F.col("other_exw"))
+                .cast("int")
+                .alias("number_exact_words"),
+            )
+        )
+
+    if mode == "anchored":
+        # single-phase: every rare-anchored doc scored exactly in ONE
+        # action -- no seed/theta round-trip, no upper bounds needed
+        # (an absent non-rare token empties the AND inside exact_scores)
+        if report is not None:
+            report.update(
+                {
+                    "rare_token": rare,
+                    "n_rare_docs": rare_contrib.count(),
+                    "n_other_blocks_total": other_blk_all.count(),
+                }
+            )
+        return engine.finish_topk(exact_scores(rare_contrib), k)
+
+    # ---- two-phase: upper bound of every other token from the
+    # build-time per-(term, field) (max_tf, min_dl) bounds in term_stats,
+    # SUMMED over fields (soundness on multi-field indexes: doc tf is
+    # field-summed before saturation). engine.term_field_ub is a
+    # driver-side lookup (zero jobs); fallback for pre-field_bounds
+    # indexes: one job over candidate block metadata.
     avgdl = float(engine.stats["avgdl"])
     tub = engine.term_field_ub(other_terms, fields)
     if tub is not None:
@@ -189,47 +270,6 @@ def wand_topk(
         rare_contrib.unpersist()
         return engine._empty_result()  # a non-rare token has no blocks
     others_ub = float(sum(tok_ub.values()))
-
-    other_blk_all = blk.filter(F.col("term").isin(other_terms))
-    other_alive = other_blk_all.withColumn(
-        "chunk", F.explode(_span_chunks(F.col("first_doc"), F.col("last_doc")))
-    )
-
-    def exact_scores(rare_docs: DataFrame) -> DataFrame:
-        """Full exact AND scores restricted to the given rare docs."""
-        rare_docs = rare_docs.persist()
-        doc_chunks = rare_docs.select(
-            F.shiftright(F.col("doc_id"), CHUNK_SHIFT).alias("chunk")
-        ).distinct()
-        oblk = (
-            other_alive.join(F.broadcast(doc_chunks), "chunk", "left_semi")
-            .drop("chunk")
-            .dropDuplicates(["term", "field", "salt", "block_id"])
-            .select(*_DEC_COLS)
-        )
-        other_decoded = oblk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
-        other_matched = other_decoded.join(cand_other, "term").join(
-            F.broadcast(rare_docs.select("doc_id")), "doc_id", "left_semi"
-        )
-        other_scored = (
-            engine.score_and_intersect(other_matched, n_tokens=len(tokens) - 1)
-            .withColumnRenamed("score", "other_score")
-            .withColumnRenamed("num_typos", "other_typos")
-            .withColumnRenamed("number_exact_words", "other_exw")
-        )
-        return (
-            rare_docs.join(other_scored, "doc_id")
-            .select(
-                "doc_id",
-                (F.col("rare_score") + F.col("other_score")).alias("score"),
-                (F.col("rare_typos") + F.col("other_typos"))
-                .cast("int")
-                .alias("num_typos"),
-                (F.col("rare_exw") + F.col("other_exw"))
-                .cast("int")
-                .alias("number_exact_words"),
-            )
-        )
 
     # ---- phase 1: top-4k docs by rare contribution, scored exactly
     seed = rare_contrib.orderBy(

@@ -139,3 +139,31 @@ def test_wand_multifield_rank_identical(multifield_engine, query, k):
         eng, query, k=k, typo_tolerance=False, prune=True
     ).collect()
     _same(pruned, exhaustive)
+
+
+def test_wand_anchored_mode_rank_identical(engine, monkeypatch):
+    """Auto middle tier: when est_postings clears the cost gate but the
+    rare anchor is small, the single-phase anchored plan runs (no theta
+    round-trip) and stays rank-identical to exhaustive."""
+    import go_search_engine_spark.query.wand as wand_mod
+
+    monkeypatch.setattr(wand_mod, "WAND_MIN_POSTINGS", 1)
+    report: dict = {}
+    for q, k in [("blockMaxWand func", 10), ("mergeSegments buffer", 10)]:
+        report.clear()
+        got = wand_topk(engine, q, k=k, typo_tolerance=True,
+                        report=report).collect()
+        assert report["mode"] == "anchored"
+        _same(got, engine.search(q, k=k, typo_tolerance=True).collect())
+
+
+def test_wand_anchored_vs_two_phase_identical(engine, monkeypatch):
+    """All three auto tiers agree on every fixture query."""
+    import go_search_engine_spark.query.wand as wand_mod
+
+    monkeypatch.setattr(wand_mod, "WAND_MIN_POSTINGS", 1)
+    monkeypatch.setattr(wand_mod, "WAND_SINGLE_PHASE_MAX_RARE", 0)
+    report: dict = {}
+    got = wand_topk(engine, "blockMaxWand func", k=10, report=report).collect()
+    assert report["mode"] == "two_phase"
+    _same(got, engine.search("blockMaxWand func", k=10).collect())
