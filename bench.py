@@ -63,7 +63,14 @@ def build_index(spark, sf_dir: str):
         .drop("doc_id")
     )
     wh = tempfile.mkdtemp(prefix="gse_bench_wh_")
-    report = IndexBuilder(spark, settings, wh).build(docs, num_shards=8)
+    # shard count sized to the corpus: shards exist for checkpoint/resume
+    # granularity and parallel ingest of huge corpora; intra-shard
+    # parallelism already comes from scan splits, so at toy scale extra
+    # shards are pure fixed job overhead (each shard = its own flatMap +
+    # fingerprint + commit round-trips)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    num_shards = max(1, min(8, n_docs // 2500))
+    report = IndexBuilder(spark, settings, wh).build(docs, num_shards=num_shards)
     return wh, report
 
 

@@ -90,6 +90,13 @@ def phrase_search(
     n = len(tokens)
 
     cand = pd.DataFrame({"term": sorted(set(tokens))})
+    # driver-side df stats (vocab cache / tiny term IN collect): a phrase
+    # containing an unindexed term matches nothing -- zero jobs
+    meta = engine._with_stats(cand)
+    dfs = dict(zip(meta["term"], (int(x) for x in meta["df"])))
+    if min(dfs.values()) == 0:
+        return _empty(engine)
+
     blk = engine.candidate_blocks(cand, fields)
     # project before the decode UDF (column pruning cannot reach through
     # mapInPandas): phrase needs no tf/dl/bound columns
@@ -97,6 +104,24 @@ def phrase_search(
     decoded = blk.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
     # full-word entries only: an edge n-gram is not a word occurrence
     decoded = decoded.filter(F.col("fw"))
+
+    # rare-term doc pruning: every occurrence lives in a (doc, field)
+    # that contains the RAREST phrase term, so when df is skewed (phrase
+    # contains a stopword-ish term) semi-join the entries down BEFORE the
+    # position explode. The pair set comes from a second scan of the rare
+    # term's blocks only -- bucket-pruned and cheap by definition.
+    if len(dfs) > 1 and max(dfs.values()) >= 4 * min(dfs.values()):
+        rare_t = min(dfs, key=lambda t: (dfs[t], t))
+        rb = engine.candidate_blocks(
+            pd.DataFrame({"term": [rare_t]}), fields
+        ).select("term", "field", "doc_ids", "positions", "fws")
+        rare_pairs = (
+            rb.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
+            .filter(F.col("fw"))
+            .select("doc_id", "field")
+            .distinct()
+        )
+        decoded = decoded.join(rare_pairs, ["doc_id", "field"], "left_semi")
 
     qidx = F.broadcast(
         engine.spark.createDataFrame(

@@ -101,3 +101,35 @@ def test_field_restriction(engine):
     ) == {"p6": 1}
     with pytest.raises(ValueError, match="non-searchable"):
         phrase_search(engine, "quick brown", fields=["nope"])
+
+
+def test_rare_term_pruned_path(spark, tmp_path_factory):
+    """df-skewed phrases take the rare-term semi-join path; results must
+    be identical to the unskewed logic."""
+    wh = str(tmp_path_factory.mktemp("wh_phrase_skew"))
+    # "the" is a stop-word-ish term (every doc); "needle" is rare
+    docs = [(f"s{i:02d}", "the filler the words the again") for i in range(20)]
+    docs += [
+        ("n01", "the needle the haystack"),     # "the needle" at (0,1)
+        ("n02", "needle the end"),              # "the needle" absent
+        ("n03", "find the needle the needle"),  # "the needle" at (1,2),(3,4)
+    ]
+    settings = IndexSettings(
+        name="phrase_skew",
+        searchable_fields=["body"],
+        fields_without_prefix_search=["body"],
+        block_size=8,
+    )
+    corpus = spark.createDataFrame(docs, ["documentID", "body"])
+    IndexBuilder(spark, settings, wh).build(corpus, num_shards=1)
+    eng = SearchEngine(spark, wh, "phrase_skew")
+    # df("the") = 23, df("needle") = 3 -> 4x skew guard triggers
+    h = _hits(phrase_search(eng, "the needle", k=10))
+    assert h == {"n01": 1, "n03": 2}
+    assert _hits(phrase_search(eng, "needle the", k=10)) == {
+        "n01": 1,
+        "n02": 1,
+        "n03": 1,
+    }
+    # unindexed term short-circuits to empty with zero jobs
+    assert _hits(phrase_search(eng, "the zzzmissing", k=10)) == {}
