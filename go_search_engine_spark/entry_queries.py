@@ -775,6 +775,41 @@ def embedding_lsh_topk_q(spark, sf_dir):
     )
 
 
+@register(
+    "engine_highlight",
+    # 0-based token offsets of each matched query term per doc (the
+    # engine's stored positions are 0-based); list aggregation order is
+    # pinned by list_sort, rendered as CSV for a stable value hash
+    "WITH pt AS (SELECT doc_id, unnest(toks) AS term, "
+    "unnest(range(0, len(toks))) AS pos FROM "
+    "(SELECT doc_id, " + TOK_SQL.format(col="text")
+    + " AS toks FROM documents)) "
+    "SELECT doc_id, 'text' AS field, term, term AS display, "
+    "array_to_string(list_sort(list(pos)), ',') AS positions "
+    "FROM pt WHERE term IN ('data', 'value') GROUP BY doc_id, term",
+)
+def engine_highlight(spark, sf_dir):
+    """Hit highlighting from the index: matched terms with their token
+    offsets per (doc, field), decoded from the stored position streams
+    (query/engine.py highlight). The oracle recomputes offsets by
+    tokenizing the raw text."""
+    eng = _engine(spark, sf_dir)
+    cand = eng.candidate_terms(["data", "value"], typo_tolerance=False)
+    hl = eng.highlight(cand, eng.settings.searchable_fields)
+    return (
+        hl.join(eng.docs.select("doc_id", "documentID"), "doc_id")
+        .select(
+            F.substring("documentID", 5, 8).cast("long").alias("doc_id"),
+            "field",
+            "term",
+            "display",
+            F.array_join(F.col("positions").cast("array<string>"), ",").alias(
+                "positions"
+            ),
+        )
+    )
+
+
 _MAINT_CACHE: dict = {}
 
 

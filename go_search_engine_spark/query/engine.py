@@ -568,6 +568,41 @@ class SearchEngine:
             ).alias("field_matches")
         )
 
+    def highlight(self, cand: pd.DataFrame, fields: list[str]) -> DataFrame:
+        """(doc_id, field, term, display, positions): matched terms with
+        their token offsets per (doc, field) -- the stored positions
+        (declared dead in the reference, index/posting.go:10) surfaced for
+        hit highlighting. Same survivor semantics as field_matches:
+        best-distance per (token, doc), typo display as 'term(typo)',
+        no_typo_tolerance_fields exclusion."""
+        from .phrase import POS_DECODED_SCHEMA, decode_blocks_pos_fn
+
+        blk = self.candidate_blocks(cand, fields).select(
+            "term", "field", "doc_ids", "positions", "fws"
+        )
+        decoded = blk.mapInPandas(
+            decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA
+        )
+        matched = decoded.join(self.cand_frame(cand), "term")
+        ntf = list(self.settings.no_typo_tolerance_fields)
+        if ntf:
+            matched = matched.filter(
+                (F.col("distance") == 0) | ~F.col("field").isin(ntf)
+            )
+        w = Window.partitionBy("token", "doc_id")
+        best = matched.withColumn(
+            "best_d", F.min("distance").over(w)
+        ).filter(F.col("distance") == F.col("best_d"))
+        return best.select(
+            "doc_id",
+            "field",
+            "term",
+            F.when(F.col("distance") == 0, F.col("term"))
+            .otherwise(F.concat(F.col("term"), F.lit("(typo)")))
+            .alias("display"),
+            "positions",
+        ).distinct()
+
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame(
             [],

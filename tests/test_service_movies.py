@@ -415,3 +415,28 @@ def test_no_typo_tolerance_fields(spark, tmp_path_factory):
     for m in fm.values():
         for disp in m.get("body", []):
             assert "(typo)" not in disp
+
+
+def test_highlight_offsets(service):
+    """highlight(): stored token offsets per (doc, field), typo matches
+    displayed as 'term(typo)' (same survivor rules as field_matches)."""
+    eng = service.engine
+    docs = {r["documentID"]: r["doc_id"]
+            for r in eng.docs.select("doc_id", "documentID").collect()}
+
+    cand = eng.candidate_terms(["matrix"], typo_tolerance=False)
+    rows = eng.highlight(cand, eng.settings.searchable_fields).collect()
+    by = {(r["doc_id"], r["field"]): r for r in rows}
+    # m01 title "The Matrix" -> offset 1; content "neo fights the matrix
+    # agents" -> offset 3; all exact, display == term
+    t = by[(docs["m01"], "title")]
+    assert t["display"] == "matrix" and list(t["positions"]) == [1]
+    c = by[(docs["m01"], "content")]
+    assert list(c["positions"]) == [3]
+
+    # typo path: 'spedi' is 1 edit from 'spede' (m10) and, unlike 'sped',
+    # is NOT one of its edge n-grams -- no exact match suppresses the typo
+    cand2 = eng.candidate_terms(["spedi"], typo_tolerance=True)
+    rows2 = eng.highlight(cand2, eng.settings.searchable_fields).collect()
+    disp = {r["display"] for r in rows2 if r["doc_id"] == docs["m10"]}
+    assert "spede(typo)" in disp
