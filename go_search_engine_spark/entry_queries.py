@@ -810,6 +810,43 @@ def engine_highlight(spark, sf_dir):
     )
 
 
+@register(
+    "engine_proximity_search",
+    # unordered windowed co-occurrence oracle: an occurrence at pos p
+    # covers window starts [p-3, p] (window=4); a qualifying window start
+    # holds every distinct query term (base offset cancels in counts)
+    "WITH pt AS (SELECT doc_id, unnest(toks) AS term, "
+    "unnest(range(1, len(toks)+1)) AS pos FROM "
+    "(SELECT doc_id, " + TOK_SQL.format(col="text")
+    + " AS toks FROM documents)), "
+    "occ AS (SELECT doc_id, term, pos FROM pt "
+    "WHERE term IN ('data', 'table')), "
+    "wset AS (SELECT doc_id, term, pos - off AS w FROM "
+    "(SELECT doc_id, term, pos, unnest(range(0, 4)) AS off FROM occ)), "
+    "m AS (SELECT doc_id, w, count(DISTINCT term) AS c FROM wset "
+    "GROUP BY doc_id, w), "
+    "h AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM m "
+    "WHERE c = 2 GROUP BY doc_id) "
+    "SELECT doc_id, n_windows, rank::INT AS rank FROM "
+    "(SELECT doc_id, n_windows, row_number() OVER "
+    "(ORDER BY n_windows DESC, doc_id ASC) AS rank FROM h) "
+    "WHERE rank <= 20",
+)
+def engine_proximity_search(spark, sf_dir):
+    """Unordered proximity over the stored positions: all query tokens
+    within a 4-token window of one field (query/phrase.py
+    proximity_search -- anchor-keyed, no pairwise position self-join)."""
+    from .query.phrase import proximity_search
+
+    eng = _engine(spark, sf_dir)
+    res = proximity_search(eng, "data table", window=4, k=20)
+    return res.select(
+        F.substring("documentID", 5, 8).cast("long").alias("doc_id"),
+        "n_windows",
+        "rank",
+    )
+
+
 _MAINT_CACHE: dict = {}
 
 

@@ -89,39 +89,12 @@ def phrase_search(
         return _empty(engine)
     n = len(tokens)
 
-    cand = pd.DataFrame({"term": sorted(set(tokens))})
-    # driver-side df stats (vocab cache / tiny term IN collect): a phrase
-    # containing an unindexed term matches nothing -- zero jobs
-    meta = engine._with_stats(cand)
-    dfs = dict(zip(meta["term"], (int(x) for x in meta["df"])))
-    if min(dfs.values()) == 0:
+    # shared positional scan: zero-job empty detection from driver-side
+    # df stats, full-word filter, and rare-term (doc, field) semi-join
+    # pruning BEFORE the position explode on df-skewed phrases
+    decoded = _scan_positions(engine, tokens, fields)
+    if decoded is None:
         return _empty(engine)
-
-    blk = engine.candidate_blocks(cand, fields)
-    # project before the decode UDF (column pruning cannot reach through
-    # mapInPandas): phrase needs no tf/dl/bound columns
-    blk = blk.select("term", "field", "doc_ids", "positions", "fws")
-    decoded = blk.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
-    # full-word entries only: an edge n-gram is not a word occurrence
-    decoded = decoded.filter(F.col("fw"))
-
-    # rare-term doc pruning: every occurrence lives in a (doc, field)
-    # that contains the RAREST phrase term, so when df is skewed (phrase
-    # contains a stopword-ish term) semi-join the entries down BEFORE the
-    # position explode. The pair set comes from a second scan of the rare
-    # term's blocks only -- bucket-pruned and cheap by definition.
-    if len(dfs) > 1 and max(dfs.values()) >= 4 * min(dfs.values()):
-        rare_t = min(dfs, key=lambda t: (dfs[t], t))
-        rb = engine.candidate_blocks(
-            pd.DataFrame({"term": [rare_t]}), fields
-        ).select("term", "field", "doc_ids", "positions", "fws")
-        rare_pairs = (
-            rb.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
-            .filter(F.col("fw"))
-            .select("doc_id", "field")
-            .distinct()
-        )
-        decoded = decoded.join(rare_pairs, ["doc_id", "field"], "left_semi")
 
     qidx = F.broadcast(
         engine.spark.createDataFrame(
@@ -152,6 +125,106 @@ def phrase_search(
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
     return out.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "documentID", "n_occurrences"
+    )
+
+
+def _scan_positions(engine, terms: list[str], fields: list[str]):
+    """Shared candidate scan for the positional operators: decoded
+    (term, field, doc_id, positions) of full-word entries, with zero-job
+    empty detection and rare-term (doc, field) semi-join pruning on
+    df-skewed term sets. Returns None when some term is unindexed."""
+    cand = pd.DataFrame({"term": sorted(set(terms))})
+    meta = engine._with_stats(cand)
+    dfs = dict(zip(meta["term"], (int(x) for x in meta["df"])))
+    if min(dfs.values()) == 0:
+        return None
+    blk = engine.candidate_blocks(cand, fields)
+    blk = blk.select("term", "field", "doc_ids", "positions", "fws")
+    decoded = blk.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
+    decoded = decoded.filter(F.col("fw"))
+    if len(dfs) > 1 and max(dfs.values()) >= 4 * min(dfs.values()):
+        rare_t = min(dfs, key=lambda t: (dfs[t], t))
+        rb = engine.candidate_blocks(
+            pd.DataFrame({"term": [rare_t]}), fields
+        ).select("term", "field", "doc_ids", "positions", "fws")
+        rare_pairs = (
+            rb.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
+            .filter(F.col("fw"))
+            .select("doc_id", "field")
+            .distinct()
+        )
+        decoded = decoded.join(rare_pairs, ["doc_id", "field"], "left_semi")
+    return decoded
+
+
+def proximity_search(
+    engine,
+    query: str,
+    window: int = 8,
+    k: int = 10,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """Unordered windowed co-occurrence: top-k documents where EVERY
+    distinct query token occurs within some ``window`` consecutive token
+    positions of one field, ranked by the number of distinct qualifying
+    window starts (desc) then doc_id. Returns (rank, doc_id, documentID,
+    n_windows).
+
+    Same anchor trick as the phrase operator, generalized: an occurrence
+    at position p covers window starts [p - window + 1, p], so each
+    occurrence explodes into ``window`` anchor rows (bounded blowup,
+    documented) and a qualifying window is a (doc, field, anchor) group
+    containing all n distinct tokens -- an equi-key aggregation, no
+    pairwise position self-join."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    s = engine.settings
+    fields = fields or s.searchable_fields
+    bad = set(fields) - set(s.searchable_fields)
+    if bad:
+        raise ValueError(f"non-searchable fields: {sorted(bad)}")
+    terms = sorted(set(tokenize(query)))  # unordered: distinct tokens
+    if not terms:
+        return _empty_prox(engine)
+    n = len(terms)
+    decoded = _scan_positions(engine, terms, fields)
+    if decoded is None:
+        return _empty_prox(engine)
+    anchors = (
+        decoded.select("doc_id", "field", "term",
+                       F.explode("positions").alias("pos"))
+        .select(
+            "doc_id",
+            "field",
+            "term",
+            F.explode(
+                F.sequence(
+                    F.col("pos") - F.lit(window - 1), F.col("pos")
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "field", "w")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .filter(F.col("_nt") == n)
+    )
+    hits = anchors.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows")
+    )
+    out = (
+        hits.join(engine.docs.select("doc_id", "documentID"), "doc_id")
+        .orderBy(F.desc("n_windows"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w_rank = Window.orderBy(F.desc("n_windows"), F.asc("doc_id"))
+    return out.withColumn("rank", F.row_number().over(w_rank)).select(
+        "rank", "doc_id", "documentID", "n_windows"
+    )
+
+
+def _empty_prox(engine) -> DataFrame:
+    return engine.spark.createDataFrame(
+        [],
+        schema="rank int, doc_id long, documentID string, n_windows long",
     )
 
 

@@ -133,3 +133,32 @@ def test_rare_term_pruned_path(spark, tmp_path_factory):
     }
     # unindexed term short-circuits to empty with zero jobs
     assert _hits(phrase_search(eng, "the zzzmissing", k=10)) == {}
+
+
+def test_proximity_search(engine):
+    from go_search_engine_spark.query.phrase import proximity_search
+
+    def hits(q, w):
+        return {
+            r["documentID"]: r["n_windows"]
+            for r in proximity_search(engine, q, window=w, k=10).collect()
+        }
+
+    # window=2 == adjacency in either order: only p3 "brown quick fox"
+    # has quick,fox adjacent (1,2); p1 has a gap (1 vs 3), p2 (2 vs 4)
+    assert set(hits("quick fox", 2)) == {"p3"}
+    # window=3 admits one-apart pairs: p1 (1,3), p2 (2,4), p3 (1,2)
+    assert set(hits("quick fox", 3)) == {"p1", "p2", "p3"}
+    # unordered: reversed query identical
+    assert hits("fox quick", 3) == hits("quick fox", 3)
+    # duplicate tokens collapse to one distinct term
+    assert set(hits("data data value", 2)) == {"p7"}
+    # cross-field co-occurrence never matches (p5: fox in title,
+    # quick in body)
+    assert "p5" not in hits("quick fox", 10)
+    # missing term -> empty, zero jobs
+    assert hits("quick zzznope", 10) == {}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        proximity_search(engine, "quick fox", window=0)
