@@ -39,6 +39,10 @@ class SearchRequest:
     # query.MinWordSizeFor1Typo/2Typos override the index settings)
     min_word_size_for_1_typo: int | None = None
     min_word_size_for_2_typos: int | None = None
+    # A3 FieldMatches rendering per hit (reference service.go:425-432:
+    # always included there; opt-in here since it costs a second decode
+    # pass over the candidate blocks, and only the page's rows get it)
+    include_field_matches: bool = False
 
 
 @dataclass
@@ -80,11 +84,10 @@ class SearchService:
         self.engine = engine
         self.settings = engine.settings
 
-    def _ranked_frame(self, req: SearchRequest, cand=None) -> DataFrame:
-        """The full ranked+deduped hit frame (pre-pagination). ``cand``:
-        a precomputed candidate table (multi-search batches one vocabulary
-        scan across requests)."""
-        eng = self.engine
+    def _prepare(self, req: SearchRequest, cand=None):
+        """(fields, tokens, cand) for a request; validates the field
+        restriction and builds the candidate table unless one is given
+        (multi-search batches one vocabulary scan across requests)."""
         s = self.settings
         fields = req.restrict_searchable_fields or s.searchable_fields
         bad = set(fields) - set(s.searchable_fields)
@@ -93,15 +96,22 @@ class SearchService:
         from ..functions.tokenizer import tokenize
 
         tokens = list(dict.fromkeys(tokenize(req.query)))
-        if not tokens:
-            return eng._empty_result()
-        if cand is None:
-            cand = eng.candidate_terms(
+        if tokens and cand is None:
+            cand = self.engine.candidate_terms(
                 tokens,
                 req.typo_tolerance,
                 req.min_word_size_for_1_typo,
                 req.min_word_size_for_2_typos,
             )
+        return fields, tokens, cand
+
+    def _ranked_frame(self, req: SearchRequest, cand=None) -> DataFrame:
+        """The full ranked+deduped hit frame (pre-pagination)."""
+        eng = self.engine
+        s = self.settings
+        fields, tokens, cand = self._prepare(req, cand)
+        if not tokens:
+            return eng._empty_result()
         matched = eng.scan_candidates(cand, fields)
         scored = eng.score_and_intersect(matched, n_tokens=len(tokens))
         hits = scored.join(eng.docs, "doc_id")
@@ -127,7 +137,8 @@ class SearchService:
 
     def search(self, req: SearchRequest) -> SearchResult:
         t0 = time.time()
-        ranked = self._ranked_frame(req)
+        fields, tokens, cand = self._prepare(req)
+        ranked = self._ranked_frame(req, cand)
         page = max(req.page, 1)
         size = req.page_size if req.page_size > 0 else 10
         # total BEFORE pagination (service.go:651-662). The ranked frame
@@ -138,6 +149,10 @@ class SearchService:
             total = ranked.count()
             page_rows = ranked.offset((page - 1) * size).limit(size)
             proj = self._project(page_rows, req.retrievable_fields)
+            if req.include_field_matches and tokens:
+                # FieldMatches only for the page's rows (service.go:425-432)
+                fm = self.engine.field_matches(cand, fields)
+                proj = proj.join(fm, "doc_id", "left")
             hits = [r.asDict(recursive=True) for r in proj.collect()]
         finally:
             ranked.unpersist()

@@ -440,3 +440,21 @@ def test_highlight_offsets(service):
     rows2 = eng.highlight(cand2, eng.settings.searchable_fields).collect()
     disp = {r["display"] for r in rows2 if r["doc_id"] == docs["m10"]}
     assert "spede(typo)" in disp
+
+
+def test_include_field_matches(service):
+    """SearchRequest(include_field_matches=True): per-hit FieldMatches
+    map (field -> matched display terms), reference service.go:425-432."""
+    r = service.search(
+        SearchRequest(query="matrix neo", typo_tolerance=False,
+                      include_field_matches=True)
+    )
+    by_id = {h["documentID"]: h for h in r.hits}
+    assert "m01" in by_id
+    fm = by_id["m01"]["field_matches"]
+    assert "matrix" in fm["title"]
+    assert "matrix" in fm["content"] and "neo" in fm["content"]
+    # off by default
+    r2 = service.search(SearchRequest(query="matrix neo",
+                                      typo_tolerance=False))
+    assert "field_matches" not in r2.hits[0]
