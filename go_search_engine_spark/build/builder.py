@@ -243,7 +243,7 @@ class IndexBuilder:
                     built += 1
 
         report.shards_built = built
-        self._finalize(report)
+        self._finalize(report, num_shards=num_shards)
         report.wall_sec = time.time() - t0
         if report.wall_sec > 0:
             report.docs_per_sec = report.n_docs / report.wall_sec
@@ -325,7 +325,7 @@ class IndexBuilder:
         )
         return [r["term"] for r in rows]
 
-    def _finalize(self, report: BuildReport) -> None:
+    def _finalize(self, report: BuildReport, num_shards: int = 0) -> None:
         """Stats + blocks. The term-stats job and the block-build job both
         read the segments and are INDEPENDENT (blocks need neither df nor
         idf: bucket is computed inline and block-max bounds are
@@ -434,6 +434,10 @@ class IndexBuilder:
                     "n_blocks": report.n_blocks,
                     "n_salted_terms": report.n_salted_terms,
                     "max_df": report.max_df,
+                    # the shard-hash modulus: maintenance ops must reuse it
+                    # (max(docs.shard)+1 under-counts when high shards got
+                    # no documents)
+                    "num_shards": num_shards,
                 },
                 f,
                 indent=2,

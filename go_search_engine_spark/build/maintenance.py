@@ -142,7 +142,22 @@ class IndexMaintenance:
         from .builder import BuildReport
 
         report = BuildReport()
-        self.builder._finalize(report)
+        self.builder._finalize(report, num_shards=self._num_shards())
+
+    def _num_shards(self) -> int:
+        """The build's shard-hash modulus from stats.json; fallback for
+        stats written before the field existed: max(docs.shard)+1 (an
+        under-count only when the highest shards got no documents)."""
+        from .builder import load_stats
+
+        try:
+            n = int(load_stats(self.base).get("num_shards", 0))
+        except FileNotFoundError:
+            n = 0
+        if n > 0:
+            return n
+        docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
+        return int(docs.agg(F.max("shard")).collect()[0][0]) + 1
 
     def delete_documents(self, document_ids: list[str]) -> int:
         """T11: remove docs + their postings; empty terms disappear from
@@ -216,15 +231,22 @@ class IndexMaintenance:
             "content_sha256", F.sha2(sha_src, 256)
         )
 
-        max_id, max_shard = docs.agg(
-            F.max("doc_id"), F.max("shard")
-        ).collect()[0]
-        num_shards = int(max_shard) + 1
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        num_shards = self._num_shards()
         joined = nc.join(
             docs.select("documentID", "doc_id"), "documentID", "left"
         ).persist()
         n_upd = joined.filter(F.col("doc_id").isNotNull()).count()
         n_ins = joined.filter(F.col("doc_id").isNull()).count()
+        n_distinct = joined.select("documentID").distinct().count()
+        if n_upd + n_ins != n_distinct:
+            joined.unpersist()
+            # additive duplicates would double postings / fork insert ids;
+            # the reference's update path is strictly one-doc-at-a-time
+            raise ValueError(
+                "upsert batch contains duplicate documentIDs; dedupe it "
+                "(e.g. dropDuplicates(['documentID'])) before upserting"
+            )
         # inserts: dense ids appended after the current maximum (the
         # id-assignment window is over the UPSERT BATCH only, not the
         # corpus -- bounded by the batch size, like the reference's

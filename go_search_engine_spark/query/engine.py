@@ -103,6 +103,13 @@ class SearchEngine:
         self.settings = load_settings(self.base)
         self.stats = load_stats(self.base)
         self.blocks = spark.read.parquet(os.path.join(self.base, "blocks"))
+        if "fws" not in self.blocks.columns:
+            # format v2 (adds the full-word bitmask per block); a v1 index
+            # decodes wrongly everywhere, so fail loud at open
+            raise ValueError(
+                f"index at {self.base} predates the fws block column "
+                "(format v2); rebuild it with the current builder"
+            )
         self.term_stats = spark.read.parquet(os.path.join(self.base, "term_stats"))
         self.docs = spark.read.parquet(os.path.join(self.base, "docs"))
         self._vocab_cache_max = vocab_cache_max
@@ -192,12 +199,16 @@ class SearchEngine:
             else s.min_word_size_for_2_typos
         )
         gates = {}
+        # NOTE: no >0 guard on the resolved settings -- the reference's
+        # `> 0` check (service.go:191-200) only detects whether a QUERY
+        # override was provided; an index setting of 0 means "always
+        # typo-eligible" (len >= 0), which the oracle mirrors
         for tok in tokens:
             maxd = 0
             if typo_tolerance and tok not in s.non_typo_tolerant_words:
-                if min2 > 0 and len(tok) >= min2:
+                if len(tok) >= min2:
                     maxd = 2
-                elif min1 > 0 and len(tok) >= min1:
+                elif len(tok) >= min1:
                     maxd = 1
             gates[tok] = maxd
         return gates

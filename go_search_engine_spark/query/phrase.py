@@ -143,6 +143,11 @@ def _scan_positions(engine, terms: list[str], fields: list[str]):
     decoded = blk.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
     decoded = decoded.filter(F.col("fw"))
     if len(dfs) > 1 and max(dfs.values()) >= 4 * min(dfs.values()):
+        # deliberate SECOND scan of the rare term's blocks (bucket-pruned,
+        # cheap by definition): deriving the pair set from `decoded`
+        # instead would re-decode EVERY term's blocks (Catalyst does not
+        # dedupe shared subplans without a persist, and persisting all
+        # decoded postings is worse at scale than re-reading the rare ones)
         rare_t = min(dfs, key=lambda t: (dfs[t], t))
         rb = engine.candidate_blocks(
             pd.DataFrame({"term": [rare_t]}), fields

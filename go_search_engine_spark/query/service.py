@@ -240,6 +240,15 @@ class SearchService:
                 )
             )
             frames.append(f)
+        if not frames:
+            # every request tokenized to nothing: empty result, not a crash
+            return eng._empty_result().select(
+                F.lit("").alias("query_name"),
+                "doc_id",
+                "documentID",
+                "score",
+                "num_typos",
+            )
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)

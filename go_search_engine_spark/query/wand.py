@@ -93,6 +93,11 @@ def wand_topk(
     driver-side candidate stats."""
     s = engine.settings
     fields = fields or s.searchable_fields
+    bad = set(fields) - set(s.searchable_fields)
+    if bad:
+        # same contract as engine.search (service.go:82-122): an invalid
+        # restriction is an error, not an empty result
+        raise ValueError(f"non-searchable fields: {sorted(bad)}")
     tokens = list(dict.fromkeys(tokenize(query)))
     if not tokens:
         return engine._empty_result()
@@ -129,6 +134,22 @@ def wand_topk(
     if mode == "exhaustive":
         return engine.search_from_cand(cand, fields, k, n_tokens=len(tokens))
 
+    # frames persisted along the way; for bounded k the top-k result is
+    # materialized eagerly and these are unpersisted before returning
+    # (otherwise every query would leak block-manager cache in a
+    # long-lived service). Huge-k calls (oracle parity sweeps) keep the
+    # lazy plan and rely on GC/ContextCleaner.
+    persisted: list[DataFrame] = []
+
+    def finalize(out_df: DataFrame) -> DataFrame:
+        res = engine.finish_topk(out_df, k)
+        if k <= 10_000:
+            rows = res.collect()
+            for p in persisted:
+                p.unpersist()
+            return engine.spark.createDataFrame(rows, schema=res.schema)
+        return res
+
     rare = min(tok_df, key=lambda t: (tok_df[t], t))
     rare_terms = sorted(cand[cand["token"] == rare]["term"])
     other_terms = sorted(set(cand[cand["token"] != rare]["term"]))
@@ -155,6 +176,7 @@ def wand_topk(
         .withColumnRenamed("num_typos", "rare_typos")
         .withColumnRenamed("number_exact_words", "rare_exw")
     ).persist()
+    persisted.append(rare_contrib)
 
     if single_token:
         out = rare_contrib.select(
@@ -163,7 +185,7 @@ def wand_topk(
             F.col("rare_typos").alias("num_typos"),
             F.col("rare_exw").alias("number_exact_words"),
         )
-        return engine.finish_topk(out, k)
+        return finalize(out)
 
     other_blk_all = blk.filter(F.col("term").isin(other_terms))
     other_alive = other_blk_all.withColumn(
@@ -173,6 +195,7 @@ def wand_topk(
     def exact_scores(rare_docs: DataFrame) -> DataFrame:
         """Full exact AND scores restricted to the given rare docs."""
         rare_docs = rare_docs.persist()
+        persisted.append(rare_docs)
         doc_chunks = rare_docs.select(
             F.shiftright(F.col("doc_id"), CHUNK_SHIFT).alias("chunk")
         ).distinct()
@@ -218,7 +241,7 @@ def wand_topk(
                     "n_other_blocks_total": other_blk_all.count(),
                 }
             )
-        return engine.finish_topk(exact_scores(rare_contrib), k)
+        return finalize(exact_scores(rare_contrib))
 
     # ---- two-phase: upper bound of every other token from the
     # build-time per-(term, field) (max_tf, min_dl) bounds in term_stats,
@@ -276,6 +299,7 @@ def wand_topk(
         F.desc("rare_score"), F.asc("doc_id")
     ).limit(4 * k)
     phase1 = exact_scores(seed).persist()
+    persisted.append(phase1)
     top = phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     theta = float(top[-1]["score"]) if len(top) >= k else None
 
@@ -305,4 +329,4 @@ def wand_topk(
         F.max("num_typos").alias("num_typos"),
         F.max("number_exact_words").alias("number_exact_words"),
     )
-    return engine.finish_topk(out, k)
+    return finalize(out)

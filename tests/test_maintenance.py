@@ -181,3 +181,53 @@ def test_upsert_documents(spark, tmp_path):
     # no empty terms left behind
     ts = spark.read.parquet(f"{wh}/ups/term_stats")
     assert ts.join(segs.select("term").distinct(), "term", "left_anti").count() == 0
+
+
+def test_upsert_rejects_duplicate_ids(spark, tmp_path):
+    """A batch with the same documentID twice would double postings (or
+    fork insert ids); the op must refuse it loudly."""
+    import pytest as _pytest
+
+    wh = str(tmp_path)
+    s = _settings("dups")
+    corpus = generate_corpus(spark, 30, seed=13, words_per_doc=10)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    m = IndexMaintenance(spark, wh, "dups")
+    batch = spark.createDataFrame(
+        [
+            ("dup-doc", "r", "p", "c", "go", "one version"),
+            ("dup-doc", "r", "p", "c", "go", "another version"),
+        ],
+        "documentID string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    with _pytest.raises(ValueError, match="duplicate documentIDs"):
+        m.upsert_documents(batch)
+
+
+def test_upsert_preserves_shard_modulus(spark, tmp_path):
+    """num_shards comes from stats.json, not max(docs.shard)+1: with 8
+    shards on a tiny corpus some shards are empty, and an upsert must
+    still assign shard = pmod(xxhash64(id), 8) like the build did."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path)
+    s = _settings("mod8")
+    corpus = generate_corpus(spark, 12, seed=14, words_per_doc=8)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=8)
+    m = IndexMaintenance(spark, wh, "mod8")
+    assert m._num_shards() == 8
+    some_id = corpus.select("documentID").limit(1).collect()[0][0]
+    m.upsert_documents(
+        spark.createDataFrame(
+            [(some_id, "r", "p", "c", "go", "updated text body")],
+            "documentID string, repo string, path string, commit string, "
+            "lang string, content string",
+        )
+    )
+    docs = spark.read.parquet(wh + "/mod8/docs")
+    bad = docs.filter(
+        F.col("shard")
+        != F.pmod(F.xxhash64("documentID"), F.lit(8)).cast("int")
+    ).count()
+    assert bad == 0

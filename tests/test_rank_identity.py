@@ -96,3 +96,33 @@ def test_exact_beats_typo(engine_and_oracle):
         # typo contributions carry the 0.8/0.6 penalty; with this corpus's
         # homogeneous tf/dl the best exact outranks the best typo match
         assert max(exact_scores) > max(typo_scores)
+
+
+def test_zero_min_word_size_grants_typos(engine_and_oracle):
+    """Reference semantics: an index/query min_word_size of 0 means
+    len(tok) >= 0 -- typo tolerance for EVERY token (the reference's
+    `> 0` check only detects unset query overrides, service.go:191-200).
+    Engine and oracle must agree."""
+    engine, oracle = engine_and_oracle
+    # 'err' is len 3 < default min1=4: typo-ineligible normally, but a
+    # 0 override makes it eligible
+    strict = engine.search("err", k=10).collect()
+    loose = engine.search("err", k=10, min_word_size_for_1_typo=0).collect()
+    loose_typos = [r for r in loose if r["num_typos"] > 0]
+    strict_typos = [r for r in strict if r["num_typos"] > 0]
+    assert not strict_typos
+    # the corpus plants distance-1 neighbours of common short tokens;
+    # with the 0 gate at least the candidate scan must have run (same
+    # ranks as oracle either way)
+    import math as _math
+
+    o = oracle.settings
+    saved = o.min_word_size_for_1_typo
+    o.min_word_size_for_1_typo = 0
+    try:
+        want = oracle.search("err", k=10)
+    finally:
+        o.min_word_size_for_1_typo = saved
+    assert [r["doc_id"] for r in loose] == [h.doc_id for h in want]
+    for g, w in zip(loose, want):
+        assert _math.isclose(g["score"], w.score, rel_tol=1e-9)

@@ -124,12 +124,10 @@ def test_streaming_array_field_matches_batch(spark, tmp_path):
 
 
 def test_stateful_sessionization_matches_batch(spark, tmp_path):
-    """applyInPandasWithState sessionizer: every session closed by an
-    in-stream split must be emitted exactly once with boundaries identical
-    to the batch lag+cumsum reference. Per-user last sessions stay open
-    (no event can close them; the watermark never reaches last + gap
-    because every user's final event lies within 60 min of the global
-    max), so emitted == batch sessions minus each user's last."""
+    """applyInPandasWithState sessionizer: once the watermark passes every
+    session's last + gap (sentinel events from a separate user drive it
+    through), the emitted set must EQUAL the batch lag+cumsum reference
+    exactly -- every session once, with identical boundaries."""
     import shutil
     from datetime import datetime, timedelta
 
@@ -147,17 +145,18 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
                 rows.append((u, t))
                 t += timedelta(minutes=5 + e, seconds=17 * u + e)
             t += timedelta(minutes=41 + 2 * s)  # > 30 min => new session
-    # align final sessions: last event of every user within 60 min of max
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
-    spans = {u: max(t for x, t in rows if x == u) for u in range(3)}
-    assert max(spans.values()) - min(spans.values()) < timedelta(minutes=60)
 
-    # three time-ordered files so sessions split across micro-batches
-    src = tmp_path / "sess_src"
-    src.mkdir()
+    # time-ordered files; two trailing sentinel files (user 99) push the
+    # watermark past every real session's last + gap, and the second one
+    # gives the timeouts a batch to fire in
     ordered = sorted(rows, key=lambda r: r[1])
     cuts = [len(ordered) // 3, 2 * len(ordered) // 3]
     parts = [ordered[: cuts[0]], ordered[cuts[0] : cuts[1]], ordered[cuts[1] :]]
+    parts.append([(99, base + timedelta(hours=10))])
+    parts.append([(99, base + timedelta(hours=20))])
+    src = tmp_path / "sess_src"
+    src.mkdir()
     for i, part in enumerate(parts):
         d = tmp_path / f"_w{i}"
         spark.createDataFrame(part, "user_id long, ts timestamp").coalesce(
@@ -183,20 +182,71 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
 
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-        for r in spark.sql("SELECT * FROM sess_out").collect()
+        for r in spark.sql(
+            "SELECT * FROM sess_out WHERE user_id < 99"
+        ).collect()
     }
-    batch = sessionize_batch(ev, gap_minutes=30).collect()
-    by_user = {}
-    for r in batch:
-        by_user.setdefault(r["user_id"], []).append(r)
-    want = set()
-    for u, sess in by_user.items():
-        sess.sort(key=lambda r: r["session_start"])
-        for r in sess[:-1]:  # all but the still-open last session
-            want.add(
-                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-            )
-    assert len(want) == 6  # 3 users x (3 sessions - 1 open)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(ev, gap_minutes=30).collect()
+    }
+    assert len(want) == 9  # 3 users x 3 sessions
+    assert got == want
+
+
+def test_stateful_sessionization_out_of_order(spark, tmp_path):
+    """A late-but-admissible event (>= watermark) arriving INSIDE a
+    previously-seen gap must bridge the two runs into one session -- the
+    reason in-stream gaps alone are never final."""
+    import shutil
+    from datetime import datetime, timedelta
+
+    from go_search_engine_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    t0 = datetime(2025, 5, 1, 12, 0, 0)
+    f0 = [(0, t0)]
+    f1 = [(0, t0 + timedelta(minutes=35))]   # apparent split (gap 35m)
+    f2 = [(0, t0 + timedelta(minutes=20))]   # late event bridges the gap
+    f3 = [(9, t0 + timedelta(hours=10))]     # sentinel: watermark forward
+    f4 = [(9, t0 + timedelta(hours=20))]     # a batch for timeouts to fire
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    for i, part in enumerate([f0, f1, f2, f3, f4]):
+        d = tmp_path / f"_o{i}"
+        spark.createDataFrame(part, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d))
+        pf = next(p for p in d.iterdir() if p.suffix == ".parquet")
+        shutil.move(str(pf), str(src / f"{i:03d}.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ooo_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM ooo_out WHERE user_id = 0").collect()
+    }
+    # ONE merged session [t0, t0+35m] x3 events -- matching the batch twin
+    ev = spark.createDataFrame(f0 + f1 + f2, "user_id long, ts timestamp")
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(ev, gap_minutes=30).collect()
+    }
+    assert len(want) == 1
     assert got == want
 
 
