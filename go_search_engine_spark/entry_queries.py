@@ -1009,6 +1009,40 @@ def token_counts_q(spark, sf_dir):
 
 
 @register(
+    "bpe_ish_token_count",
+    # identical alternation-of-classes pattern evaluates the same under
+    # Java regex (Spark) and RE2 (DuckDB)
+    r"SELECT doc_id AS id, len(regexp_extract_all(text, "
+    r"' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT AS n_bpe "
+    "FROM documents",
+)
+def bpe_ish_token_count_q(spark, sf_dir):
+    """BPE-ish pretoken counting (GPT-2-shaped classes): the LLM token
+    budget estimator for curation filters."""
+    from .pipeline.textstats import bpe_ish_token_count
+
+    return bpe_ish_token_count(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "rolling_hash_fp",
+    # polynomial rolling hash h = (h*31 + codepoint) mod 2^31 as a list
+    # fold; list_reduce seeds with the first element, so prepend the 0
+    "SELECT doc_id AS id, CASE WHEN length(text) > 0 THEN "
+    "list_reduce(list_prepend(0::BIGINT, list_transform("
+    "range(1, length(text)+1), i -> ascii(substring(text, i::INT, 1)))), "
+    f"(acc, c) -> (acc*31 + c) % {1 << 31}) ELSE 0 END::BIGINT AS rh "
+    "FROM documents",
+)
+def rolling_hash_q(spark, sf_dir):
+    """Rabin-Karp-style rolling-hash content fingerprint (JVM Column
+    fold; pipeline/textstats.py rolling_hash)."""
+    from .pipeline.textstats import rolling_hash
+
+    return rolling_hash(load(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_fingerprint",
     "WITH toks_arr AS (SELECT doc_id, " + TOK_SQL.format(col="text") + " AS toks "
     "FROM documents) SELECT doc_id AS id, "

@@ -55,6 +55,51 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select(F.col(id_col).alias("id"), F.round(q, 6).alias("q"))
 
 
+# GPT-2-shaped pretokenizer classes (public pattern shape): word runs
+# with an optional leading space, digit runs, punctuation runs. Pure
+# alternation of character classes so Java regex (Spark) and RE2 (DuckDB
+# oracle) agree; whitespace itself is not a token.
+BPE_ISH_PATTERN = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bpe): BPE-ish pretoken count -- the cheap LLM-token-budget
+    estimator a curation pipeline sorts/filters by (a real BPE merges
+    within these pretokens, so this upper-bounds word-level token counts
+    while tracking punctuation/digit splits)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+
+
+ROLLING_MOD = 1 << 31  # keeps acc*31 + cp < 2^36: exact in 64-bit everywhere
+
+
+def rolling_hash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, rh): polynomial rolling hash over the document's characters
+    (h = (h*31 + codepoint) mod 2^31) -- the classic Rabin-Karp-style
+    content fingerprint, as a pure JVM Column fold (no Python)."""
+    text = F.col(text_col)
+    h = F.aggregate(
+        F.sequence(F.lit(1), F.length(text)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * F.lit(31) + F.ascii(text.substr(i, F.lit(1))))
+        % F.lit(ROLLING_MOD),
+    )
+    # sequence(1, 0) DESCENDS in Spark -- empty/null text hashes to 0
+    h = F.when(F.coalesce(F.length(text), F.lit(0)) > 0, h).otherwise(
+        F.lit(0).cast("long")
+    )
+    return df.select(F.col(id_col).alias("id"), h.alias("rh"))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     k: int = 3) -> DataFrame:
     """(id, fp): winnowing-style fingerprint = min md5 over k-token word

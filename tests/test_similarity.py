@@ -99,3 +99,40 @@ def test_ngram_guard_drops_stop_shingles(spark):
     # pair among the 30 filler docs survives; the near pair does
     assert (100, 101) in ids
     assert all(a >= 100 for a, b in ids)
+
+
+def test_bpe_ish_and_rolling_hash_edges(spark):
+    """Edge semantics of the two fingerprint/count ops: empty and
+    punctuation-heavy strings, known hand-computed rolling hash."""
+    from go_search_engine_spark.pipeline.textstats import (
+        ROLLING_MOD,
+        bpe_ish_token_count,
+        rolling_hash,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "ab"),
+            (3, "hello world"),
+            (4, "x=1+2;  // ok"),
+        ],
+        "doc_id long, text string",
+    )
+    bpe = {r["id"]: r["n_bpe"] for r in bpe_ish_token_count(df).collect()}
+    # "" -> 0; "ab" -> 1; "hello world" -> 2 (word, space+word);
+    # "x=1+2;  // ok" -> x | = | 1 | + | 2 | ;  hmm: 'x','=','1','+','2',
+    # ';', ' /'+'/', ' ok' => punct runs split at digits/letters
+    assert bpe[1] == 0 and bpe[2] == 1 and bpe[3] == 2
+    assert bpe[4] == 8
+
+    rh = {r["id"]: r["rh"] for r in rolling_hash(df).collect()}
+    assert rh[1] == 0
+    want = 0
+    for ch in "ab":
+        want = (want * 31 + ord(ch)) % ROLLING_MOD
+    assert rh[2] == want
+    want = 0
+    for ch in "hello world":
+        want = (want * 31 + ord(ch)) % ROLLING_MOD
+    assert rh[3] == want
