@@ -927,6 +927,70 @@ def maintenance_delete_upsert(spark, sf_dir):
     return ts.select("term", "df", F.round("idf", 6).alias("idf"))
 
 
+_IVF_IDX_CACHE: dict = {}
+
+
+def _ivf_oracle_sql() -> str:
+    import numpy as np
+
+    cents = np.random.default_rng(11).standard_normal((8, 64))
+
+    def lit(c):
+        return "[" + ",".join(repr(float(v)) for v in c) + "]::DOUBLE[]"
+
+    values = ", ".join(f"({i}, {lit(c)})" for i, c in enumerate(cents))
+    return (
+        f"WITH c(cid, cv) AS (VALUES {values}), "
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+        "WHERE vec_id = 0), "
+        "qc AS (SELECT cid FROM c, q QUALIFY row_number() OVER "
+        "(ORDER BY list_distance(cv, qv) ASC, cid ASC) <= 2), "
+        "db AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings "
+        "WHERE vec_id <> 0), "
+        "asg AS (SELECT vec_id, v, (SELECT cid FROM c "
+        "ORDER BY list_distance(c.cv, db.v) ASC, cid ASC LIMIT 1) AS cell "
+        "FROM db), "
+        "cand AS (SELECT vec_id, v FROM asg "
+        "WHERE cell IN (SELECT cid FROM qc)), "
+        "scored AS (SELECT vec_id, round(list_cosine_similarity(v, q.qv), 5) "
+        "AS cos FROM cand, q) "
+        "SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, "
+        "vec_id ASC) AS rank FROM scored QUALIFY rank <= 10"
+    )
+
+
+@register("embedding_ivf_topk", _ivf_oracle_sql())
+def embedding_ivf_topk_q(spark, sf_dir):
+    """IVF ANN scale path: coarse-quantizer cell MATERIALIZED as a parquet
+    partition column (inverted-file layout, built once per sf_dir), then
+    an n_probe=2 partition-pruned probe + exact cosine within the probed
+    cells (pipeline/similarity.py). The gate uses fixed seeded centroids
+    so the DuckDB oracle can embed them as literals; the distributed
+    Lloyd-refined quantizer (ivf_centroids) is pytest-covered."""
+    import numpy as np
+    import tempfile
+
+    from .pipeline.similarity import build_ivf_index, ivf_topk
+
+    cents = np.random.default_rng(11).standard_normal((8, 64))
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    if sf_dir not in _IVF_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="gse_ivf_idx_") + "/emb"
+        build_ivf_index(emb.filter(F.col("vec_id") != 0), cents, path)
+        _IVF_IDX_CACHE[sf_dir] = path
+    scored = ivf_topk(
+        spark, _IVF_IDX_CACHE[sf_dir], qv, cents, k=1_000_000, n_probe=2
+    ).select("vec_id", F.round("cos", 5).alias("cos"))
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+
+
 def _near_dup_oracle_sql() -> str:
     from .pipeline.similarity import hyperplanes
 

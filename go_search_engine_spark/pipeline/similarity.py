@@ -157,6 +157,116 @@ def lsh_topk_indexed(
     return cosine_topk(df, query_vec, k, vec_col, id_col)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    iters: int = 2,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: centroids seeded from a
+    hash-keyed sample (xxhash64(id) ordering -- partitioning-independent)
+    then refined with ``iters`` Lloyd steps computed DISTRIBUTED (one
+    groupBy(cell) mean per step; only k x dim floats ever reach the
+    driver)."""
+    k = n_cells
+    seeds = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id") + F.lit(seed)), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    cents = np.array([list(r["v"]) for r in seeds], dtype=np.float64)
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, vec_col, id_col)
+        with_v = df.join(assigned, df[id_col] == assigned["id"]).drop("id")
+        means = (
+            with_v.select("cell", F.posexplode(F.col(vec_col)))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .collect()  # k x dim rows -- the only driver traffic per step
+        )
+        new = cents.copy()
+        for r in means:
+            new[r["cell"], r["pos"]] = r["m"]
+        cents = new
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell): nearest centroid by squared L2 (ties -> lowest cell id),
+    centroids shipped as literals -- pure Column expressions."""
+    v = F.col(vec_col)
+    best_d, best_c = None, None
+    for ci, c in enumerate(centroids):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, cl, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d, best_c = d, F.lit(ci)
+        else:
+            better = d < best_d
+            best_c = F.when(better, F.lit(ci)).otherwise(best_c)
+            best_d = F.when(better, d).otherwise(best_d)
+    return df.select(
+        F.col(id_col).alias("id"), best_c.cast("int").alias("cell")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF cell as a parquet PARTITION column (the
+    inverted-file layout): queries probe n_probe cell directories via
+    partition pruning instead of scanning every vector."""
+    with_c = df.join(
+        ivf_assign(df, centroids, vec_col, id_col),
+        df[id_col] == F.col("id"),
+    ).drop("id")
+    with_c.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_query_cells(
+    query_vec: list[float], centroids: np.ndarray, n_probe: int = 1
+) -> list[int]:
+    """The n_probe nearest cells to the query (squared L2, ties by id)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q) ** 2).sum(axis=1)
+    order = np.lexsort((np.arange(len(d)), d))
+    return sorted(int(i) for i in order[:n_probe])
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 1,
+) -> DataFrame:
+    """ANN top-k over a cell-partitioned IVF index built by
+    ``build_ivf_index``: the cell filter is a partition filter (only the
+    probed directories are read), exact cosine within."""
+    cells = ivf_query_cells(query_vec, centroids, n_probe)
+    df = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return cosine_topk(df, query_vec, k, vec_col, id_col)
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     planes: np.ndarray,

@@ -136,3 +136,52 @@ def test_bpe_ish_and_rolling_hash_edges(spark):
     for ch in "hello world":
         want = (want * 31 + ord(ch)) % ROLLING_MOD
     assert rh[3] == want
+
+
+def test_ivf_index_prunes_and_full_probe_is_exact(spark, tmp_path):
+    """IVF: (a) the distributed Lloyd-refined quantizer yields a valid
+    partition layout, (b) an n_probe=1 query reads fewer files than the
+    index holds (partition pruning is real), (c) probing EVERY cell
+    equals brute-force cosine exactly."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from go_search_engine_spark.pipeline.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_centroids,
+        ivf_query_cells,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_cells=4, seed=7, iters=2)
+    assert cents.shape == (4, 64)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") != 0), cents, path)
+
+    cells = ivf_query_cells(qv, cents, n_probe=1)
+    probed = glob.glob(os.path.join(path, f"cell={cells[0]}", "*.parquet"))
+    total = glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+    assert 0 < len(probed) < len(total)
+
+    full = ivf_topk(spark, path, qv, cents, k=10, n_probe=4).collect()
+    brute = cosine_topk(
+        emb.filter(F.col("vec_id") != 0), qv, k=10
+    ).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
+    # n_probe=1 results come from the probed cell only, exactly scored
+    part = ivf_topk(spark, path, qv, cents, k=5, n_probe=1).collect()
+    in_cell = {
+        r["vec_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("cell").isin(cells))
+        .collect()
+    }
+    assert all(r["vec_id"] in in_cell for r in part)
