@@ -42,6 +42,8 @@ def main() -> int:
     ap.add_argument("--no-typos", action="store_true")
     ap.add_argument("--wand", action="store_true")
     ap.add_argument("--phrase", action="store_true")
+    ap.add_argument("--proximity", type=int, default=None, metavar="W",
+                    help="unordered co-occurrence within a W-token window")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -57,6 +59,11 @@ def main() -> int:
 
         rows = phrase_search(engine, args.query, k=args.k,
                              fields=fields).collect()
+    elif args.proximity is not None:
+        from go_search_engine_spark.query.phrase import proximity_search
+
+        rows = proximity_search(engine, args.query, window=args.proximity,
+                                k=args.k, fields=fields).collect()
     elif args.wand:
         from go_search_engine_spark.query.wand import wand_topk
 
