@@ -68,7 +68,7 @@ def build_index(spark, sf_dir: str):
     # parallelism already comes from scan splits, so at toy scale extra
     # shards are pure fixed job overhead (each shard = its own flatMap +
     # fingerprint + commit round-trips)
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_docs = docs.count()
     num_shards = max(1, min(8, n_docs // 2500))
     report = IndexBuilder(spark, settings, wh).build(docs, num_shards=num_shards)
     return wh, report

@@ -119,10 +119,17 @@ class IndexMaintenance:
         self.settings = load_settings(self.base)
         self.builder = IndexBuilder(self.spark, self.settings, warehouse)
 
-    def _refresh(self, docs: DataFrame, segments: DataFrame) -> None:
+    def _refresh(
+        self, docs: DataFrame, segments: DataFrame,
+        num_shards: int | None = None,
+    ) -> None:
         """Rewrite docs + segments, then recompute stats/blocks via the
         builder's finalize (the sorted-merge). Two-phase via temp dirs so a
         crash mid-rewrite leaves the old tables readable."""
+        if num_shards is None:
+            # resolve BEFORE the rewrite: the fallback reads the OLD docs
+            # table, which is about to be replaced (and may become empty)
+            num_shards = self._num_shards()
         tmp_docs = self.base + "/_docs_new"
         tmp_seg = self.base + "/_segments_new"
         docs.write.mode("overwrite").partitionBy("shard").parquet(tmp_docs)
@@ -142,7 +149,7 @@ class IndexMaintenance:
         from .builder import BuildReport
 
         report = BuildReport()
-        self.builder._finalize(report, num_shards=self._num_shards())
+        self.builder._finalize(report, num_shards=num_shards)
 
     def _num_shards(self) -> int:
         """The build's shard-hash modulus from stats.json; fallback for
@@ -157,7 +164,8 @@ class IndexMaintenance:
         if n > 0:
             return n
         docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
-        return int(docs.agg(F.max("shard")).collect()[0][0]) + 1
+        m = docs.agg(F.max("shard")).collect()[0][0]
+        return int(m) + 1 if m is not None else 1
 
     def delete_documents(self, document_ids: list[str]) -> int:
         """T11: remove docs + their postings; empty terms disappear from
@@ -282,7 +290,7 @@ class IndexMaintenance:
         kept = segments.join(
             upserted.select("doc_id"), "doc_id", "left_anti"
         )
-        self._refresh(new_docs, kept.unionByName(new_seg))
+        self._refresh(new_docs, kept.unionByName(new_seg), num_shards)
         joined.unpersist()
         upserted.unpersist()
         return {"updated": int(n_upd), "inserted": int(n_ins)}

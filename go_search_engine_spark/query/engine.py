@@ -545,14 +545,15 @@ class SearchEngine:
             .drop("_nt")
         )
 
-    def field_matches(
-        self, cand: pd.DataFrame, fields: list[str]
+    def _display_survivors(
+        self, matched: DataFrame, doc_ids: list[int] | None = None
     ) -> DataFrame:
-        """(doc_id, field_matches map<field, array<display>>) -- the
-        reference's FieldMatches rendering: exact matches display as the
-        query token, typo matches as 'term(typo)' (service.go:425-432,
-        481-486), restricted to best-distance survivors per (token, doc)."""
-        matched = self.scan_candidates(cand, fields)
+        """Shared survivor pipeline for the display surfaces
+        (field_matches, highlight): optional doc restriction BEFORE the
+        aggregation, no_typo_tolerance_fields exclusion, best-distance
+        per (token, doc), and the 'term(typo)' display column."""
+        if doc_ids is not None:
+            matched = matched.filter(F.col("doc_id").isin(list(doc_ids)))
         ntf = list(self.settings.no_typo_tolerance_fields)
         if ntf:
             # same per-field typo exclusion as score_and_intersect
@@ -563,13 +564,29 @@ class SearchEngine:
         best = matched.withColumn("best_d", F.min("distance").over(w)).filter(
             F.col("distance") == F.col("best_d")
         )
-        disp = best.select(
-            "doc_id",
-            "field",
-            F.when(F.col("distance") == 0, F.col("term"))
-            .otherwise(F.concat(F.col("term"), F.lit("(typo)")))
-            .alias("display"),
-        ).distinct()
+        return best.withColumn(
+            "display",
+            F.when(F.col("distance") == 0, F.col("term")).otherwise(
+                F.concat(F.col("term"), F.lit("(typo)"))
+            ),
+        )
+
+    def field_matches(
+        self,
+        cand: pd.DataFrame,
+        fields: list[str],
+        doc_ids: list[int] | None = None,
+    ) -> DataFrame:
+        """(doc_id, field_matches map<field, array<display>>) -- the
+        reference's FieldMatches rendering: exact matches display as the
+        query token, typo matches as 'term(typo)' (service.go:425-432,
+        481-486), restricted to best-distance survivors per (token, doc).
+        ``doc_ids`` (e.g. one result page) restricts the frame BEFORE the
+        aggregation -- rendering 10 hits must not pay a corpus-scale
+        groupBy."""
+        matched = self.scan_candidates(cand, fields)
+        best = self._display_survivors(matched, doc_ids)
+        disp = best.select("doc_id", "field", "display").distinct()
         per_field = disp.groupBy("doc_id", "field").agg(
             F.sort_array(F.collect_set("display")).alias("terms")
         )
@@ -579,13 +596,17 @@ class SearchEngine:
             ).alias("field_matches")
         )
 
-    def highlight(self, cand: pd.DataFrame, fields: list[str]) -> DataFrame:
+    def highlight(
+        self,
+        cand: pd.DataFrame,
+        fields: list[str],
+        doc_ids: list[int] | None = None,
+    ) -> DataFrame:
         """(doc_id, field, term, display, positions): matched terms with
         their token offsets per (doc, field) -- the stored positions
         (declared dead in the reference, index/posting.go:10) surfaced for
-        hit highlighting. Same survivor semantics as field_matches:
-        best-distance per (token, doc), typo display as 'term(typo)',
-        no_typo_tolerance_fields exclusion."""
+        hit highlighting. Same survivor semantics as field_matches (shared
+        ``_display_survivors`` pipeline)."""
         from .phrase import POS_DECODED_SCHEMA, decode_blocks_pos_fn
 
         blk = self.candidate_blocks(cand, fields).select(
@@ -595,23 +616,9 @@ class SearchEngine:
             decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA
         )
         matched = decoded.join(self.cand_frame(cand), "term")
-        ntf = list(self.settings.no_typo_tolerance_fields)
-        if ntf:
-            matched = matched.filter(
-                (F.col("distance") == 0) | ~F.col("field").isin(ntf)
-            )
-        w = Window.partitionBy("token", "doc_id")
-        best = matched.withColumn(
-            "best_d", F.min("distance").over(w)
-        ).filter(F.col("distance") == F.col("best_d"))
+        best = self._display_survivors(matched, doc_ids)
         return best.select(
-            "doc_id",
-            "field",
-            "term",
-            F.when(F.col("distance") == 0, F.col("term"))
-            .otherwise(F.concat(F.col("term"), F.lit("(typo)")))
-            .alias("display"),
-            "positions",
+            "doc_id", "field", "term", "display", "positions"
         ).distinct()
 
     def _empty_result(self) -> DataFrame:

@@ -105,11 +105,15 @@ class SearchService:
             )
         return fields, tokens, cand
 
-    def _ranked_frame(self, req: SearchRequest, cand=None) -> DataFrame:
-        """The full ranked+deduped hit frame (pre-pagination)."""
+    def _ranked_frame(
+        self, req: SearchRequest, cand=None, prep=None
+    ) -> DataFrame:
+        """The full ranked+deduped hit frame (pre-pagination). ``prep``:
+        an already-computed ``_prepare`` triple (search() passes it so the
+        query is tokenized and validated exactly once)."""
         eng = self.engine
         s = self.settings
-        fields, tokens, cand = self._prepare(req, cand)
+        fields, tokens, cand = prep or self._prepare(req, cand)
         if not tokens:
             return eng._empty_result()
         matched = eng.scan_candidates(cand, fields)
@@ -137,8 +141,9 @@ class SearchService:
 
     def search(self, req: SearchRequest) -> SearchResult:
         t0 = time.time()
-        fields, tokens, cand = self._prepare(req)
-        ranked = self._ranked_frame(req, cand)
+        prep = self._prepare(req)
+        fields, tokens, cand = prep
+        ranked = self._ranked_frame(req, prep=prep)
         page = max(req.page, 1)
         size = req.page_size if req.page_size > 0 else 10
         # total BEFORE pagination (service.go:651-662). The ranked frame
@@ -149,13 +154,22 @@ class SearchService:
             total = ranked.count()
             page_rows = ranked.offset((page - 1) * size).limit(size)
             proj = self._project(page_rows, req.retrievable_fields)
-            if req.include_field_matches and tokens:
-                # FieldMatches only for the page's rows (service.go:425-432)
-                fm = self.engine.field_matches(cand, fields)
-                proj = proj.join(fm, "doc_id", "left")
             hits = [r.asDict(recursive=True) for r in proj.collect()]
         finally:
             ranked.unpersist()
+        if req.include_field_matches and tokens and hits:
+            # FieldMatches rendered for the PAGE's doc_ids only (the
+            # restriction happens before the aggregation) and merged
+            # driver-side so the ranked page order is preserved -- a
+            # DataFrame join would re-order the rows
+            fm = {
+                r["doc_id"]: r["field_matches"]
+                for r in self.engine.field_matches(
+                    cand, fields, doc_ids=[h["doc_id"] for h in hits]
+                ).collect()
+            }
+            for h in hits:
+                h["field_matches"] = fm.get(h["doc_id"], {})
         return SearchResult(
             hits=hits,
             total=total,

@@ -22,6 +22,11 @@ every event, the emitted set converges to exactly the batch
 sessionization (tests/test_streaming.py drives sentinel events through
 to force full closure and asserts set equality with the batch twin).
 
+NOTE (state format): the state schema is three parallel long ARRAYS;
+streaming checkpoints written by the earlier scalar (start, last, n)
+schema are incompatible -- discard the checkpoint directory when
+upgrading (Spark's state-schema check refuses to resume otherwise).
+
 Scale notes: state is hash-partitioned by user across executors (the
 shuffle a streaming groupBy implies); per-group work is one vectorized
 pass over that user's batch events plus an interval merge bounded by the

@@ -449,6 +449,11 @@ def test_include_field_matches(service):
         SearchRequest(query="matrix neo", typo_tolerance=False,
                       include_field_matches=True)
     )
+    # the ranked page order must survive field-match rendering
+    plain = service.search(
+        SearchRequest(query="matrix neo", typo_tolerance=False)
+    )
+    assert _ids(r) == _ids(plain)
     by_id = {h["documentID"]: h for h in r.hits}
     assert "m01" in by_id
     fm = by_id["m01"]["field_matches"]
