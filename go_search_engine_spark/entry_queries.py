@@ -927,6 +927,57 @@ def maintenance_delete_upsert(spark, sf_dir):
     return ts.select("term", "df", F.round("idf", 6).alias("idf"))
 
 
+_SETTINGS_CACHE: dict = {}
+
+
+@register(
+    "settings_update_reindex",
+    # oracle: df over PREFIX-N-GRAM tokenization (tokens + edge n-grams,
+    # globally deduped per doc => tf 1) -- what a correct reindex after
+    # flipping the field to prefix mode must produce
+    "WITH g AS (SELECT doc_id, unnest(" + NGRAM_SQL.format(col="text")
+    + ") AS term FROM documents) "
+    "SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+    "FROM g GROUP BY term",
+)
+def settings_update_reindex(spark, sf_dir):
+    """O5 end-to-end: build with no-prefix text, then update_settings
+    flips the field to prefix n-grams (a core-setting diff => full
+    reindex, reference settings_management.go:119-138); the REINDEXED
+    term_stats must match the n-gram oracle."""
+    import tempfile
+
+    from .build.builder import IndexBuilder
+    from .build.maintenance import update_settings
+    from .config import IndexSettings
+
+    if sf_dir not in _SETTINGS_CACHE:
+        docs = load(spark, sf_dir, "documents").select(
+            F.format_string("doc-%08d", F.col("doc_id")).alias("documentID"),
+            "text",
+        )
+        old = IndexSettings(
+            name="sdiff_idx",
+            searchable_fields=["text"],
+            fields_without_prefix_search=["text"],
+            term_buckets=8,
+        )
+        wh = tempfile.mkdtemp(prefix="gse_sdiff_wh_")
+        IndexBuilder(spark, old, wh).build(docs, num_shards=2)
+        new = IndexSettings(
+            name="sdiff_idx",
+            searchable_fields=["text"],
+            fields_without_prefix_search=[],  # core diff -> reindex
+            term_buckets=8,
+        )
+        assert update_settings(spark, wh, new, corpus=docs) is True
+        _SETTINGS_CACHE[sf_dir] = wh
+    ts = spark.read.parquet(
+        os.path.join(_SETTINGS_CACHE[sf_dir], "sdiff_idx", "term_stats")
+    )
+    return ts.select("term", "df")
+
+
 _IVF_IDX_CACHE: dict = {}
 
 
