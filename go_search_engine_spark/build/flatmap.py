@@ -53,6 +53,9 @@ POSTINGS_SCHEMA = (
 )
 
 
+_EMPTY_POS = b"\x00"  # varint record [count=0]: positions not stored
+
+
 def _doc_postings(
     doc_id: int,
     field: str,
@@ -60,10 +63,15 @@ def _doc_postings(
     use_prefix: bool,
     dl: int,
     max_ngram_len: int | None = None,
+    store_positions: bool = True,
 ):
     """Yield posting tuples for one (doc, field)."""
     if not tokens:
         return
+    if not store_positions:
+        enc = lambda _pos: _EMPTY_POS  # noqa: E731
+    else:
+        enc = lambda pos: encode_positions([pos])  # noqa: E731
     counts = Counter(tokens)
     first_pos: dict[str, int] = {}
     all_pos: dict[str, list[int]] = {}
@@ -80,7 +88,7 @@ def _doc_postings(
         for i, t in enumerate(tokens):
             if t not in seen:
                 seen.add(t)
-                yield (doc_id, field, t, 1.0, encode_positions([all_pos[t]]), True, dl)
+                yield (doc_id, field, t, 1.0, enc(all_pos[t]), True, dl)
             grams = prefix_ngrams(t)
             if max_ngram_len is not None:
                 grams = grams[:max_ngram_len]
@@ -89,17 +97,18 @@ def _doc_postings(
                     seen.add(g)
                     full = g in counts
                     pos = all_pos[g] if full else [i]
-                    yield (doc_id, field, g, 1.0, encode_positions([pos]), full, dl)
+                    yield (doc_id, field, g, 1.0, enc(pos), full, dl)
     else:
         for t, c in counts.items():
-            yield (doc_id, field, t, float(c), encode_positions([all_pos[t]]), True, dl)
+            yield (doc_id, field, t, float(c), enc(all_pos[t]), True, dl)
 
 
 _COLS = ["doc_id", "field", "term", "tf", "positions", "is_full_word", "dl"]
 
 
 def _field_postings_vectorized(
-    doc_ids: np.ndarray, dls: np.ndarray, token_lists, field: str
+    doc_ids: np.ndarray, dls: np.ndarray, token_lists, field: str,
+    store_positions: bool = True,
 ) -> pd.DataFrame:
     """No-prefix path, numpy-vectorized: factorize tokens, lexsort on
     (doc, token-code), group boundaries -> tf + position lists. No
@@ -129,7 +138,10 @@ def _field_postings_vectorized(
     starts = np.nonzero(new_group)[0]
     counts = np.diff(np.append(starts, total))
     tf = counts.astype(np.float64)
-    positions = _encode_position_records(sp, starts, counts)
+    if store_positions:
+        positions = _encode_position_records(sp, starts, counts)
+    else:
+        positions = [_EMPTY_POS] * len(starts)
     return pd.DataFrame(
         {
             "doc_id": doc_ids[sd[starts]],
@@ -186,6 +198,7 @@ def make_flatmap(settings: IndexSettings):
     """
     fields = list(settings.searchable_fields)
     prefix_flags = {f: settings.uses_prefix(f) for f in fields}
+    store_pos = settings.store_positions
 
     def flat_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,7 +212,8 @@ def make_flatmap(settings: IndexSettings):
                 if not prefix_flags[field]:
                     frames.append(
                         _field_postings_vectorized(
-                            doc_ids, dls, list(token_lists), field
+                            doc_ids, dls, list(token_lists), field,
+                            store_pos,
                         )
                     )
                 else:
@@ -208,7 +222,7 @@ def make_flatmap(settings: IndexSettings):
                         rows.extend(
                             _doc_postings(
                                 int(did), field, toks, True, int(dl),
-                                settings.max_ngram_len,
+                                settings.max_ngram_len, store_pos,
                             )
                         )
                     frames.append(pd.DataFrame(rows, columns=_COLS))

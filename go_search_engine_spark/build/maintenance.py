@@ -75,6 +75,7 @@ CORE_SETTINGS = {
     "fields_without_prefix_search",
     "block_size",
     "term_buckets",
+    "store_positions",
 }
 
 

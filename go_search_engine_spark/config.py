@@ -85,6 +85,11 @@ class IndexSettings:
     # Number of hash buckets the postings table is partitioned by
     # (query-time partition pruning on term buckets).
     term_buckets: int = 32
+    # Store per-posting token positions (phrase / proximity / highlight
+    # need them; the reference never writes its declared Positions field,
+    # index/posting.go:10). False drops the positions stream -- a smaller
+    # index and a faster build for corpora that only need BM25 ranking.
+    store_positions: bool = True
 
     def uses_prefix(self, field_name: str) -> bool:
         return field_name not in self.fields_without_prefix_search
@@ -108,6 +113,7 @@ class IndexSettings:
             "salt_df_threshold": self.salt_df_threshold,
             "salt_buckets": self.salt_buckets,
             "term_buckets": self.term_buckets,
+            "store_positions": self.store_positions,
         }
 
     @classmethod

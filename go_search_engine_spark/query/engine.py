@@ -609,6 +609,12 @@ class SearchEngine:
         ``_display_survivors`` pipeline)."""
         from .phrase import POS_DECODED_SCHEMA, decode_blocks_pos_fn
 
+        if not getattr(self.settings, "store_positions", True):
+            raise ValueError(
+                "index was built with store_positions=False; highlight "
+                "needs stored positions -- rebuild with store_positions=True"
+            )
+
         blk = self.candidate_blocks(cand, fields).select(
             "term", "field", "doc_ids", "positions", "fws"
         )

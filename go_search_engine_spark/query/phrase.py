@@ -133,6 +133,12 @@ def _scan_positions(engine, terms: list[str], fields: list[str]):
     (term, field, doc_id, positions) of full-word entries, with zero-job
     empty detection and rare-term (doc, field) semi-join pruning on
     df-skewed term sets. Returns None when some term is unindexed."""
+    if not getattr(engine.settings, "store_positions", True):
+        raise ValueError(
+            "index was built with store_positions=False; phrase/"
+            "proximity need stored positions -- rebuild with "
+            "store_positions=True"
+        )
     cand = pd.DataFrame({"term": sorted(set(terms))})
     meta = engine._with_stats(cand)
     dfs = dict(zip(meta["term"], (int(x) for x in meta["df"])))

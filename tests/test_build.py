@@ -173,3 +173,51 @@ def test_content_sha256(built):
     got = {r["documentID"]: r["content_sha256"] for r in docs.collect()}
     for r in rows:
         assert got[r["documentID"]] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_store_positions_off(spark, tmp_path):
+    """store_positions=False: BM25 search results identical, positional
+    operators refuse loudly, the positions stream shrinks to 1 byte/row."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from go_search_engine_spark.build.builder import IndexBuilder
+    from go_search_engine_spark.config import IndexSettings
+    from go_search_engine_spark.corpus import generate_corpus
+    from go_search_engine_spark.query.engine import SearchEngine
+    from go_search_engine_spark.query.phrase import phrase_search
+
+    corpus = generate_corpus(spark, 80, seed=5, words_per_doc=12)
+    engines = {}
+    for flag in (True, False):
+        s = IndexSettings(
+            name=f"pos_{flag}",
+            searchable_fields=["content"],
+            fields_without_prefix_search=["content"],
+            store_positions=flag,
+        )
+        wh = str(tmp_path / f"wh_{flag}")
+        IndexBuilder(spark, s, wh).build(corpus, num_shards=1)
+        engines[flag] = SearchEngine(spark, wh, f"pos_{flag}")
+
+    a = engines[True].search("tokenizer func", k=10).collect()
+    b = engines[False].search("tokenizer func", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+    with _pytest.raises(ValueError, match="store_positions"):
+        phrase_search(engines[False], "tokenizer func").collect()
+    with _pytest.raises(ValueError, match="store_positions"):
+        engines[False].highlight(
+            engines[False].candidate_terms(["func"], False), ["content"]
+        )
+
+    seg_t = spark.read.parquet(str(tmp_path / "wh_True" / "pos_True" / "segments"))
+    seg_f = spark.read.parquet(str(tmp_path / "wh_False" / "pos_False" / "segments"))
+    sz = lambda df: df.select(
+        F.sum(F.length("positions")).alias("b")
+    ).collect()[0]["b"]
+    n_rows = seg_f.count()
+    assert sz(seg_f) == n_rows  # exactly the 1-byte empty record per row
+    assert sz(seg_t) > sz(seg_f)
