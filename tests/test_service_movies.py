@@ -463,3 +463,37 @@ def test_include_field_matches(service):
     r2 = service.search(SearchRequest(query="matrix neo",
                                       typo_tolerance=False))
     assert "field_matches" not in r2.hits[0]
+
+
+def test_search_single_pass_scan(service, monkeypatch):
+    """The ranked frame is persisted, so a whole service request (total
+    count + page slice) decodes the candidate posting blocks EXACTLY as
+    many times as one engine pass -- never twice. Measured with an
+    accumulator counting block rows entering the decode UDF (job counts
+    are meaningless under AQE: every exchange materialization is its own
+    job)."""
+    import go_search_engine_spark.query.engine as eng_mod
+
+    eng = service.engine
+    acc = eng.spark.sparkContext.accumulator(0)
+    orig = eng_mod.decode_blocks_fn
+
+    def counting(batches):
+        def metered():
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return orig(metered())
+
+    monkeypatch.setattr(eng_mod, "decode_blocks_fn", counting)
+    eng.search("matrix neo", k=10, typo_tolerance=False).collect()
+    one_pass = acc.value
+    assert one_pass > 0
+    service.search(SearchRequest(query="matrix neo", typo_tolerance=False))
+    service_pass = acc.value - one_pass
+    assert service_pass == one_pass, (
+        f"service request decoded {service_pass} block rows vs "
+        f"{one_pass} for a single engine pass -- the ranked frame is "
+        "being executed more than once"
+    )
