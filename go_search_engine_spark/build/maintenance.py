@@ -296,6 +296,33 @@ class IndexMaintenance:
         upserted.unpersist()
         return {"updated": int(n_upd), "inserted": int(n_ins)}
 
+    def compact_segments(self, target_partitions: int | None = None) -> int:
+        """Rewrite the segments table into a bounded number of files.
+
+        Every upsert/delete unions or anti-joins rows into segments, so a
+        long-lived index accumulates small files -- the classic
+        small-files degradation (each scan pays per-file open/footer
+        costs). Compaction is the engine's analogue of an LSM/Lucene
+        segment merge: one repartition-by-(term)-rewrite, stats/blocks
+        refreshed from the compacted table. Returns the file count after
+        compaction."""
+        import glob
+
+        seg_path = os.path.join(self.base, "segments")
+        segments = self.spark.read.parquet(seg_path)
+        if "shard" in segments.columns:
+            segments = segments.drop("shard")
+        docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
+        if target_partitions is None:
+            target_partitions = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+        # repartition on term: co-locates each term's postings so the
+        # finalize's blocks job shuffles less
+        compacted = segments.repartition(target_partitions, "term")
+        self._refresh(docs, compacted)
+        return len(glob.glob(os.path.join(seg_path, "*.parquet")))
+
     def delete_all(self) -> None:
         """T12: clear everything; next build starts fresh."""
         for sub in ("docs", "segments", "term_stats", "blocks", "_checkpoints"):

@@ -231,3 +231,38 @@ def test_upsert_preserves_shard_modulus(spark, tmp_path):
         != F.pmod(F.xxhash64("documentID"), F.lit(8)).cast("int")
     ).count()
     assert bad == 0
+
+
+def test_compact_segments(spark, tmp_path):
+    """Repeated upserts fragment the segments table; compaction bounds
+    the file count and leaves search results byte-identical."""
+    import glob
+    import os
+
+    wh = str(tmp_path)
+    s = _settings("cmp")
+    corpus = generate_corpus(spark, 40, seed=15, words_per_doc=10)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    m = IndexMaintenance(spark, wh, "cmp")
+    for i in range(3):  # each upsert rewrites segments (fragmentation)
+        m.upsert_documents(
+            spark.createDataFrame(
+                [(f"frag-{i}", "r", "p", "c", "go", f"fragment doc {i} body")],
+                "documentID string, repo string, path string, commit string, "
+                "lang string, content string",
+            )
+        )
+    eng_before = SearchEngine(spark, wh, "cmp")
+    before = eng_before.search("tokenizer", k=50).collect()
+    n_before = len(glob.glob(os.path.join(wh, "cmp", "segments", "*.parquet")))
+
+    n_after = m.compact_segments(target_partitions=2)
+    assert n_after <= 2 < n_before
+
+    eng_after = SearchEngine(spark, wh, "cmp")
+    after = eng_after.search("tokenizer", k=50).collect()
+    assert [(r["doc_id"], r["score"]) for r in before] == [
+        (r["doc_id"], r["score"]) for r in after
+    ]
+    assert {r["documentID"] for r in eng_after.search("fragment", k=10).collect()} \
+        == {"frag-0", "frag-1", "frag-2"}
