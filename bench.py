@@ -173,6 +173,22 @@ def query_latency_profile(engine, wand, n: int = 15) -> dict:
     return {k: pcts(v) for k, v in lats.items()}
 
 
+def warm_latency_profile(engine, wand, n: int = 15) -> dict:
+    """Same profile in WARM serving mode (decoded postings persisted
+    doc_id-partitioned, literal-injected candidates, co-partitioned docs
+    join -- one Spark job per query). Rank identity vs cold is asserted
+    before timing."""
+    cold = engine.search("data valu tabel", k=10).collect()
+    info = engine.warm()
+    warm = engine.search("data valu tabel", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in cold] == [
+        (r["doc_id"], r["score"]) for r in warm
+    ], "warm mode broke rank identity"
+    prof = query_latency_profile(engine, wand, n)
+    prof["warm_info"] = info
+    return prof
+
+
 def materialize_scaling_corpus(n_docs: int, words: int) -> str:
     """Write the deterministic corpus once (at full parallelism); both
     scaling runs then READ the same parquet -- the measured job is the
@@ -275,6 +291,7 @@ def main() -> None:
         "n_blocks": report.n_blocks,
     }
     result["latency"] = query_latency_profile(engine, wand_topk)
+    result["latency_warm"] = warm_latency_profile(engine, wand_topk)
     spark.stop()
 
     if RUN_SCALING:

@@ -341,13 +341,19 @@ class IndexBuilder:
         n_post_hint = sum(c["n_postings"] for c in report.per_shard) or 0
 
         flat = self.spark.read.parquet(self.path("segments"))
-        head_terms = self._head_terms(flat, n_post_hint)
+        # an emptied index (every document deleted) still needs readable
+        # (empty) term_stats/blocks; observations are skipped because a
+        # zero-task dynamic-partition write never fires them (toPyRow
+        # asserts on the empty metric row)
+        empty = int(n_docs) == 0
+        head_terms = [] if empty else self._head_terms(flat, n_post_hint)
         report.n_salted_terms = len(head_terms)
 
         def build_term_stats() -> None:
             f = self.spark.read.parquet(self.path("segments"))
             flat_obs = Observation(f"flat_{uuid.uuid4().hex[:6]}")
-            f = f.observe(flat_obs, F.count(F.lit(1)).alias("n"))
+            if not empty:
+                f = f.observe(flat_obs, F.count(F.lit(1)).alias("n"))
             # df dedups by doc across fields (reference bm25.go:44-57);
             # idf = ln(N/df) (bm25.go:26-41)
             ts = (
@@ -381,13 +387,17 @@ class IndexBuilder:
             )
             ts = ts.join(fb, "term")
             ts_obs = Observation(f"ts_{uuid.uuid4().hex[:6]}")
-            ts = ts.observe(
-                ts_obs, F.count(F.lit(1)).alias("n"), F.max("df").alias("max_df")
-            )
+            if not empty:
+                ts = ts.observe(
+                    ts_obs, F.count(F.lit(1)).alias("n"), F.max("df").alias("max_df")
+                )
             self._write(ts, self.path("term_stats"))
-            report.n_postings = int(flat_obs.get["n"])
-            report.n_terms = int(ts_obs.get["n"])
-            report.max_df = int(ts_obs.get["max_df"] or 0)
+            if empty:
+                report.n_postings = report.n_terms = report.max_df = 0
+            else:
+                report.n_postings = int(flat_obs.get["n"])
+                report.n_terms = int(ts_obs.get["n"])
+                report.max_df = int(ts_obs.get["max_df"] or 0)
 
         def build_blocks() -> None:
             f = self.spark.read.parquet(self.path("segments"))
@@ -412,9 +422,10 @@ class IndexBuilder:
                 .mapInPandas(make_block_builder(s), schema=BLOCKS_SCHEMA)
             )
             blk_obs = Observation(f"blk_{uuid.uuid4().hex[:6]}")
-            blocks = blocks.observe(blk_obs, F.count(F.lit(1)).alias("n"))
+            if not empty:
+                blocks = blocks.observe(blk_obs, F.count(F.lit(1)).alias("n"))
             self._write(blocks, self.path("blocks"), partition_by=["bucket"])
-            report.n_blocks = int(blk_obs.get["n"])
+            report.n_blocks = 0 if empty else int(blk_obs.get["n"])
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -424,9 +435,19 @@ class IndexBuilder:
             f1.result()
             f2.result()
 
+        # monotonically increasing index generation: every finalize (build,
+        # delete, upsert, compact, reindex) bumps it, so a LIVE SearchEngine
+        # can detect that its driver vocab cache and DataFrame handles are
+        # stale -- the Spark analogue of the reference's typo-cache
+        # invalidation on index update (typo_finder.go:54-76)
+        try:
+            generation = int(load_stats(self.base).get("generation", 0)) + 1
+        except (FileNotFoundError, ValueError):
+            generation = 1
         with open(self.path("stats.json"), "w") as f:
             json.dump(
                 {
+                    "generation": generation,
                     "N": report.n_docs,
                     "avgdl": avgdl,
                     "n_postings": report.n_postings,
@@ -451,6 +472,18 @@ class IndexBuilder:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+        if partition_by:
+            import glob as _glob
+
+            if not _glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            ):
+                # a dynamic-partition write of an EMPTY frame emits no data
+                # files, leaving a directory whose schema cannot be
+                # inferred (e.g. docs after delete_documents removed every
+                # document); rewrite as a schema-bearing empty unpartitioned
+                # file so readers see an empty table, not an AnalysisException
+                df.limit(0).write.mode("overwrite").parquet(path)
 
     def _clean_stale_shards(self, fps: dict, num_shards: int) -> list[int]:
         """Delete segment dirs + checkpoints of shards absent from the
@@ -462,6 +495,15 @@ class IndexBuilder:
         if os.path.isdir(seg_root):
             for name in os.listdir(seg_root):
                 if not name.startswith("shard="):
+                    # maintenance _refresh rewrites segments as
+                    # UNPARTITIONED root-level part files; once the build
+                    # writes shard= subdirs again those root files are
+                    # invisible to partition discovery but never deleted --
+                    # remove them so resume-after-maintenance doesn't
+                    # depend on that discovery quirk (or leak disk)
+                    p = os.path.join(seg_root, name)
+                    if os.path.isfile(p):
+                        os.remove(p)
                     continue
                 try:
                     sid = int(name.split("=", 1)[1])

@@ -51,7 +51,10 @@ def assign_doc_ids(
         acc += row["count"]
     offsets_df = F.broadcast(
         parted.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+            [(int(pid), int(off)) for pid, off in offsets.items()],
+            # explicit schema: an EMPTY input frame (e.g. an upsert batch
+            # with zero inserts) must not crash schema inference
+            schema="_pid int, _offset long",
         )
     )
     w = Window.partitionBy("_pid").orderBy(id_col)

@@ -133,7 +133,9 @@ class IndexMaintenance:
             num_shards = self._num_shards()
         tmp_docs = self.base + "/_docs_new"
         tmp_seg = self.base + "/_segments_new"
-        docs.write.mode("overwrite").partitionBy("shard").parquet(tmp_docs)
+        # builder._write preserves schema when the frame is empty (a
+        # delete of every document must leave a readable empty table)
+        self.builder._write(docs, tmp_docs, partition_by=["shard"])
         segments.write.mode("overwrite").parquet(tmp_seg)
         for sub, tmp in (("docs", tmp_docs), ("segments", tmp_seg)):
             final = os.path.join(self.base, sub)
@@ -204,8 +206,6 @@ class IndexMaintenance:
 
         Returns {"updated": n, "inserted": n}.
         """
-        from pyspark.sql import Window
-
         from ..functions.tokenizer import whitespace_word_count_col
         from .builder import _norm_field
         from .flatmap import POSTINGS_SCHEMA, make_flatmap
@@ -219,6 +219,18 @@ class IndexMaintenance:
         nc = new_corpus
         if id_col != "documentID":
             nc = nc.withColumnRenamed(id_col, "documentID")
+        # the docs table is TYPED (unlike the reference's schema-free doc
+        # maps): an upsert batch must carry every passthrough column or the
+        # final projection dies with an unresolved-column error mid-plan --
+        # validate upfront with an actionable message instead
+        derived = {"doc_id", "doc_len", "content_sha256", "shard"}
+        missing = set(docs.columns) - set(nc.columns) - derived
+        if missing:
+            raise ValueError(
+                "upsert batch lacks columns present in the docs table: "
+                f"{sorted(missing)} (the index schema is fixed at build; "
+                "supply every non-derived column)"
+            )
         dl = None
         for f_name in s.searchable_fields:
             c = whitespace_word_count_col(
@@ -240,7 +252,10 @@ class IndexMaintenance:
             "content_sha256", F.sha2(sha_src, 256)
         )
 
-        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        # coalesce: an index whose docs were all deleted has max(doc_id)
+        # NULL -- the whole batch is then inserts starting at doc_id 0
+        row = docs.agg(F.max("doc_id")).collect()[0][0]
+        max_id = int(row) if row is not None else -1
         num_shards = self._num_shards()
         joined = nc.join(
             docs.select("documentID", "doc_id"), "documentID", "left"
@@ -256,18 +271,19 @@ class IndexMaintenance:
                 "upsert batch contains duplicate documentIDs; dedupe it "
                 "(e.g. dropDuplicates(['documentID'])) before upserting"
             )
-        # inserts: dense ids appended after the current maximum (the
-        # id-assignment window is over the UPSERT BATCH only, not the
-        # corpus -- bounded by the batch size, like the reference's
-        # sequential NextID counter)
-        w = Window.orderBy("documentID")
-        news = (
-            joined.filter(F.col("doc_id").isNull())
-            .drop("doc_id")
-            .withColumn(
-                "doc_id", (F.row_number().over(w) + F.lit(int(max_id))).cast("long")
-            )
-        )
+        # inserts: dense ids appended after the current maximum via the
+        # builder's range-partition + offset composition (build/ids.py) --
+        # NO single-partition global window, so a bulk insert of 10^8 new
+        # docs parallelizes like a fresh build (the reference pre-allocates
+        # contiguous NextID ranges per batch, bulk_operations.go:168-202)
+        from .ids import assign_doc_ids
+
+        par = self.spark.sparkContext.defaultParallelism
+        news = assign_doc_ids(
+            joined.filter(F.col("doc_id").isNull()).drop("doc_id"),
+            "documentID",
+            max(1, par),
+        ).withColumn("doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long"))
         upserted = (
             joined.filter(F.col("doc_id").isNotNull())
             .unionByName(news)

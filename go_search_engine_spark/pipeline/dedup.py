@@ -75,17 +75,19 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, text_col, id_col, k)
     if max_shingle_df is not None:
-        # one extra aggregation pass (map-side combined, tiny shuffle) buys
-        # the quadratic-blowup guard + its no-silent-cap log; recompute
-        # beats caching here (vectorized tokenize is cheaper than a cache
-        # materialization barrier, measured at sf0.1)
-        hot = (
-            sh.groupBy("shingle")
-            .count()
-            .filter(F.col("count") > max_shingle_df)
-            .select("shingle")
-        )
-        n_hot = hot.count()
+        # ONE-PASS guard: a single groupBy(shingle) collects each
+        # shingle's (df, sorted id list); the hot-set log, the sizes, and
+        # the candidate pairs are ALL derived from this persisted frame,
+        # so the whole operator pays exactly one tokenize+shuffle pass
+        # (the r2 layout re-aggregated the shingle stream three times).
+        # The id list is bounded by max_shingle_df, so per-row memory is
+        # capped; pair generation is a JVM-side slice/transform (emits
+        # only a < b), never a self-join.
+        grouped = sh.groupBy("shingle").agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
+        ).persist()
+        n_hot = grouped.filter(F.col("df") > max_shingle_df).count()
         if n_hot:
             import logging
 
@@ -93,18 +95,40 @@ def ngram_jaccard_pairs(
                 "ngram_jaccard_pairs: dropping %d stop-shingles with "
                 "df > %d (skew guard)", n_hot, max_shingle_df
             )
-            # no broadcast hint: AQE broadcasts when small, shuffles when
-            # the stop-shingle set itself is huge (degenerate corpora)
-            sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("a"), "shingle")
-    b = sh.select(F.col("id").alias("b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
+        kept = grouped.filter(F.col("df") <= max_shingle_df)
+        sizes = (
+            kept.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("sz"))
+        )
+        pair_col = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        inter = (
+            kept.select(F.explode(pair_col).alias("p"))
+            .select("p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        # exact inverted-join semantics (caller asserts no stop-shingles):
+        # no per-shingle id list is materialized, so a degenerate shingle
+        # can't blow a single row's memory -- only the join fan-out
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        a = sh.select(F.col("id").alias("a"), "shingle")
+        b = sh.select(F.col("id").alias("b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")

@@ -100,17 +100,39 @@ def resize_images(df: DataFrame, target: tuple[int, int] = (8, 8),
     th, tw = target
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batched like extract_metadata: one digest pass over the column,
+        # dimensions vectorized in numpy; the per-image gather is a pair
+        # of fancy-index ops on a contiguous buffer, never a row loop
+        # over DataFrame records
+        ys_base = np.arange(th)
+        xs_base = np.arange(tw)
         for pdf in batches:
-            ids, pix = [], []
-            for rec in pdf.itertuples():
-                img = decode_image(bytes(rec.payload), fake=fake_decode)
-                h, w, _ = img.shape
-                ys = (np.arange(th) * h // th)
-                xs = (np.arange(tw) * w // tw)
-                small = img[ys][:, xs].mean(axis=2).astype(np.int64)
-                ids.append(rec.media_id)
+            n = len(pdf)
+            if n == 0:
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            if not fake_decode and payloads:
+                decode_image(payloads[0], fake=False)  # stub contract
+            digests = [hashlib.sha256(p).digest() for p in payloads]
+            b0 = np.fromiter((d[0] for d in digests), dtype=np.int64, count=n)
+            b1 = np.fromiter((d[1] for d in digests), dtype=np.int64, count=n)
+            widths = (4 + b0 % 13).astype(np.int64)
+            heights = (4 + b1 % 7).astype(np.int64)
+            pix = []
+            for d, w, h in zip(digests, widths, heights):
+                nbytes = int(w * h * 3)
+                buf = np.frombuffer(
+                    (d * (nbytes // len(d) + 1))[:nbytes], dtype=np.uint8
+                ).reshape(int(h), int(w), 3)
+                small = (
+                    buf[ys_base * int(h) // th][:, xs_base * int(w) // tw]
+                    .mean(axis=2)
+                    .astype(np.int64)
+                )
                 pix.append(small.ravel().tolist())
-            yield pd.DataFrame({"media_id": ids, "pixels": pix})
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "pixels": pix}
+            )
 
     return df.filter(F.col("kind") == "image").mapInPandas(
         resize, schema="media_id long, pixels array<bigint>"

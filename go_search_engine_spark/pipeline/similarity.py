@@ -273,13 +273,111 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket_size: int | None = 10_000,
+    split_seed: int = 99,
+    max_split_rounds: int = 8,
+    report: dict | None = None,
 ) -> DataFrame:
     """(a, b, cos): near-duplicate embedding pairs inside shared LSH
-    buckets (equi-join on bucket key, exact cosine verify)."""
+    buckets (equi-join on bucket key, exact cosine verify).
+
+    Within-bucket pairing is O(bucket^2), and with a FIXED plane count
+    buckets grow linearly with the corpus -- the one quadratic risk of
+    the design. ``max_bucket_size`` (ON by default) bounds it: buckets
+    above the cap are recursively split with 2 extra deterministic
+    hyperplanes per round; when a round makes no progress (a cluster of
+    near-identical DIRECTIONS lies on the same side of every plane, so
+    no hyperplane can separate it), the round hash-salts the stuck
+    buckets instead -- pmod(xxhash64(id), ceil(pop/cap)) -- which
+    always converges. Every round logs the bucket-size histogram and
+    what it did; never a silent cap. Plane splits lose only
+    across-boundary pairs (the standard LSH depth/recall knob); salt
+    splits are recall-lossy within the stuck bucket, which is exactly
+    the degenerate case whose full output would itself be quadratic.
+    Pass ``None`` to disable on corpora known to be balanced. The
+    default cap never triggers below ~10k same-bucket vectors, so
+    small-scale results are bit-identical to the unguarded operator.
+    """
     with_b = df.join(
         hyperplane_lsh_buckets(df, planes, vec_col, id_col),
         df[id_col] == F.col("id"),
     ).drop("id")
+    # string bucket keys: split refinements append "/bits", which can
+    # never collide with an unsplit sibling bucket's key
+    with_b = with_b.withColumn("bucket", F.col("bucket").cast("string"))
+    if max_bucket_size is not None:
+        import logging
+
+        log = logging.getLogger(__name__)
+        dim = planes.shape[1]
+        prev_max: int | None = None
+        for rnd in range(max_split_rounds):
+            counts = with_b.groupBy("bucket").count().persist()
+            hist = counts.agg(
+                F.count("*").alias("n_buckets"),
+                F.max("count").alias("max_pop"),
+                F.avg("count").alias("avg_pop"),
+            ).collect()[0]
+            hot = counts.filter(F.col("count") > max_bucket_size)
+            n_hot = hot.count()
+            if report is not None:
+                report["rounds"] = rnd + 1
+                report["final_max_pop"] = int(hist["max_pop"])
+                report["final_n_buckets"] = int(hist["n_buckets"])
+            if n_hot == 0:
+                counts.unpersist()
+                break
+            # "stuck" = the previous plane split shrank the hottest bucket
+            # by less than 25%: near-identical directions barely split on
+            # hyperplanes, so marginal progress would burn every round
+            # without ever reaching the cap
+            stuck = (
+                prev_max is not None
+                and int(hist["max_pop"]) > 0.75 * prev_max
+            )
+            prev_max = int(hist["max_pop"])
+            log.warning(
+                "embedding_cosine_pairs: round %d bucket histogram "
+                "n_buckets=%d max_pop=%d avg_pop=%.1f; %s %d bucket(s) "
+                "above %d",
+                rnd, hist["n_buckets"], hist["max_pop"],
+                float(hist["avg_pop"]),
+                "hash-salting (planes made no progress; recall-lossy "
+                "within the stuck bucket)" if stuck
+                else "splitting with 2 extra planes",
+                n_hot, max_bucket_size,
+            )
+            is_hot = F.col("count").isNotNull()
+            if stuck:
+                # target 75% of the cap so hash variance across salt
+                # groups doesn't leave a group marginally above it
+                g = F.ceil(
+                    F.col("count") / F.lit(0.75 * max_bucket_size)
+                ).cast("int")
+                refine = F.pmod(F.xxhash64(F.col(id_col)), g).cast("string")
+                sep = "#"
+            else:
+                extra = hyperplanes(dim, 2, seed=split_seed + rnd)
+                bits = F.lit(0)
+                for i, p in enumerate(extra):
+                    pl = F.array(*[F.lit(float(v)) for v in p])
+                    bits = bits + F.when(
+                        _dot(F.col(vec_col), pl) > 0, F.lit(1 << i)
+                    ).otherwise(F.lit(0))
+                refine = bits.cast("string")
+                sep = "/"
+            with_b = (
+                with_b.join(F.broadcast(hot), "bucket", "left")
+                .withColumn(
+                    "bucket",
+                    F.when(
+                        is_hot,
+                        F.concat(F.col("bucket"), F.lit(sep), refine),
+                    ).otherwise(F.col("bucket")),
+                )
+                .drop("count")
+            )
+            counts.unpersist()
     a = with_b.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
     )

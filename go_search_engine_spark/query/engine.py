@@ -100,9 +100,15 @@ class SearchEngine:
     ):
         self.spark = spark
         self.base = os.path.join(warehouse, name)
+        self._vocab_cache_max = vocab_cache_max
+        self._open_frames()
+
+    def _open_frames(self) -> None:
+        """(Re)load settings, stats, and the table handles; clears the
+        driver vocab cache. Called at open and on generation change."""
         self.settings = load_settings(self.base)
         self.stats = load_stats(self.base)
-        self.blocks = spark.read.parquet(os.path.join(self.base, "blocks"))
+        self.blocks = self.spark.read.parquet(os.path.join(self.base, "blocks"))
         if "fws" not in self.blocks.columns:
             # format v2 (adds the full-word bitmask per block); a v1 index
             # decodes wrongly everywhere, so fail loud at open
@@ -110,10 +116,50 @@ class SearchEngine:
                 f"index at {self.base} predates the fws block column "
                 "(format v2); rebuild it with the current builder"
             )
-        self.term_stats = spark.read.parquet(os.path.join(self.base, "term_stats"))
-        self.docs = spark.read.parquet(os.path.join(self.base, "docs"))
-        self._vocab_cache_max = vocab_cache_max
+        self.term_stats = self.spark.read.parquet(
+            os.path.join(self.base, "term_stats")
+        )
+        self.docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
         self._vocab_pd: pd.DataFrame | None = None
+        self._generation = int(self.stats.get("generation", 0))
+        st = os.stat(os.path.join(self.base, "stats.json"))
+        self._stats_sig = (st.st_mtime_ns, st.st_size)
+        # warm serving mode state (see warm()); dropped on reload so a
+        # maintenance rewrite can never serve stale decoded postings
+        old_warm = getattr(self, "_warm_decoded", None)
+        if old_warm is not None:
+            old_warm.unpersist()
+        old_docs = getattr(self, "_docs_slim", None)
+        if old_docs is not None:
+            old_docs.unpersist()
+        self._warm_decoded: DataFrame | None = None
+        self._warm_terms: set[str] | None = None  # None=cold, empty set=ALL
+        self._warm_all = False
+        self._docs_slim: DataFrame | None = None
+
+    def _ensure_fresh(self) -> None:
+        """Generation check before serving from cached driver state: every
+        maintenance rewrite bumps ``generation`` in stats.json
+        (builder._finalize), so a LIVE engine reloads its frames + vocab
+        cache instead of serving stale stats or scanning deleted files --
+        the reference invalidates its typo cache the same way on every
+        index update (typo_finder.go:54-76). Fast path: one stat() call
+        (mtime+size signature); stats.json is only re-read when that
+        changes."""
+        p = os.path.join(self.base, "stats.json")
+        try:
+            st = os.stat(p)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"index at {self.base} was deleted under a live engine"
+            ) from None
+        sig = (st.st_mtime_ns, st.st_size)
+        if sig == self._stats_sig:
+            return
+        if int(load_stats(self.base).get("generation", 0)) != self._generation:
+            self._open_frames()
+        else:
+            self._stats_sig = sig
 
     # ------------------------------------------------------------------
     def _vocab(self) -> pd.DataFrame | None:
@@ -228,6 +274,7 @@ class SearchEngine:
         ANY number of tokens (multi-search batches all its queries'
         tokens through a single call). Driver-side numpy when the vocab
         is cached; otherwise one distributed mapInPandas job."""
+        self._ensure_fresh()
         if not eligible:
             return pd.DataFrame(columns=["token", "term", "distance"])
         vocab = self._vocab()
@@ -335,6 +382,7 @@ class SearchEngine:
         """(token, term, distance, penalty, df, idf) candidate table;
         bounded by n_tokens x (1 + MAX_TYPO_CANDIDATES). Zero Spark jobs
         when the vocab is driver-cached."""
+        self._ensure_fresh()
         gates = self._token_gates(
             tokens,
             typo_tolerance,
@@ -369,6 +417,99 @@ class SearchEngine:
         return out
 
     # ------------------------------------------------------------------
+    def warm(
+        self,
+        max_postings: int = 20_000_000,
+        docs_map_max: int = 50_000_000,
+    ) -> dict:
+        """Opt-in SERVING MODE: decode hot posting blocks ONCE into a
+        persisted executor-side frame so queries skip the scan + Arrow
+        decode stage, and persist the slim (doc_id, documentID) join side.
+
+        Budgeted, never unbounded: when the whole index fits
+        ``max_postings`` every term is warmed; otherwise the highest-df
+        terms are warmed up to the budget (the classic hot-set cache --
+        head terms dominate query traffic) and cold terms keep the normal
+        pruned scan+decode path, unioned per query. The docs map is only
+        persisted when N <= ``docs_map_max``. A maintenance rewrite
+        (generation bump) drops all warm state on the next query.
+
+        Returns {"warm_terms": n|"all", "warm_postings": n, "docs_slim": bool}.
+        """
+        self._ensure_fresh()
+        n_post = int(self.stats.get("n_postings", 0))
+        info: dict = {}
+        if n_post <= max_postings:
+            blk = self.blocks
+            self._warm_terms = set()
+            self._warm_all = True
+            info["warm_terms"] = "all"
+        else:
+            vocab = self._vocab()
+            if vocab is not None:
+                v = vocab.sort_values(["df", "term"], ascending=[False, True])
+                cum = v["df"].cumsum()
+                chosen = set(v["term"][cum <= max_postings])
+            else:
+                rows = (
+                    self.term_stats.orderBy(F.desc("df"), F.asc("term"))
+                    .select("term", "df")
+                    .limit(200_000)
+                    .collect()
+                )
+                chosen, acc = set(), 0
+                for r in rows:
+                    if acc + int(r["df"]) > max_postings:
+                        break
+                    chosen.add(r["term"])
+                    acc += int(r["df"])
+            self._warm_terms = chosen
+            self._warm_all = False
+            buckets = self._term_buckets(sorted(chosen))
+            blk = self.blocks.filter(
+                F.col("bucket").isin(buckets)
+                & F.col("term").isin(sorted(chosen))
+            )
+            info["warm_terms"] = len(chosen)
+        decoded = (
+            blk.select("term", "field", "doc_ids", "tfs", "dls", "fws")
+            .mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+            # persist HASH-PARTITIONED BY doc_id: every aggregation and
+            # window in score_and_intersect clusters on key sets that
+            # CONTAIN doc_id, so a doc_id partitioning satisfies all of
+            # them -- the whole score+intersect pipeline becomes
+            # partition-local (ZERO query-time exchanges before top-k).
+            # Partition count sized to the warmed data (~100k postings per
+            # partition): per-task launch overhead dominates sub-ms task
+            # bodies, so defaulting to shuffle.partitions would pay ~32
+            # task launches per stage to scan a few MB of memory
+            .repartition(
+                max(4, min(
+                    self.spark.sparkContext.defaultParallelism,
+                    n_post // 100_000 + 1,
+                )),
+                "doc_id",
+            )
+            .persist()
+        )
+        info["warm_postings"] = decoded.count()  # materialize
+        self._warm_decoded = decoded
+        n_parts = decoded.rdd.getNumPartitions()
+        if int(self.stats.get("N", 0)) <= docs_map_max:
+            # CO-PARTITIONED with the warm frame (same key, same partition
+            # count): the final documentID join then satisfies both sides'
+            # distribution -- no exchange, no per-query broadcast job
+            self._docs_slim = (
+                self.docs.select("doc_id", "documentID")
+                .repartition(n_parts, "doc_id")
+                .persist()
+            )
+            self._docs_slim.count()
+            info["docs_slim"] = True
+        else:
+            info["docs_slim"] = False
+        return info
+
     def _term_buckets(self, terms: list[str]) -> list[int]:
         """Bucket of each candidate term via the pure-Python XXH64 replica
         of Spark's xxhash64 (bit-identical, tests/test_xxhash.py) -- exact
@@ -391,10 +532,19 @@ class SearchEngine:
 
     def cand_frame(self, cand: pd.DataFrame) -> DataFrame:
         """Broadcast-able Spark frame of the candidate table (df/idf come
-        from the candidate table itself -- no term_stats join per query)."""
+        from the candidate table itself -- no term_stats join per query).
+        Built from plain tuples: for a few-hundred-row table the Arrow
+        pandas conversion costs more in per-query latency than it saves."""
+        rows = [
+            (str(t), str(m), int(d), float(p), float(i))
+            for t, m, d, p, i in zip(
+                cand["token"], cand["term"], cand["distance"],
+                cand["penalty"], cand["idf"],
+            )
+        ]
         return F.broadcast(
             self.spark.createDataFrame(
-                cand[["token", "term", "distance", "penalty", "idf"]],
+                rows,
                 schema="token string, term string, distance int, "
                 "penalty double, idf double",
             )
@@ -404,13 +554,73 @@ class SearchEngine:
         self, cand: pd.DataFrame, fields: list[str]
     ) -> DataFrame:
         """Decoded postings of candidate terms joined with candidate meta:
-        (token, term, distance, penalty, idf, field, doc_id, tf, dl, fw)."""
-        blk = self.candidate_blocks(cand, fields)
-        # project BEFORE the decode UDF: column pruning cannot reach
-        # through mapInPandas, and the unused ``positions`` stream is the
-        # bulk of a block row's bytes
-        blk = blk.select("term", "field", "doc_ids", "tfs", "dls", "fws")
-        decoded = blk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+        (token, term, distance, penalty, idf, field, doc_id, tf, dl, fw).
+
+        Warm serving mode: terms covered by the persisted decoded frame
+        are filtered from it (no scan, no Arrow decode); cold terms keep
+        the pruned scan+decode path; the two unioned."""
+        terms = sorted(set(cand["term"]))
+        decoded = None
+        cold = terms
+        if self._warm_decoded is not None:
+            warm = (
+                terms
+                if self._warm_all
+                else [t for t in terms if t in self._warm_terms]
+            )
+            cold = [] if self._warm_all else [t for t in terms if t not in self._warm_terms]
+            if warm:
+                decoded = self._warm_decoded.filter(
+                    F.col("term").isin(warm) & F.col("field").isin(fields)
+                )
+        if cold:
+            blk = self.candidate_blocks(
+                cand[cand["term"].isin(cold)], fields
+            )
+            # project BEFORE the decode UDF: column pruning cannot reach
+            # through mapInPandas, and the unused ``positions`` stream is
+            # the bulk of a block row's bytes
+            blk = blk.select("term", "field", "doc_ids", "tfs", "dls", "fws")
+            cold_dec = blk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+            decoded = cold_dec if decoded is None else decoded.unionByName(cold_dec)
+        if decoded is None:  # no candidate terms at all
+            decoded = self.spark.createDataFrame([], schema=DECODED_SCHEMA)
+        if self._warm_decoded is not None:
+            # serving mode: the candidate meta is injected as an ARRAY
+            # LITERAL + explode(filter(...)) instead of a broadcast join --
+            # identical inner-join semantics (a term matching n (token,
+            # term) pairs fans out n times, no match -> dropped), but no
+            # per-query BroadcastExchange job and no driver->JVM
+            # createDataFrame. Built as ONE SQL expression string: a
+            # python-side array-of-struct literal costs ~5 py4j round
+            # trips PER candidate row, which dominated warm p50. Terms
+            # are tokenizer output ([a-z0-9]+ and prefixes), safe to
+            # embed; repr(float) round-trips exactly.
+            def _esc(s: str) -> str:
+                return str(s).replace("\\", "\\\\").replace("'", "\\'")
+
+            entries = ",".join(
+                "named_struct('token','%s','cterm','%s','distance',%d,"
+                "'penalty',CAST(%r AS DOUBLE),'idf',CAST(%r AS DOUBLE))"
+                % (_esc(t), _esc(m), int(d), float(p), float(i))
+                for t, m, d, p, i in zip(
+                    cand["token"], cand["term"], cand["distance"],
+                    cand["penalty"], cand["idf"],
+                )
+            )
+            matches = F.expr(
+                f"filter(array({entries}), s -> s.cterm = term)"
+            )
+            return (
+                decoded.select("*", F.explode(matches).alias("_c"))
+                .select(
+                    "term", "field", "doc_id", "tf", "dl", "fw",
+                    F.col("_c.token").alias("token"),
+                    F.col("_c.distance").alias("distance"),
+                    F.col("_c.penalty").alias("penalty"),
+                    F.col("_c.idf").alias("idf"),
+                )
+            )
         return decoded.join(self.cand_frame(cand), "term")
 
     # ------------------------------------------------------------------
@@ -427,6 +637,7 @@ class SearchEngine:
         num_typos, number_exact_words) rank-identical to the oracle.
         Per-query ``min_word_size_for_*`` override the index's typo gates
         (reference Q7, service.go:191-200)."""
+        self._ensure_fresh()
         s = self.settings
         fields = fields or s.searchable_fields
         bad = set(fields) - set(s.searchable_fields)
@@ -456,8 +667,16 @@ class SearchEngine:
         return self.finish_topk(scored, k)
 
     def finish_topk(self, scored: DataFrame, k: int) -> DataFrame:
+        if self._docs_slim is not None:
+            # shuffle-hash hint vetoes the broadcast the planner would
+            # otherwise pick: both sides are already HashPartitioning
+            # (doc_id, N), so the hinted join inserts NO exchange and
+            # spares the per-query BroadcastExchange job
+            docs_slim = self._docs_slim.hint("shuffle_hash")
+        else:
+            docs_slim = self.docs.select("doc_id", "documentID")
         out = (
-            scored.join(self.docs.select("doc_id", "documentID"), "doc_id")
+            scored.join(docs_slim, "doc_id")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )

@@ -101,13 +101,40 @@ def _condition(df: DataFrame, c: FilterCondition) -> Column:
     return F.lit(False)
 
 
-def compile_filters(df: DataFrame, f: Filters | None) -> tuple[Column, Column]:
+def _tree_fields(f: Filters) -> list[str]:
+    out = [c.field for c in f.filters]
+    for g in f.groups:
+        out.extend(_tree_fields(g))
+    return out
+
+
+def compile_filters(
+    df: DataFrame,
+    f: Filters | None,
+    filterable_fields: list[str] | None = None,
+) -> tuple[Column, Column]:
     """Return (matches: boolean Column, filter_score: double Column).
 
     Empty expression => (true, 0.0) (service.go:719-723).
+
+    ``filterable_fields``: advisory validation -- filtering on a field
+    outside the configured set logs a warning but still evaluates, the
+    reference's exact semantics (service.go:823-825: "Filtering on
+    non-filterable field ... proceeding anyway"). ``None`` disables the
+    check (direct/unmanaged use where no settings exist).
     """
     if f is None or (not f.filters and not f.groups):
         return F.lit(True), F.lit(0.0)
+    if filterable_fields is not None:
+        import logging
+
+        allowed = set(filterable_fields)
+        for name in _tree_fields(f):
+            if name not in allowed:
+                logging.getLogger(__name__).warning(
+                    "filtering on non-filterable field %r (not in "
+                    "filterable_fields); proceeding anyway", name
+                )
 
     parts: list[tuple[Column, Column]] = []
     for c in f.filters:

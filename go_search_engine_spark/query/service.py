@@ -82,7 +82,13 @@ def _ranking_order(settings, df: DataFrame) -> list[Column]:
 class SearchService:
     def __init__(self, engine: SearchEngine):
         self.engine = engine
-        self.settings = engine.settings
+
+    @property
+    def settings(self):
+        # resolved through the engine: a generation reload (maintenance
+        # under a live engine) swaps engine.settings, and the service must
+        # never serve the pre-maintenance copy
+        return self.engine.settings
 
     def _prepare(self, req: SearchRequest, cand=None):
         """(fields, tokens, cand) for a request; validates the field
@@ -106,7 +112,7 @@ class SearchService:
         return fields, tokens, cand
 
     def _ranked_frame(
-        self, req: SearchRequest, cand=None, prep=None
+        self, req: SearchRequest, cand=None, prep=None, ordered: bool = True
     ) -> DataFrame:
         """The full ranked+deduped hit frame (pre-pagination). ``prep``:
         an already-computed ``_prepare`` triple (search() passes it so the
@@ -120,13 +126,22 @@ class SearchService:
         scored = eng.score_and_intersect(matched, n_tokens=len(tokens))
         hits = scored.join(eng.docs, "doc_id")
 
-        # filter tree + filter scoring (service.go:717-795)
-        matches, fscore = compile_filters(hits, req.filters)
+        # filter tree + filter scoring (service.go:717-795); advisory
+        # filterable-fields validation mirrors service.go:823-825
+        matches, fscore = compile_filters(
+            hits, req.filters, filterable_fields=s.filterable_fields
+        )
         hits = hits.withColumn("filter_score", fscore.cast("double")).filter(matches)
 
         order = _ranking_order(s, hits)
         # DistinctField dedup keeps the best-ranked hit per distinct value;
-        # docs missing the field are always kept (service.go:678-715)
+        # docs missing the field are always kept (service.go:678-715).
+        # The reference compares fmt.Sprintf("%v") of the dynamic value
+        # (service.go:678-715); here columns are TYPED, so native equality
+        # and string equality coincide for every value a single-typed
+        # column can hold (incl. arrays, compared element-wise both ways)
+        # -- the stringification collapses to a no-op rather than a
+        # missing behavior
         if s.distinct_field and s.distinct_field in hits.columns:
             dcol = F.col(s.distinct_field)
             w = Window.partitionBy(dcol).orderBy(*order)
@@ -137,7 +152,7 @@ class SearchService:
                 .drop("_rn")
             )
             hits = deduped.unionByName(hits.filter(dcol.isNull()))
-        return hits.orderBy(*order)
+        return hits.orderBy(*order) if ordered else hits
 
     def search(self, req: SearchRequest) -> SearchResult:
         t0 = time.time()
@@ -194,16 +209,13 @@ class SearchService:
         keep = meta + [c for c in retrievable if c in df.columns and c not in meta]
         return df.select(*keep)
 
-    def multi_search(self, requests: dict[str, SearchRequest],
-                     k: int = 10) -> DataFrame:
-        """J4 (multi_search.go:12-81): N named queries as ONE physical
-        plan -- candidate generation is batched through a SINGLE
-        vocabulary typo scan covering every request's tokens (merged at
-        each token's maximum gate, then sliced back per request -- the
-        slice equals a direct per-request scan because the candidate cap
-        orders by (distance, term)), and the per-request plans union into
-        one job with a query_name column. The reference fans out N
-        goroutines against shared in-memory state."""
+    def _batched_cands(
+        self, requests: dict[str, SearchRequest]
+    ) -> dict[str, tuple[list[str], object]]:
+        """{name: (tokens, cand)} for all requests with ONE vocabulary
+        typo scan: tokens are merged at each token's maximum gate, then
+        sliced back per request -- the slice equals a direct per-request
+        scan because the candidate cap orders by (distance, term)."""
         import pandas as pd
 
         from ..config import TYPO_PENALTY_1, TYPO_PENALTY_2
@@ -226,10 +238,11 @@ class SearchService:
         eligible = sorted((t, d) for t, d in merged.items() if d > 0)
         scan = eng.typo_scan(eligible)  # ONE vocab pass for all requests
 
-        frames = []
+        out: dict[str, tuple[list[str], object]] = {}
         for name, req in requests.items():
             tokens, gates = toks_per[name]
             if not tokens:
+                out[name] = (tokens, None)
                 continue
             rows = [(t, t, 0, 1.0) for t in tokens]
             sub = scan[scan["token"].isin(tokens)] if len(scan) else scan
@@ -237,11 +250,32 @@ class SearchService:
                 if r.distance <= gates.get(r.token, 0):
                     pen = TYPO_PENALTY_1 if r.distance == 1 else TYPO_PENALTY_2
                     rows.append((r.token, r.term, int(r.distance), pen))
-            cand = eng._with_stats(
-                pd.DataFrame(
-                    rows, columns=["token", "term", "distance", "penalty"]
-                )
+            out[name] = (
+                tokens,
+                eng._with_stats(
+                    pd.DataFrame(
+                        rows, columns=["token", "term", "distance", "penalty"]
+                    )
+                ),
             )
+        return out
+
+    def multi_search(self, requests: dict[str, SearchRequest],
+                     k: int = 10) -> DataFrame:
+        """J4 (multi_search.go:12-81): N named queries as ONE physical
+        plan -- candidate generation is batched through a SINGLE
+        vocabulary typo scan covering every request's tokens, and the
+        per-request plans union into one job with a query_name column.
+        The reference fans out N goroutines against shared in-memory
+        state. For full per-request result envelopes (hits/total/page/
+        took) use ``multi_search_envelopes``."""
+        eng = self.engine
+        eng._ensure_fresh()
+        frames = []
+        for name, (tokens, cand) in self._batched_cands(requests).items():
+            if not tokens:
+                continue
+            req = requests[name]
             f = (
                 self._ranked_frame(req, cand=cand)
                 .limit(k)
@@ -267,3 +301,124 @@ class SearchService:
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+
+    def multi_search_envelopes(
+        self, requests: dict[str, SearchRequest]
+    ) -> dict[str, SearchResult]:
+        """J4 with FULL result-envelope parity: each named request gets
+        the same SearchResult a lone ``search()`` would return (hits with
+        filters/ranking/dedup/pagination/projection applied, total, page,
+        took) -- the reference's multi-search contract
+        (multi_search.go:12-81 returns a full response per query).
+
+        Still batched execution: one vocabulary scan for all requests,
+        then ONE unioned plan; totals come from a single groupBy job and
+        every page slice from a single per-query-ranked window job --
+        2 jobs for N requests instead of 2N."""
+        t0 = time.time()
+        eng = self.engine
+        eng._ensure_fresh()
+        s = self.settings
+        cands = self._batched_cands(requests)
+
+        frames = []
+        for name, (tokens, cand) in cands.items():
+            if not tokens:
+                continue
+            req = requests[name]
+            fields = req.restrict_searchable_fields or s.searchable_fields
+            bad = set(fields) - set(s.searchable_fields)
+            if bad:
+                raise ValueError(f"non-searchable fields: {sorted(bad)}")
+            f = self._ranked_frame(
+                req, prep=(fields, tokens, cand), ordered=False
+            ).withColumn("query_name", F.lit(name))
+            frames.append(f)
+
+        results: dict[str, SearchResult] = {}
+        empty_names = [n for n, (tokens, _c) in cands.items() if not tokens]
+        if frames:
+            union = frames[0]
+            for f in frames[1:]:
+                union = union.unionByName(f)
+            order = _ranking_order(s, union)
+            w = Window.partitionBy("query_name").orderBy(*order)
+            ranked = union.withColumn("_rn", F.row_number().over(w)).persist()
+            try:
+                totals = {
+                    r["query_name"]: r["n"]
+                    for r in ranked.groupBy("query_name")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                # every tokenized request gets an envelope, including ones
+                # whose AND matched zero docs (absent from the groupBy)
+                served = [n for n, (tk, _c) in cands.items() if tk]
+                slice_pred = None
+                pages: dict[str, tuple[int, int]] = {}
+                for name in served:
+                    req = requests[name]
+                    page = max(req.page, 1)
+                    size = req.page_size if req.page_size > 0 else 10
+                    pages[name] = (page, size)
+                    lo = (page - 1) * size
+                    p = (
+                        (F.col("query_name") == name)
+                        & (F.col("_rn") > lo)
+                        & (F.col("_rn") <= lo + size)
+                    )
+                    slice_pred = p if slice_pred is None else (slice_pred | p)
+                rows = (
+                    ranked.filter(slice_pred).orderBy("query_name", "_rn")
+                    .collect()
+                )
+            finally:
+                ranked.unpersist()
+            by_name: dict[str, list[dict]] = {}
+            for r in rows:
+                d = r.asDict(recursive=True)
+                d.pop("_rn"), d.pop("query_name")
+                by_name.setdefault(r["query_name"], []).append(d)
+            took = (time.time() - t0) * 1000.0
+            for name in served:
+                total = totals.get(name, 0)
+                req = requests[name]
+                page, size = pages[name]
+                hits = by_name.get(name, [])
+                if req.retrievable_fields is not None:
+                    meta = {
+                        "doc_id", "documentID", "score", "num_typos",
+                        "number_exact_words", "filter_score",
+                    }
+                    keep = meta | set(req.retrievable_fields)
+                    hits = [
+                        {k: v for k, v in h.items() if k in keep}
+                        for h in hits
+                    ]
+                if req.include_field_matches and hits:
+                    _tokens, cand = cands[name]
+                    fields = (
+                        req.restrict_searchable_fields or s.searchable_fields
+                    )
+                    fm = {
+                        r["doc_id"]: r["field_matches"]
+                        for r in eng.field_matches(
+                            cand, fields,
+                            doc_ids=[h["doc_id"] for h in hits],
+                        ).collect()
+                    }
+                    for h in hits:
+                        h["field_matches"] = fm.get(h["doc_id"], {})
+                results[name] = SearchResult(
+                    hits=hits, total=total, page=page, page_size=size,
+                    took_ms=took, query_id=uuid.uuid4().hex,
+                )
+        took = (time.time() - t0) * 1000.0
+        for name in empty_names:
+            req = requests[name]
+            results[name] = SearchResult(
+                hits=[], total=0, page=max(req.page, 1),
+                page_size=req.page_size if req.page_size > 0 else 10,
+                took_ms=took, query_id=uuid.uuid4().hex,
+            )
+        return results

@@ -91,6 +91,7 @@ def wand_topk(
     ``prune``: True forces the 2-phase block-max tier, False forces
     exhaustive, None picks among exhaustive / anchored / two-phase from
     driver-side candidate stats."""
+    engine._ensure_fresh()
     s = engine.settings
     fields = fields or s.searchable_fields
     bad = set(fields) - set(s.searchable_fields)
@@ -113,6 +114,21 @@ def wand_topk(
 
     est_postings = int(cand["df"].sum())
     est_rare = min(tok_df.values())
+    # warm serving mode: when every candidate term is already decoded in
+    # the persisted warm frame, block-level decode pruning buys nothing --
+    # the exhaustive plan over the in-memory frame is the fastest (and
+    # rank-identical) plan. Forced tiers (prune=True) still exercise the
+    # pruning machinery.
+    if prune is None and engine._warm_decoded is not None and (
+        engine._warm_all
+        or set(cand["term"]) <= engine._warm_terms
+    ):
+        if report is not None:
+            report["est_postings"] = est_postings
+            report["est_rare"] = est_rare
+            report["mode"] = "warm_exhaustive"
+            report["pruned_path"] = False
+        return engine.search_from_cand(cand, fields, k, n_tokens=len(tokens))
     if prune is None:
         # three-tier auto plan choice, all from driver-side stats (no
         # jobs): tiny -> single-pass exhaustive; medium rare anchor ->
@@ -144,10 +160,14 @@ def wand_topk(
     def finalize(out_df: DataFrame) -> DataFrame:
         res = engine.finish_topk(out_df, k)
         if k <= 10_000:
-            rows = res.collect()
+            # eager localCheckpoint: materializes the k rows EXECUTOR-side
+            # and cuts lineage, so the upstream persists can be released
+            # immediately -- no collect/createDataFrame driver round-trip
+            # of result rows (the rows only reach the driver if the caller
+            # collects)
+            res = res.localCheckpoint(eager=True)
             for p in persisted:
                 p.unpersist()
-            return engine.spark.createDataFrame(rows, schema=res.schema)
         return res
 
     rare = min(tok_df, key=lambda t: (tok_df[t], t))

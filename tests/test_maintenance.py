@@ -266,3 +266,140 @@ def test_compact_segments(spark, tmp_path):
     ]
     assert {r["documentID"] for r in eng_after.search("fragment", k=10).collect()} \
         == {"frag-0", "frag-1", "frag-2"}
+
+
+def test_upsert_into_emptied_index(spark, tmp_path):
+    """Deleting every document leaves docs empty (max(doc_id) is NULL);
+    a following upsert must treat the whole batch as inserts starting at
+    doc_id 0 instead of crashing on the null aggregate."""
+    wh = str(tmp_path)
+    s = _settings("emptied")
+    corpus = generate_corpus(spark, 10, seed=21, words_per_doc=8)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    m = IndexMaintenance(spark, wh, "emptied")
+    all_ids = [r["documentID"] for r in corpus.select("documentID").collect()]
+    assert m.delete_documents(all_ids) == 10
+
+    batch = spark.createDataFrame(
+        [(f"fresh-{i}", "r", "p", "c", "go", f"fresh body {i}") for i in range(3)],
+        "documentID string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    rep = m.upsert_documents(batch)
+    assert rep == {"updated": 0, "inserted": 3}
+    docs = spark.read.parquet(f"{wh}/emptied/docs")
+    got = sorted(
+        (r["documentID"], r["doc_id"])
+        for r in docs.select("documentID", "doc_id").collect()
+    )
+    assert got == [("fresh-0", 0), ("fresh-1", 1), ("fresh-2", 2)]
+
+
+def test_upsert_bulk_insert_ids_parallel(spark, tmp_path):
+    """Insert-id assignment uses the builder's range-partition + offset
+    composition (build/ids.py), not a global single-partition window: a
+    multi-partition insert batch gets dense contiguous ids above the old
+    maximum, ordered by documentID (assign_doc_ids' plan -- per-partition
+    windows only -- is pinned in test_build)."""
+    wh = str(tmp_path)
+    s = _settings("bulkins")
+    corpus = generate_corpus(spark, 20, seed=22, words_per_doc=8)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    m = IndexMaintenance(spark, wh, "bulkins")
+    old_max = (
+        spark.read.parquet(f"{wh}/bulkins/docs")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    batch = spark.createDataFrame(
+        [(f"new-{i:03d}", "r", "p", "c", "go", f"body {i}") for i in range(50)],
+        "documentID string, repo string, path string, commit string, "
+        "lang string, content string",
+    ).repartition(8)
+    rep = m.upsert_documents(batch)
+    assert rep == {"updated": 0, "inserted": 50}
+    docs = spark.read.parquet(f"{wh}/bulkins/docs")
+    new_rows = sorted(
+        (r["documentID"], r["doc_id"])
+        for r in docs.filter(F.col("documentID").startswith("new-")).collect()
+    )
+    # dense, contiguous, documentID-ordered, starting at old_max + 1
+    assert [d for _, d in new_rows] == list(
+        range(old_max + 1, old_max + 51)
+    )
+
+
+def test_resume_cleans_refresh_root_segment_files(spark, tmp_path):
+    """_refresh writes segments as unpartitioned root-level part files; a
+    later build(resume=True) writes shard= subdirs into the same directory
+    and must REMOVE the root files (otherwise they are orphaned on disk
+    and correctness silently depends on partition discovery ignoring
+    base-path data files once partition dirs exist)."""
+    import glob
+    import os
+
+    wh = str(tmp_path)
+    s = _settings("rootclean")
+    corpus = generate_corpus(spark, 40, seed=23, words_per_doc=10)
+    builder = IndexBuilder(spark, s, wh)
+    builder.build(corpus, num_shards=2)
+    eng = SearchEngine(spark, wh, "rootclean")
+    victim = eng.search("tokenizer", k=1, typo_tolerance=False).collect()[0][
+        "documentID"
+    ]
+    IndexMaintenance(spark, wh, "rootclean").delete_documents([victim])
+    seg_root = os.path.join(wh, "rootclean", "segments")
+    assert glob.glob(os.path.join(seg_root, "part-*"))  # refresh layout
+
+    builder.build(corpus, num_shards=2, resume=True)
+    assert not glob.glob(os.path.join(seg_root, "part-*"))  # cleaned
+    assert not glob.glob(os.path.join(seg_root, "_SUCCESS"))
+    eng2 = SearchEngine(spark, wh, "rootclean")
+    assert eng2.stats["N"] == 40
+    got = {
+        r["documentID"]
+        for r in eng2.search("tokenizer", k=100, typo_tolerance=False).collect()
+    }
+    assert victim in got
+
+
+def test_live_engine_generation_coherence(spark, tmp_path):
+    """A LIVE SearchEngine (vocab cache warmed, DataFrame handles open)
+    must serve post-maintenance-correct results after an upsert/delete
+    rewrote the index under it: every _finalize bumps ``generation`` in
+    stats.json and the engine reloads on the next query (the Spark
+    analogue of the reference's typo-cache invalidation on index update,
+    typo_finder.go:54-76)."""
+    wh = str(tmp_path)
+    s = _settings("live")
+    corpus = generate_corpus(spark, 50, seed=31, words_per_doc=10)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    eng = SearchEngine(spark, wh, "live")
+    svc_settings_before = eng.settings
+    before = eng.search("tokenizer", k=100, typo_tolerance=False).collect()
+    assert before  # vocab cache + handles now warm
+    assert eng._vocab_pd is not None
+    gen0 = eng._generation
+
+    victim = before[0]["documentID"]
+    m = IndexMaintenance(spark, wh, "live")
+    assert m.delete_documents([victim]) == 1
+    m.upsert_documents(
+        spark.createDataFrame(
+            [("live-new", "r", "p", "c", "go", "zzzlively fresh tokenizer")],
+            "documentID string, repo string, path string, commit string, "
+            "lang string, content string",
+        )
+    )
+
+    # SAME engine object: must see the post-maintenance truth
+    after = eng.search("tokenizer", k=100, typo_tolerance=False).collect()
+    got = {r["documentID"] for r in after}
+    assert victim not in got
+    assert "live-new" in got
+    assert eng._generation != gen0
+    assert eng.stats["N"] == 50  # -1 deleted, +1 inserted
+    # the new vocabulary is served from the RELOADED cache
+    vocab = eng._vocab()
+    assert vocab is not None and "zzzlively" in set(vocab["term"])
+    assert eng.settings is not svc_settings_before  # reload swapped it

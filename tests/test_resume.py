@@ -106,4 +106,7 @@ def test_resume_cleans_stale_shards(spark, tmp_path):
         d = json.load(f)
     with open(clean.path("stats.json")) as f:
         c = json.load(f)
+    # generation counts finalizes, so a resumed index is legitimately at 2
+    # while the fresh one is at 1; everything data-derived must match
+    d.pop("generation"), c.pop("generation")
     assert d == c

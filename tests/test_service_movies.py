@@ -497,3 +497,74 @@ def test_search_single_pass_scan(service, monkeypatch):
         f"{one_pass} for a single engine pass -- the ranked frame is "
         "being executed more than once"
     )
+
+
+def test_filter_non_filterable_field_warns(service, caplog):
+    """Advisory filterable-fields validation (reference service.go:823-825):
+    filtering on a field outside filterable_fields logs a warning but the
+    filter is still applied (proceed-anyway semantics)."""
+    import logging
+
+    req = SearchRequest(
+        query="matrix",
+        filters=Filters(
+            operator="AND",
+            filters=[FilterCondition("release_date", "_exact", "1999-03-31")],
+        ),
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="go_search_engine_spark.query.filters"):
+        res = service.search(req)
+    assert any(
+        "non-filterable" in r.message and "release_date" in r.message
+        for r in caplog.records
+    )
+    assert _ids(res) == ["m01"]  # filter still evaluated
+
+    # filtering on configured fields stays silent
+    caplog.clear()
+    req2 = SearchRequest(
+        query="matrix",
+        filters=Filters(
+            operator="AND",
+            filters=[FilterCondition("category", "_exact", "movie")],
+        ),
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="go_search_engine_spark.query.filters"):
+        service.search(req2)
+    assert not [r for r in caplog.records if "non-filterable" in r.message]
+
+
+def test_multi_search_envelopes_match_single_search(service):
+    """multi_search_envelopes returns per-request SearchResult parity with
+    lone search() calls (reference multi_search.go:12-81 returns a full
+    response per query) while executing as one batched plan."""
+    reqs = {
+        "plain": SearchRequest(query="matrix"),
+        "typo": SearchRequest(query="matrx", page_size=3),
+        "filtered": SearchRequest(
+            query="matrix",
+            filters=Filters(
+                operator="AND",
+                filters=[FilterCondition("category", "_exact", "movie")],
+            ),
+            page=2,
+            page_size=2,
+        ),
+        "projected": SearchRequest(
+            query="sci", retrievable_fields=["title", "year"]
+        ),
+        "nomatch": SearchRequest(query="zzzzzz"),
+        "empty": SearchRequest(query="!!!"),
+    }
+    multi = service.multi_search_envelopes(reqs)
+    assert set(multi) == set(reqs)
+    for name, req in reqs.items():
+        single = service.search(req)
+        m = multi[name]
+        assert m.total == single.total, name
+        assert m.page == single.page and m.page_size == single.page_size
+        assert [
+            {k: v for k, v in h.items()} for h in m.hits
+        ] == [dict(h) for h in single.hits], name

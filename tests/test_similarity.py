@@ -185,3 +185,58 @@ def test_ivf_index_prunes_and_full_probe_is_exact(spark, tmp_path):
         .collect()
     }
     assert all(r["vec_id"] in in_cell for r in part)
+
+
+def test_near_dup_bucket_split_bounds_hot_buckets(spark):
+    """Skewed embeddings (many vectors in one SRP bucket) must not produce
+    an O(bucket^2) pair join: the default guard recursively splits hot
+    buckets with extra planes until every bucket fits the cap, logging
+    each round. Pairs that survive are still exact-cosine-verified."""
+    import numpy as np
+
+    from go_search_engine_spark.pipeline.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    # 120 vectors clustered around one direction -> one hot SRP bucket
+    rows = [
+        (int(i), [float(x) for x in (base + 0.05 * rng.standard_normal(16))])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = hyperplanes(dim=16, n_planes=2, seed=42)
+
+    report: dict = {}
+    bounded = embedding_cosine_pairs(
+        df, planes, threshold=0.99, max_bucket_size=30, report=report
+    ).collect()
+    assert report["rounds"] >= 2  # the split actually triggered
+    assert report["final_max_pop"] <= 30  # every bucket bounded
+    # survivors are a subset of the unguarded exact-within-bucket pairs,
+    # and each is a true near-duplicate
+    unguarded = {
+        (r["a"], r["b"])
+        for r in embedding_cosine_pairs(
+            df, planes, threshold=0.99, max_bucket_size=None
+        ).collect()
+    }
+    got = {(r["a"], r["b"]) for r in bounded}
+    assert got and got <= unguarded
+
+
+def test_near_dup_guard_is_identity_below_cap(spark, emb):
+    """With no bucket above the cap the guarded operator returns exactly
+    the unguarded result (the default never changes small-scale gates)."""
+    from go_search_engine_spark.pipeline.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    planes = hyperplanes(dim=16, n_planes=3, seed=42)
+    a = embedding_cosine_pairs(emb, planes, threshold=0.5).collect()
+    b = embedding_cosine_pairs(
+        emb, planes, threshold=0.5, max_bucket_size=None
+    ).collect()
+    key = lambda r: (r["a"], r["b"], r["cos"])
+    assert sorted(map(key, a)) == sorted(map(key, b))

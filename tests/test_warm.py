@@ -1,0 +1,122 @@
+"""Warm serving mode: persisted decoded postings + co-partitioned docs.
+
+Invariants: (1) warm results are rank-identical to cold on every query
+shape (exact, typo, multi-field, restricted fields); (2) a partial warm
+set (budget smaller than the index) serves warm+cold unions identically;
+(3) maintenance under a live warm engine drops the warm state via the
+generation check (no stale postings served); (4) the warm fast path runs
+ONE Spark job per query (no per-query broadcast-exchange jobs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_search_engine_spark.build.builder import IndexBuilder
+from go_search_engine_spark.config import IndexSettings
+from go_search_engine_spark.corpus import generate_corpus
+from go_search_engine_spark.query.engine import SearchEngine
+from go_search_engine_spark.query.wand import wand_topk
+
+
+def _key(rows):
+    return [
+        (r["doc_id"], round(r["score"], 10), r["num_typos"],
+         r["number_exact_words"])
+        for r in rows
+    ]
+
+
+@pytest.fixture(scope="module")
+def warm_idx(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_warm"))
+    s = IndexSettings(
+        name="w",
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+    )
+    corpus = generate_corpus(spark, 120, seed=41, words_per_doc=15)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    return wh
+
+
+QUERIES = [
+    ("tokenizer return", dict(typo_tolerance=False)),
+    ("tokenzer retrun", dict(typo_tolerance=True)),  # typos
+    ("partition", dict(typo_tolerance=False)),
+    ("qqqqnomatch", dict(typo_tolerance=True)),  # no hits
+]
+
+
+def test_warm_rank_identity_full(spark, warm_idx):
+    cold = SearchEngine(spark, warm_idx, "w")
+    colds = {q: cold.search(q, k=50, **kw).collect() for q, kw in QUERIES}
+    eng = SearchEngine(spark, warm_idx, "w")
+    info = eng.warm()
+    assert info["warm_terms"] == "all" and info["docs_slim"]
+    for q, kw in QUERIES:
+        assert _key(eng.search(q, k=50, **kw).collect()) == _key(colds[q]), q
+    # wand auto mode short-circuits to the warm exhaustive plan
+    rep: dict = {}
+    got = wand_topk(eng, "tokenzer retrun", k=20, report=rep).collect()
+    assert rep["mode"] == "warm_exhaustive"
+    assert _key(got) == _key(cold.search("tokenzer retrun", k=20).collect())
+    # forced pruning still exercises the block-max machinery, warm or not
+    rep2: dict = {}
+    forced = wand_topk(
+        eng, "tokenizer return", k=20, typo_tolerance=False,
+        report=rep2, prune=True,
+    ).collect()
+    assert rep2["mode"] == "two_phase"
+    assert _key(forced) == _key(
+        cold.search("tokenizer return", k=20, typo_tolerance=False).collect()
+    )
+
+
+def test_warm_partial_budget_unions_cold_terms(spark, warm_idx):
+    cold = SearchEngine(spark, warm_idx, "w")
+    eng = SearchEngine(spark, warm_idx, "w")
+    # budget far below the index: only head terms get warmed
+    info = eng.warm(max_postings=200)
+    assert info["warm_terms"] != "all" and info["warm_terms"] >= 1
+    assert eng._warm_terms and not eng._warm_all
+    for q, kw in QUERIES:
+        assert _key(eng.search(q, k=50, **kw).collect()) == _key(
+            cold.search(q, k=50, **kw).collect()
+        ), q
+
+
+def test_warm_single_job_per_query(spark, warm_idx):
+    eng = SearchEngine(spark, warm_idx, "w")
+    eng.warm()
+    eng.search("tokenizer return", k=10, typo_tolerance=False).collect()
+    tr = spark.sparkContext.statusTracker()
+    df = eng.search("tokenizer return", k=10, typo_tolerance=False)
+    before = set(tr.getJobIdsForGroup(None) or [])
+    df.collect()
+    after = set(tr.getJobIdsForGroup(None) or [])
+    # literal-injected candidates + co-partitioned docs join: the whole
+    # query is ONE job (no broadcast-exchange side jobs)
+    assert len(after - before) == 1
+
+
+def test_warm_dropped_on_maintenance(spark, tmp_path):
+    from go_search_engine_spark.build.maintenance import IndexMaintenance
+
+    wh = str(tmp_path)
+    s = IndexSettings(
+        name="wm",
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+    )
+    corpus = generate_corpus(spark, 60, seed=42, words_per_doc=12)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    eng = SearchEngine(spark, wh, "wm")
+    eng.warm()
+    before = eng.search("tokenizer", k=100, typo_tolerance=False).collect()
+    victim = before[0]["documentID"]
+    IndexMaintenance(spark, wh, "wm").delete_documents([victim])
+    after = eng.search("tokenizer", k=100, typo_tolerance=False).collect()
+    assert victim not in {r["documentID"] for r in after}
+    # warm state was invalidated (not re-warmed silently)
+    assert eng._warm_decoded is None and eng._docs_slim is None
