@@ -1,0 +1,418 @@
+"""REST surface over the engine -- the reference's primary UX.
+
+Endpoint parity with the reference's gin router (citations per handler):
+
+  GET    /health
+  GET    /indexes                       api/index_handlers.go (list)
+  POST   /indexes                       create index (settings body)
+  GET    /indexes/{n}                   settings
+  DELETE /indexes/{n}                   delete index
+  POST   /indexes/{n}/rename            rename
+  PUT    /indexes/{n}/settings          update; core diff => async reindex job
+  PUT    /indexes/{n}/documents         async add/upsert job
+                                        (api/document_handlers.go:17
+                                         AddDocumentsHandler; async jobs
+                                         api/async_handlers.go)
+  GET    /indexes/{n}/documents         paginated listing
+                                        (api/document_handlers.go:161-233;
+                                         made deterministic by doc_id order)
+  DELETE /indexes/{n}/documents/{id}    async delete one
+  DELETE /indexes/{n}/documents         async delete all
+  POST   /indexes/{n}/search            search (api/search_handlers.go:49-114)
+  POST   /multi-search                  named queries -> envelopes
+                                        (internal/search/multi_search.go:12-81)
+  GET    /jobs/{id}                     job polling
+                                        (internal/jobs/manager.go:113-172)
+  GET    /jobs?index={n}                job listing
+
+Implementation: stdlib ThreadingHTTPServer (no web framework in the
+container; the reference's gin layer is ~2.5k LoC of routing/validation
+that collapses onto the library surface here). One SparkSession serves
+all requests -- Spark's scheduler multiplexes concurrent jobs, which is
+exactly how the reference multiplexes goroutines onto its index mutex.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ..build import maintenance as mnt
+from ..build.builder import IndexBuilder, load_settings
+from ..config import IndexSettings
+from ..query.engine import SearchEngine
+from ..query.filters import FilterCondition, Filters
+from ..query.service import SearchRequest, SearchService
+from .jobs import JobManager
+
+
+def parse_filters(d: dict | None) -> Filters | None:
+    """JSON filter tree -> Filters (services/interfaces.go:70-83 shape)."""
+    if not d:
+        return None
+    return Filters(
+        operator=d.get("operator", "AND"),
+        filters=[
+            FilterCondition(
+                field=c["field"],
+                operator=c.get("operator"),
+                value=c.get("value"),
+                score=float(c.get("score", 0.0)),
+            )
+            for c in d.get("filters", [])
+        ],
+        groups=[parse_filters(g) for g in d.get("groups", [])],
+    )
+
+
+def parse_search_request(body: dict) -> SearchRequest:
+    return SearchRequest(
+        query=body.get("query", ""),
+        page=int(body.get("page", 1)),
+        page_size=int(body.get("page_size", 10)),
+        filters=parse_filters(body.get("filters")),
+        restrict_searchable_fields=body.get("restrict_searchable_fields"),
+        retrievable_fields=body.get("retrievable_fields"),
+        typo_tolerance=bool(body.get("typo_tolerance", True)),
+        min_word_size_for_1_typo=body.get("min_word_size_for_1_typo"),
+        min_word_size_for_2_typos=body.get("min_word_size_for_2_typos"),
+        include_field_matches=bool(body.get("include_field_matches", False)),
+    )
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+class EngineServer:
+    """Application state + request dispatch (transport-agnostic, so tests
+    can call ``dispatch`` directly and the HTTP handler stays thin)."""
+
+    def __init__(self, spark, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.jobs = JobManager()
+        self._engines: dict[str, SearchEngine] = {}
+        self._lock = threading.Lock()
+
+    # -- helpers -----------------------------------------------------------
+    def _engine(self, name: str) -> SearchEngine:
+        with self._lock:
+            eng = self._engines.get(name)
+        if eng is None:
+            try:
+                eng = SearchEngine(self.spark, self.warehouse, name)
+            except FileNotFoundError:
+                raise ApiError(404, f"index {name!r} not found or not built")
+            with self._lock:
+                self._engines[name] = eng
+        return eng
+
+    def _drop_engine(self, name: str) -> None:
+        with self._lock:
+            self._engines.pop(name, None)
+
+    def _settings(self, name: str) -> IndexSettings:
+        import os
+
+        base = os.path.join(self.warehouse, name)
+        if not os.path.exists(os.path.join(base, "settings.json")):
+            raise ApiError(404, f"index {name!r} not found")
+        return load_settings(base)
+
+    def _built(self, name: str) -> bool:
+        import os
+
+        return os.path.exists(
+            os.path.join(self.warehouse, name, "stats.json")
+        )
+
+    def _docs_df(self, docs: list[dict], name: str):
+        if not docs:
+            raise ApiError(400, "empty document batch")
+        for d in docs:
+            if not str(d.get("documentID", "")):
+                # reference validation: documentID non-empty
+                # (internal/indexing/service.go:126-140)
+                raise ApiError(400, "every document needs a non-empty documentID")
+        return self.spark.createDataFrame(docs)
+
+    # -- dispatch ----------------------------------------------------------
+    def dispatch(self, method: str, path: str, body, query: dict):
+        routes = [
+            ("GET", r"^/health$", lambda m: {"status": "ok"}),
+            ("GET", r"^/indexes$", lambda m: mnt.list_indexes(self.warehouse)),
+            ("POST", r"^/indexes$", lambda m: self.create_index(body)),
+            ("GET", r"^/indexes/([^/]+)$",
+             lambda m: self._settings(m.group(1)).to_dict()),
+            ("DELETE", r"^/indexes/([^/]+)$",
+             lambda m: self.delete_index(m.group(1))),
+            ("POST", r"^/indexes/([^/]+)/rename$",
+             lambda m: self.rename_index(m.group(1), body)),
+            ("PUT", r"^/indexes/([^/]+)/settings$",
+             lambda m: self.update_settings(m.group(1), body)),
+            ("PUT", r"^/indexes/([^/]+)/documents$",
+             lambda m: self.add_documents(m.group(1), body)),
+            ("GET", r"^/indexes/([^/]+)/documents$",
+             lambda m: self.list_documents(m.group(1), query)),
+            ("DELETE", r"^/indexes/([^/]+)/documents/([^/]+)$",
+             lambda m: self.delete_documents(m.group(1), [m.group(2)])),
+            ("DELETE", r"^/indexes/([^/]+)/documents$",
+             lambda m: self.delete_all(m.group(1))),
+            ("POST", r"^/indexes/([^/]+)/search$",
+             lambda m: self.search(m.group(1), body)),
+            ("POST", r"^/multi-search$", lambda m: self.multi_search(body)),
+            ("GET", r"^/jobs/([^/]+)$", lambda m: self.get_job(m.group(1))),
+            ("GET", r"^/jobs$", lambda m: self.list_jobs(query)),
+        ]
+        for meth, pat, fn in routes:
+            if meth != method:
+                continue
+            m = re.match(pat, path)
+            if m:
+                return fn(m)
+        raise ApiError(404, f"no route for {method} {path}")
+
+    # -- handlers ----------------------------------------------------------
+    def create_index(self, body: dict):
+        if not body or not body.get("name"):
+            raise ApiError(400, "settings body with 'name' required")
+        if body["name"] in mnt.list_indexes(self.warehouse):
+            raise ApiError(409, f"index {body['name']!r} exists")
+        settings = IndexSettings.from_dict(body)
+        mnt.create_index(self.warehouse, settings)
+        return {"created": settings.name}
+
+    def delete_index(self, name: str):
+        self._settings(name)
+        mnt.delete_index(self.warehouse, name)
+        self._drop_engine(name)
+        return {"deleted": name}
+
+    def rename_index(self, name: str, body: dict):
+        new = (body or {}).get("new_name", "")
+        if not new:
+            raise ApiError(400, "new_name required")
+        self._settings(name)
+        mnt.rename_index(self.warehouse, name, new)
+        self._drop_engine(name)
+        return {"renamed": name, "to": new}
+
+    def update_settings(self, name: str, body: dict):
+        old = self._settings(name)
+        new = IndexSettings.from_dict({**old.to_dict(), **(body or {})})
+        new.name = name
+        if mnt.requires_full_reindex(old, new) and self._built(name):
+            # async reindex from the stored docs table (the reference
+            # extracts docs from its store and bulk re-adds,
+            # bulk_operations.go:427-467)
+            import os
+
+            docs_path = os.path.join(self.warehouse, name, "docs")
+            corpus = self.spark.read.parquet(docs_path).drop(
+                "doc_id", "doc_len", "content_sha256", "shard"
+            )
+            corpus = corpus.persist()
+            corpus.count()  # snapshot BEFORE the rewrite deletes the files
+
+            def run(progress):
+                progress(0, 1, "reindexing")
+                mnt.update_settings(self.spark, self.warehouse, new, corpus)
+                corpus.unpersist()
+                progress(1, 1, "done")
+                return {"reindexed": True}
+
+            job_id = self.jobs.submit("settings_reindex", name, run)
+            return {"job_id": job_id, "reindex": True}
+        mnt.update_settings(self.spark, self.warehouse, new)
+        self._drop_engine(name)
+        return {"reindex": False}
+
+    def add_documents(self, name: str, body):
+        settings = self._settings(name)
+        df = self._docs_df(body, name)
+        built = self._built(name)
+
+        def run(progress):
+            if built:
+                progress(0, 1, "upserting")
+                rep = mnt.IndexMaintenance(
+                    self.spark, self.warehouse, name
+                ).upsert_documents(df)
+                progress(1, 1, "done")
+                return rep
+            builder = IndexBuilder(self.spark, settings, self.warehouse)
+            report = builder.build(df, num_shards=4, progress_cb=progress)
+            return {
+                "built": True,
+                "n_docs": report.n_docs,
+                "n_postings": report.n_postings,
+            }
+
+        job_id = self.jobs.submit("add_documents", name, run)
+        return {"job_id": job_id, "count": len(body)}
+
+    def list_documents(self, name: str, query: dict):
+        """S5 listing, deterministic by doc_id (the reference's map-order
+        listing is nondeterministic, document_handlers.go:161-233)."""
+        eng = self._engine(name)
+        page = max(int(query.get("page", ["1"])[0]), 1)
+        size = int(query.get("page_size", ["10"])[0]) or 10
+        total = eng.docs.count()
+        rows = (
+            eng.docs.orderBy("doc_id")
+            .offset((page - 1) * size)
+            .limit(size)
+            .collect()
+        )
+        return {
+            "documents": [r.asDict(recursive=True) for r in rows],
+            "total": total,
+            "page": page,
+            "page_size": size,
+        }
+
+    def delete_documents(self, name: str, ids: list[str]):
+        self._settings(name)
+
+        def run(progress):
+            progress(0, 1, "deleting")
+            n = mnt.IndexMaintenance(
+                self.spark, self.warehouse, name
+            ).delete_documents(ids)
+            progress(1, 1, "done")
+            return {"deleted": n}
+
+        return {"job_id": self.jobs.submit("delete_documents", name, run)}
+
+    def delete_all(self, name: str):
+        self._settings(name)
+
+        def run(progress):
+            mnt.IndexMaintenance(self.spark, self.warehouse, name).delete_all()
+            progress(1, 1, "done")
+            return {"deleted_all": True}
+
+        return {"job_id": self.jobs.submit("delete_all", name, run)}
+
+    def search(self, name: str, body: dict):
+        req = parse_search_request(body or {})
+        svc = SearchService(self._engine(name))
+        try:
+            res = svc.search(req)
+        except ValueError as e:
+            raise ApiError(400, str(e))
+        return {
+            "hits": res.hits,
+            "total": res.total,
+            "page": res.page,
+            "page_size": res.page_size,
+            "took_ms": res.took_ms,
+            "query_id": res.query_id,
+        }
+
+    def multi_search(self, body: dict):
+        name = (body or {}).get("index", "")
+        queries = (body or {}).get("queries", {})
+        if not name or not queries:
+            raise ApiError(400, "body needs 'index' and 'queries'")
+        svc = SearchService(self._engine(name))
+        reqs = {qn: parse_search_request(q) for qn, q in queries.items()}
+        try:
+            envs = svc.multi_search_envelopes(reqs)
+        except ValueError as e:
+            raise ApiError(400, str(e))
+        return {
+            qn: {
+                "hits": r.hits,
+                "total": r.total,
+                "page": r.page,
+                "page_size": r.page_size,
+                "took_ms": r.took_ms,
+                "query_id": r.query_id,
+            }
+            for qn, r in envs.items()
+        }
+
+    def get_job(self, job_id: str):
+        job = self.jobs.get(job_id)
+        if job is None:
+            raise ApiError(404, f"job {job_id!r} not found")
+        return job.to_dict()
+
+    def list_jobs(self, query: dict):
+        index = query.get("index", [None])[0]
+        status = query.get("status", [None])[0]
+        return [j.to_dict() for j in self.jobs.list(index, status)]
+
+
+def make_handler(server: EngineServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _respond(self, status: int, payload) -> None:
+            data = json.dumps(payload, default=str).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _handle(self, method: str) -> None:
+            parsed = urlparse(self.path)
+            body = None
+            n = int(self.headers.get("Content-Length") or 0)
+            if n:
+                try:
+                    body = json.loads(self.rfile.read(n))
+                except json.JSONDecodeError:
+                    self._respond(400, {"error": "invalid JSON body"})
+                    return
+            try:
+                out = server.dispatch(
+                    method, parsed.path, body, parse_qs(parsed.query)
+                )
+                self._respond(200, out)
+            except ApiError as e:
+                self._respond(e.status, {"error": str(e)})
+            except Exception as e:  # surface, never hang the client
+                self._respond(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_POST(self):
+            self._handle("POST")
+
+        def do_PUT(self):
+            self._handle("PUT")
+
+        def do_DELETE(self):
+            self._handle("DELETE")
+
+    return Handler
+
+
+def serve(spark, warehouse: str, host: str = "127.0.0.1", port: int = 7700):
+    """Start the REST server (blocking). Returns never; for embedded use
+    call ``start_server`` which runs it on a daemon thread."""
+    state = EngineServer(spark, warehouse)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.serve_forever()
+
+
+def start_server(
+    spark, warehouse: str, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, EngineServer]:
+    """Start on a daemon thread; port=0 picks a free port. Returns
+    (httpd, state); httpd.server_address[1] is the bound port."""
+    state = EngineServer(spark, warehouse)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, state

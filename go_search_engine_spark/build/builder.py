@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -107,11 +108,15 @@ class IndexBuilder:
         num_shards: int = 8,
         resume: bool = True,
         fail_after_shards: int | None = None,
+        progress_cb=None,
     ) -> BuildReport:
         """Build (or resume) the index from ``corpus``.
 
         ``fail_after_shards`` is a test hook that raises after N shard
         commits, simulating a mid-build crash for resume tests.
+        ``progress_cb(done, total, message)``: live progress for the job
+        manager (api/jobs.py), fired at each shard commit + finalize --
+        the reference's job progress updates (jobs/manager.go:113-172).
         """
         t0 = time.time()
         run_id = uuid.uuid4().hex[:12]
@@ -166,6 +171,18 @@ class IndexBuilder:
         completed = self._completed_shards() if resume else {}
         flat_map = make_flatmap(self.settings)
 
+        done_lock = threading.Lock()
+        done_count = [0]
+
+        def notify_shard_done() -> None:
+            if progress_cb is None:
+                return
+            with done_lock:
+                done_count[0] += 1
+                d = done_count[0]
+            # total = pending shards + 1 finalize step
+            progress_cb(d, len(pending) + 1, f"shard {d}/{len(pending)}")
+
         def build_shard(shard: int, fingerprint: str, n_docs: int) -> dict:
             ts = time.time()
             shard_docs = docs.filter(F.col("shard") == shard)
@@ -195,6 +212,7 @@ class IndexBuilder:
                 "run_id": run_id,
             }
             self._append_checkpoint(ck)
+            notify_shard_done()
             return ck
 
         pending: list[tuple[int, str, int]] = []
@@ -243,7 +261,11 @@ class IndexBuilder:
                     built += 1
 
         report.shards_built = built
+        if progress_cb is not None:
+            progress_cb(len(pending), len(pending) + 1, "finalizing")
         self._finalize(report, num_shards=num_shards)
+        if progress_cb is not None:
+            progress_cb(len(pending) + 1, len(pending) + 1, "complete")
         report.wall_sec = time.time() - t0
         if report.wall_sec > 0:
             report.docs_per_sec = report.n_docs / report.wall_sec

@@ -30,6 +30,17 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # local-mode Python workers inherit PYTHONPATH from the driver env,
+    # NOT the driver's sys.path: a CLI launched from outside the repo dir
+    # (scripts/serve.py from anywhere) would otherwise die with
+    # ModuleNotFoundError inside every pandas UDF. On a real cluster
+    # --py-files ships the package instead (scripts/build_index.py).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
