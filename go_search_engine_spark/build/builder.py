@@ -122,6 +122,14 @@ class IndexBuilder:
         run_id = uuid.uuid4().hex[:12]
         report = BuildReport()
         os.makedirs(self.base, exist_ok=True)
+        if resume and os.path.isdir(os.path.join(self.base, "_delta")):
+            # a resume build reads only the BASE tables; folding it over
+            # pending delta segments would silently drop them
+            raise RuntimeError(
+                "index has pending delta segments (_delta/); run "
+                "IndexMaintenance.compact_segments() before a resume "
+                "build, or rebuild with resume=False"
+            )
         if not resume:
             shutil.rmtree(self.base, ignore_errors=True)
             os.makedirs(self.base, exist_ok=True)
@@ -354,10 +362,15 @@ class IndexBuilder:
         (max_tf, min_dl)), so they run concurrently on the scheduler."""
         s = self.settings
         docs = self.spark.read.parquet(self.path("docs"))
-        n_docs, avgdl = docs.agg(
-            F.count("*"), F.avg("doc_len")
+        # avgdl derived from an EXACT integer total: the incremental
+        # (delta) maintenance path updates total_dl by +- integer deltas,
+        # and both paths must yield bit-identical avgdl (a float mean
+        # would differ in the last ulp by summation order)
+        n_docs, total_dl = docs.agg(
+            F.count("*"), F.sum("doc_len")
         ).collect()[0]
-        avgdl = float(avgdl or 0.0)
+        total_dl = int(total_dl or 0)
+        avgdl = total_dl / n_docs if n_docs else 0.0
         report.n_docs = int(n_docs)
         report.avgdl = avgdl
         n_post_hint = sum(c["n_postings"] for c in report.per_shard) or 0
@@ -472,6 +485,7 @@ class IndexBuilder:
                     "generation": generation,
                     "N": report.n_docs,
                     "avgdl": avgdl,
+                    "total_dl": total_dl,
                     "n_postings": report.n_postings,
                     "n_terms": report.n_terms,
                     "n_blocks": report.n_blocks,

@@ -1,0 +1,129 @@
+"""Incremental (LSM/NRT-style) index maintenance: delta segments,
+tombstones, generation-based visibility.
+
+The default maintenance path (`IndexMaintenance.upsert_documents` /
+`delete_documents`) rewrites docs+segments and recomputes stats/blocks --
+O(index) work per batch, like the reference's whole-index gob snapshot
+per write (internal/engine/async_operations.go:192-199). At 100 TB that
+cost is the scale-killer: a 100-document upsert must not re-encode a
+100 TB block table. ``mode="delta"`` instead appends immutable delta
+files and touches only vocab-sized state:
+
+  {index}/_delta/postings/gen=G/    flat POSTINGS_SCHEMA rows (new/updated
+                                    docs' postings; tiny, unencoded)
+  {index}/_delta/docs/gen=G/        new/updated document rows
+  {index}/_delta/tombstones/gen=G/  doc_ids whose older rows died at G
+
+Visibility rule: a row written at generation g (base tables: g = 0) for
+doc d is visible iff g >= T(d), where T(d) is the max tombstone
+generation for d (0 if none). An update at G writes a tombstone at G
+plus new rows at G: the new rows survive (G >= G), every older row dies.
+
+Commit protocol: delta dirs first, term_stats (tmp+rename), stats.json
+LAST -- stats.json carries ``delta_gen``; readers ignore gen dirs above
+it, so a crash mid-commit leaves only invisible orphans (stats.json is
+the atomic commit point, the same role an Iceberg snapshot commit plays).
+
+Exact-stats arithmetic (what keeps delta results bit-identical to a full
+refresh): df' = df - |docs leaving the term| + |docs joining it| (from
+re-tokenizing the old rows + the new batch), idf recomputed for EVERY
+term from the new N (term_stats is vocab-sized -- rewriting it is cheap
+relative to the corpus), total_dl +- integer deltas => avgdl exact,
+field_bounds merged monotonically (sound, possibly loose after deletes
+-- only WAND upper bounds read them, and WAND serves the exhaustive plan
+while deltas are pending anyway).
+
+Queries under pending deltas: candidate-term postings = pruned base
+block scan ∪ delta-postings scan (term-filtered; delta files are small
+by design), both visibility-filtered. Positional operators
+(phrase/proximity/highlight) refuse until ``compact_segments`` folds the
+deltas back into the base -- the classic NRT trade (Lucene's NRT readers
+carry analogous restrictions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DELTA_DIR = "_delta"
+
+
+def delta_path(base: str, *parts: str) -> str:
+    return os.path.join(base, DELTA_DIR, *parts)
+
+
+def has_delta(base: str) -> bool:
+    return os.path.isdir(delta_path(base, "postings"))
+
+
+def max_committed_gen(base: str) -> int:
+    """The committed delta generation from stats.json (0 = none). Gen
+    dirs above it are uncommitted orphans from a crashed commit."""
+    from .builder import load_stats
+
+    try:
+        return int(load_stats(base).get("delta_gen", 0))
+    except FileNotFoundError:
+        return 0
+
+
+def read_tombstones(
+    spark: SparkSession, base: str, max_gen: int
+) -> DataFrame | None:
+    """(doc_id, tgen = max tombstone generation), committed gens only."""
+    p = delta_path(base, "tombstones")
+    if not os.path.isdir(p):
+        return None
+    t = spark.read.parquet(p).filter(F.col("gen") <= max_gen)
+    return t.groupBy("doc_id").agg(F.max("gen").alias("tgen"))
+
+
+def apply_visibility(
+    rows: DataFrame, gen_col: str, tomb: DataFrame | None
+) -> DataFrame:
+    """Filter to visible rows: gen >= T(doc_id). ``rows`` must carry
+    ``doc_id`` and ``gen_col``; the tombstone side is broadcast (it is
+    bounded by the docs mutated since the last compaction)."""
+    if tomb is None:
+        return rows
+    return (
+        rows.join(F.broadcast(tomb), "doc_id", "left")
+        .filter(F.col("tgen").isNull() | (F.col(gen_col) >= F.col("tgen")))
+        .drop("tgen")
+    )
+
+
+def read_delta_postings(
+    spark: SparkSession, base: str, max_gen: int
+) -> DataFrame:
+    """Flat delta postings (POSTINGS_SCHEMA + gen partition column),
+    committed gens only; NOT yet visibility-filtered."""
+    return spark.read.parquet(delta_path(base, "postings")).filter(
+        F.col("gen") <= max_gen
+    )
+
+
+def read_visible_docs(spark: SparkSession, base: str) -> DataFrame:
+    """The docs table as a reader must see it: base rows (gen 0) plus
+    committed delta rows, visibility-filtered. Falls back to the plain
+    base table when no delta state exists."""
+    docs = spark.read.parquet(os.path.join(base, "docs"))
+    if not has_delta(base):
+        return docs
+    max_gen = max_committed_gen(base)
+    cols = docs.columns
+    parts = [docs.withColumn("gen", F.lit(0))]
+    ddocs_path = delta_path(base, "docs")
+    if os.path.isdir(ddocs_path):
+        ddocs = spark.read.parquet(ddocs_path).filter(
+            F.col("gen") <= max_gen
+        )
+        parts.append(ddocs.select(*cols, "gen"))
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    tomb = read_tombstones(spark, base, max_gen)
+    return apply_visibility(allrows, "gen", tomb).drop("gen")

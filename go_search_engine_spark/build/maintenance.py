@@ -170,10 +170,27 @@ class IndexMaintenance:
         m = docs.agg(F.max("shard")).collect()[0][0]
         return int(m) + 1 if m is not None else 1
 
-    def delete_documents(self, document_ids: list[str]) -> int:
+    def _guard_no_delta(self) -> None:
+        from .delta import has_delta
+
+        if has_delta(self.base):
+            raise RuntimeError(
+                "index has pending delta segments: refresh-mode "
+                "maintenance would read only the base tables and drop "
+                "them; run compact_segments() first or use mode='delta'"
+            )
+
+    def delete_documents(
+        self, document_ids: list[str], mode: str = "refresh"
+    ) -> int:
         """T11: remove docs + their postings; empty terms disappear from
-        term_stats/blocks in the refresh (the reference's empty-term
-        cleanup, service.go:407-416)."""
+        term_stats (the reference's empty-term cleanup,
+        service.go:407-416). ``mode="delta"``: tombstone-only commit --
+        O(deleted docs + vocab) work instead of an O(index) refresh
+        (build/delta.py)."""
+        if mode == "delta":
+            return self._delete_delta(document_ids)
+        self._guard_no_delta()
         docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
         victims = docs.filter(F.col("documentID").isin(document_ids)).select(
             "doc_id"
@@ -189,48 +206,16 @@ class IndexMaintenance:
         self._refresh(new_docs, new_segments)
         return n
 
-    def upsert_documents(
-        self, new_corpus: DataFrame, id_col: str = "documentID"
-    ) -> dict:
-        """T13: document-level update/insert WITHOUT a full rebuild,
-        matching the reference's delete-then-add update path
-        (/root/reference/internal/indexing/service.go:166-215):
-
-        - existing documentIDs keep their internal doc_id (the reference
-          reuses the internal ID on update, service.go:150-163);
-        - new documentIDs get ids above the current maximum (NextID++);
-        - the updated docs' old postings are anti-joined out of the
-          segments, the new flatMap output is unioned in, and
-          stats/term_stats/blocks are recomputed by _refresh -- untouched
-          documents' postings are never re-derived.
-
-        Returns {"updated": n, "inserted": n}.
-        """
+    def _normalize_batch(self, new_corpus: DataFrame, id_col: str) -> DataFrame:
+        """Rename the id column and derive doc_len + content_sha256 the
+        same way the builder does (shared by both upsert modes)."""
         from ..functions.tokenizer import whitespace_word_count_col
         from .builder import _norm_field
-        from .flatmap import POSTINGS_SCHEMA, make_flatmap
 
         s = self.settings
-        docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
-        segments = self.spark.read.parquet(os.path.join(self.base, "segments"))
-        if "shard" in segments.columns:
-            segments = segments.drop("shard")
-
         nc = new_corpus
         if id_col != "documentID":
             nc = nc.withColumnRenamed(id_col, "documentID")
-        # the docs table is TYPED (unlike the reference's schema-free doc
-        # maps): an upsert batch must carry every passthrough column or the
-        # final projection dies with an unresolved-column error mid-plan --
-        # validate upfront with an actionable message instead
-        derived = {"doc_id", "doc_len", "content_sha256", "shard"}
-        missing = set(docs.columns) - set(nc.columns) - derived
-        if missing:
-            raise ValueError(
-                "upsert batch lacks columns present in the docs table: "
-                f"{sorted(missing)} (the index schema is fixed at build; "
-                "supply every non-derived column)"
-            )
         dl = None
         for f_name in s.searchable_fields:
             c = whitespace_word_count_col(
@@ -248,9 +233,51 @@ class IndexMaintenance:
                 ],
             )
         )
-        nc = nc.withColumn("doc_len", dl.cast("long")).withColumn(
+        return nc.withColumn("doc_len", dl.cast("long")).withColumn(
             "content_sha256", F.sha2(sha_src, 256)
         )
+
+    def upsert_documents(
+        self,
+        new_corpus: DataFrame,
+        id_col: str = "documentID",
+        mode: str = "refresh",
+    ) -> dict:
+        """T13: document-level update/insert WITHOUT a full rebuild,
+        matching the reference's delete-then-add update path
+        (/root/reference/internal/indexing/service.go:166-215):
+
+        - existing documentIDs keep their internal doc_id (the reference
+          reuses the internal ID on update, service.go:150-163);
+        - new documentIDs get ids above the current maximum (NextID++);
+        - the updated docs' old postings are anti-joined out of the
+          segments, the new flatMap output is unioned in, and
+          stats/term_stats/blocks are recomputed by _refresh -- untouched
+          documents' postings are never re-derived.
+
+        Returns {"updated": n, "inserted": n}.
+
+        ``mode="delta"``: LSM/NRT-style incremental commit instead of the
+        full refresh -- appends delta postings/docs + tombstones and
+        rewrites only vocab-sized state with exact df/N/avgdl arithmetic
+        (build/delta.py); results are identical to the refresh path
+        (pinned by tests/test_delta.py), positional operators refuse
+        until compact_segments() folds the deltas.
+        """
+        if mode == "delta":
+            return self._upsert_delta(new_corpus, id_col)
+        self._guard_no_delta()
+        from .flatmap import POSTINGS_SCHEMA, make_flatmap
+        from .builder import _norm_field
+
+        s = self.settings
+        docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
+        segments = self.spark.read.parquet(os.path.join(self.base, "segments"))
+        if "shard" in segments.columns:
+            segments = segments.drop("shard")
+
+        self._validate_batch_columns(new_corpus, id_col, docs)
+        nc = self._normalize_batch(new_corpus, id_col)
 
         # coalesce: an index whose docs were all deleted has max(doc_id)
         # NULL -- the whole batch is then inserts starting at doc_id 0
@@ -312,6 +339,253 @@ class IndexMaintenance:
         upserted.unpersist()
         return {"updated": int(n_upd), "inserted": int(n_ins)}
 
+    def _validate_batch_columns(
+        self, new_corpus: DataFrame, id_col: str, docs: DataFrame
+    ) -> None:
+        """The docs table is TYPED (unlike the reference's schema-free
+        doc maps): an upsert batch must carry every passthrough column or
+        the final projection dies with an unresolved-column error
+        mid-plan -- validate upfront with an actionable message."""
+        cols = set(new_corpus.columns)
+        if id_col != "documentID":
+            cols = (cols - {id_col}) | {"documentID"}
+        derived = {"doc_id", "doc_len", "content_sha256", "shard"}
+        missing = set(docs.columns) - cols - derived
+        if missing:
+            raise ValueError(
+                "upsert batch lacks columns present in the docs table: "
+                f"{sorted(missing)} (the index schema is fixed at build; "
+                "supply every non-derived column)"
+            )
+
+    # --- delta (LSM/NRT) maintenance: see build/delta.py ------------------
+
+    def _flat_postings(self, rows: DataFrame) -> DataFrame:
+        from .builder import _norm_field
+        from .flatmap import POSTINGS_SCHEMA, make_flatmap
+
+        s = self.settings
+        flat_in = rows.select(
+            "doc_id",
+            "doc_len",
+            *[_norm_field(rows, f).alias(f) for f in s.searchable_fields],
+        )
+        return flat_in.mapInPandas(make_flatmap(s), schema=POSTINGS_SCHEMA)
+
+    def _upsert_delta(self, new_corpus: DataFrame, id_col: str) -> dict:
+        from .delta import max_committed_gen, read_visible_docs
+        from .ids import assign_doc_ids
+
+        docs = read_visible_docs(self.spark, self.base)
+        self._validate_batch_columns(new_corpus, id_col, docs)
+        nc = self._normalize_batch(new_corpus, id_col)
+        num_shards = self._num_shards()
+
+        joined = nc.join(
+            docs.select("documentID", "doc_id"), "documentID", "left"
+        ).persist()
+        n_upd = joined.filter(F.col("doc_id").isNotNull()).count()
+        n_ins = joined.filter(F.col("doc_id").isNull()).count()
+        if n_upd + n_ins != joined.select("documentID").distinct().count():
+            joined.unpersist()
+            raise ValueError(
+                "upsert batch contains duplicate documentIDs; dedupe it "
+                "(e.g. dropDuplicates(['documentID'])) before upserting"
+            )
+        row = docs.agg(F.max("doc_id")).collect()[0][0]
+        max_id = int(row) if row is not None else -1
+        par = self.spark.sparkContext.defaultParallelism
+        news = assign_doc_ids(
+            joined.filter(F.col("doc_id").isNull()).drop("doc_id"),
+            "documentID",
+            max(1, par),
+        ).withColumn("doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long"))
+        upserted = (
+            joined.filter(F.col("doc_id").isNotNull())
+            .unionByName(news)
+            .withColumn(
+                "shard",
+                F.pmod(F.xxhash64("documentID"), F.lit(num_shards)).cast("int"),
+            )
+            .select(*docs.columns)
+            .persist()
+        )
+        # rows LEAVING: the previous versions of the updated documents
+        old_rows = docs.join(
+            F.broadcast(
+                joined.filter(F.col("doc_id").isNotNull()).select("documentID")
+            ),
+            "documentID",
+            "left_semi",
+        ).persist()
+        gen = max_committed_gen(self.base) + 1
+        extra = self._delta_commit(old_rows, upserted, gen)
+        joined.unpersist()
+        upserted.unpersist()
+        old_rows.unpersist()
+        return {"updated": int(n_upd), "inserted": int(n_ins), "gen": gen,
+                **extra}
+
+    def _delete_delta(self, document_ids: list[str]) -> int:
+        from .delta import max_committed_gen, read_visible_docs
+
+        docs = read_visible_docs(self.spark, self.base)
+        old_rows = docs.filter(
+            F.col("documentID").isin(document_ids)
+        ).persist()
+        n = old_rows.count()
+        if n == 0:
+            old_rows.unpersist()
+            return 0
+        gen = max_committed_gen(self.base) + 1
+        self._delta_commit(old_rows, None, gen)
+        old_rows.unpersist()
+        return n
+
+    def _delta_commit(
+        self, old_rows: DataFrame, new_docs: DataFrame | None, gen: int
+    ) -> dict:
+        """Write one delta generation: delta postings/docs + tombstones,
+        exact vocab-sized stats rewrite, stats.json as the atomic commit
+        point (build/delta.py module docstring has the full protocol)."""
+        from .builder import load_stats
+        from .delta import delta_path
+        from .flatmap import POSTINGS_SCHEMA
+
+        s = self.settings
+        stats = load_stats(self.base)
+        spark = self.spark
+
+        old_flat = self._flat_postings(old_rows).persist()
+        if new_docs is not None:
+            new_flat = self._flat_postings(new_docs).persist()
+        else:
+            new_flat = spark.createDataFrame([], schema=POSTINGS_SCHEMA)
+
+        o = old_rows.agg(
+            F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
+        ).collect()[0]
+        old_n, old_dl = int(o[0]), int(o[1])
+        if new_docs is not None:
+            nrow = new_docs.agg(
+                F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
+            ).collect()[0]
+            new_n, new_dl = int(nrow[0]), int(nrow[1])
+        else:
+            new_n, new_dl = 0, 0
+        old_post = old_flat.count()
+        new_post = new_flat.count() if new_docs is not None else 0
+
+        n2 = int(stats["N"]) + new_n - old_n
+        total_dl = int(
+            stats.get("total_dl", round(stats["avgdl"] * stats["N"]))
+        ) + new_dl - old_dl
+
+        # exact per-term df arithmetic: docs leaving/joining each term
+        leave = (
+            old_flat.select("term", "doc_id").distinct()
+            .groupBy("term").agg(F.count("*").alias("_leave"))
+        )
+        joinc = (
+            new_flat.select("term", "doc_id").distinct()
+            .groupBy("term").agg(F.count("*").alias("_join"))
+        )
+        # per-(term, field) bounds of the NEW postings (monotone merge
+        # below keeps old bounds too: sound, possibly loose after deletes)
+        nb = (
+            new_flat.groupBy("term", "field")
+            .agg(F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl"))
+            .groupBy("term")
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("field", F.struct("max_tf", "min_dl"))
+                        )
+                    )
+                ).alias("_fb_new")
+            )
+        )
+        ts_path = os.path.join(self.base, "term_stats")
+        ts = spark.read.parquet(ts_path).withColumnRenamed(
+            "field_bounds", "_fb_old"
+        ).drop("idf", "term_len", "bucket")
+        merged = (
+            ts.join(leave, "term", "full")
+            .join(joinc, "term", "full")
+            .join(nb, "term", "full")
+        )
+        df2 = (
+            F.coalesce(F.col("df"), F.lit(0))
+            - F.coalesce(F.col("_leave"), F.lit(0))
+            + F.coalesce(F.col("_join"), F.lit(0))
+        )
+        fb = (
+            F.when(F.col("_fb_old").isNull(), F.col("_fb_new"))
+            .when(F.col("_fb_new").isNull(), F.col("_fb_old"))
+            .otherwise(
+                F.map_zip_with(
+                    "_fb_old",
+                    "_fb_new",
+                    lambda k, a, b: F.when(a.isNull(), b)
+                    .when(b.isNull(), a)
+                    .otherwise(
+                        F.struct(
+                            F.greatest(a["max_tf"], b["max_tf"]).alias("max_tf"),
+                            F.least(a["min_dl"], b["min_dl"]).alias("min_dl"),
+                        )
+                    ),
+                )
+            )
+        )
+        new_ts = (
+            merged.withColumn("df", df2)
+            .filter(F.col("df") > 0)  # empty-term cleanup
+            .withColumn("idf", F.log(F.lit(float(n2)) / F.col("df")))
+            .withColumn("term_len", F.length("term"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(s.term_buckets)).cast("int"),
+            )
+            .withColumn("field_bounds", fb)
+            .select("term", "df", "idf", "term_len", "bucket", "field_bounds")
+        )
+
+        # --- commit: delta dirs, term_stats (tmp+rename), stats.json LAST
+        new_flat.write.mode("overwrite").parquet(
+            delta_path(self.base, "postings", f"gen={gen}")
+        )
+        if new_docs is not None:
+            new_docs.write.mode("overwrite").parquet(
+                delta_path(self.base, "docs", f"gen={gen}")
+            )
+        old_rows.select("doc_id").write.mode("overwrite").parquet(
+            delta_path(self.base, "tombstones", f"gen={gen}")
+        )
+        tmp_ts = self.base + "/_term_stats_new"
+        new_ts.write.mode("overwrite").parquet(tmp_ts)
+        n_terms = spark.read.parquet(tmp_ts).count()
+        shutil.rmtree(ts_path, ignore_errors=True)
+        os.rename(tmp_ts, ts_path)
+        stats.update(
+            {
+                "N": n2,
+                "avgdl": total_dl / n2 if n2 else 0.0,
+                "total_dl": total_dl,
+                "n_postings": int(stats.get("n_postings", 0))
+                + new_post - old_post,
+                "n_terms": n_terms,
+                "generation": int(stats.get("generation", 0)) + 1,
+                "delta_gen": gen,
+            }
+        )
+        with open(os.path.join(self.base, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+        old_flat.unpersist()
+        if new_docs is not None:
+            new_flat.unpersist()
+        return {"delta_postings": new_post, "tombstoned": old_n}
+
     def compact_segments(self, target_partitions: int | None = None) -> int:
         """Rewrite the segments table into a bounded number of files.
 
@@ -320,15 +594,39 @@ class IndexMaintenance:
         small-files degradation (each scan pays per-file open/footer
         costs). Compaction is the engine's analogue of an LSM/Lucene
         segment merge: one repartition-by-(term)-rewrite, stats/blocks
-        refreshed from the compacted table. Returns the file count after
-        compaction."""
+        refreshed from the compacted table. PENDING DELTA state
+        (mode='delta' maintenance) is folded in: visible base + delta
+        postings merge into the new base, tombstoned rows drop, and the
+        _delta directory is removed -- positional operators work again
+        afterwards. Returns the file count after compaction."""
         import glob
+
+        from .delta import (
+            DELTA_DIR,
+            apply_visibility,
+            has_delta,
+            max_committed_gen,
+            read_delta_postings,
+            read_tombstones,
+            read_visible_docs,
+        )
 
         seg_path = os.path.join(self.base, "segments")
         segments = self.spark.read.parquet(seg_path)
         if "shard" in segments.columns:
             segments = segments.drop("shard")
-        docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
+        folding = has_delta(self.base)
+        if folding:
+            max_gen = max_committed_gen(self.base)
+            tomb = read_tombstones(self.spark, self.base, max_gen)
+            delta = read_delta_postings(self.spark, self.base, max_gen)
+            allseg = segments.withColumn("gen", F.lit(0)).unionByName(
+                delta.select(*segments.columns, "gen")
+            )
+            segments = apply_visibility(allseg, "gen", tomb).drop("gen")
+            docs = read_visible_docs(self.spark, self.base)
+        else:
+            docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
         if target_partitions is None:
             target_partitions = int(
                 self.spark.conf.get("spark.sql.shuffle.partitions")
@@ -337,6 +635,9 @@ class IndexMaintenance:
         # finalize's blocks job shuffles less
         compacted = segments.repartition(target_partitions, "term")
         self._refresh(docs, compacted)
+        if folding:
+            shutil.rmtree(os.path.join(self.base, DELTA_DIR),
+                          ignore_errors=True)
         return len(glob.glob(os.path.join(seg_path, "*.parquet")))
 
     def delete_all(self) -> None:

@@ -927,6 +927,85 @@ def maintenance_delete_upsert(spark, sf_dir):
     return ts.select("term", "df", F.round("idf", 6).alias("idf"))
 
 
+_DELTA_CACHE: dict = {}
+
+
+@register(
+    "maintenance_delta_upsert",
+    # SAME post-maintenance corpus oracle as maintenance_delete_upsert:
+    # the incremental (delta) path must land on identical statistics
+    "WITH d0 AS (SELECT doc_id, CASE WHEN doc_id < 25 THEN text || ' graftzz' "
+    "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 "
+    "UNION ALL SELECT * FROM (VALUES (90000001, 'graftzz table data'), "
+    "(90000002, 'graftzz fresh row'), (90000003, 'spark graftzz value')) "
+    "v(doc_id, text)), "
+    "tok_raw AS (SELECT doc_id, unnest(" + TOK_SQL.format(col="text")
+    + ") AS term FROM d0), "
+    "n AS (SELECT count(*)::DOUBLE AS n FROM d0) "
+    "SELECT term, count(DISTINCT doc_id)::BIGINT AS df, "
+    "round(ln(n.n / count(DISTINCT doc_id)), 6) AS idf "
+    "FROM tok_raw, n GROUP BY term, n.n",
+)
+def maintenance_delta_upsert(spark, sf_dir):
+    """Incremental (LSM/NRT) maintenance against the independent corpus
+    oracle: the same delete + upsert sequence as maintenance_delete_upsert
+    but through ``mode="delta"`` (build/delta.py) -- tombstones + delta
+    files + exact vocab-sized stats arithmetic, NO O(index) refresh. The
+    rewritten term_stats must carry the exact post-maintenance df/idf."""
+    import tempfile
+
+    from .build.builder import IndexBuilder
+    from .build.maintenance import IndexMaintenance
+    from .config import IndexSettings
+
+    if sf_dir not in _DELTA_CACHE:
+        settings = IndexSettings(
+            name="delta_idx",
+            searchable_fields=["text"],
+            fields_without_prefix_search=["text"],
+            term_buckets=8,
+        )
+        base = load(spark, sf_dir, "documents")
+        docs = base.select(
+            F.format_string("doc-%08d", F.col("doc_id")).alias("documentID"),
+            "text",
+        )
+        wh = tempfile.mkdtemp(prefix="gse_delta_wh_")
+        IndexBuilder(spark, settings, wh).build(docs, num_shards=2)
+        m = IndexMaintenance(spark, wh, "delta_idx")
+        victims = [
+            f"doc-{r['doc_id']:08d}"
+            for r in base.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        assert m.delete_documents(victims, mode="delta") == len(victims)
+        updates = (
+            base.filter((F.col("doc_id") < 25) & (F.col("doc_id") % 7 != 0))
+            .withColumn(
+                "documentID", F.format_string("doc-%08d", F.col("doc_id"))
+            )
+            .select(
+                "documentID",
+                F.concat(F.col("text"), F.lit(" graftzz")).alias("text"),
+            )
+        )
+        inserts = spark.createDataFrame(
+            [
+                ("doc-90000001", "graftzz table data"),
+                ("doc-90000002", "graftzz fresh row"),
+                ("doc-90000003", "spark graftzz value"),
+            ],
+            "documentID string, text string",
+        )
+        m.upsert_documents(updates.unionByName(inserts), mode="delta")
+        _DELTA_CACHE[sf_dir] = wh
+    ts = spark.read.parquet(
+        os.path.join(_DELTA_CACHE[sf_dir], "delta_idx", "term_stats")
+    )
+    return ts.select("term", "df", F.round("idf", 6).alias("idf"))
+
+
 _SETTINGS_CACHE: dict = {}
 
 

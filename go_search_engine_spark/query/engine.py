@@ -119,7 +119,28 @@ class SearchEngine:
         self.term_stats = self.spark.read.parquet(
             os.path.join(self.base, "term_stats")
         )
-        self.docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
+        # pending delta state (LSM/NRT maintenance, build/delta.py): the
+        # docs view is visibility-filtered, candidate scans union the
+        # delta postings, WAND serves the exhaustive plan, positional
+        # operators refuse until compaction
+        from ..build import delta as _delta_mod
+
+        self._delta = _delta_mod.has_delta(self.base)
+        if self._delta:
+            self._delta_max_gen = _delta_mod.max_committed_gen(self.base)
+            self._tomb = _delta_mod.read_tombstones(
+                self.spark, self.base, self._delta_max_gen
+            )
+            self._delta_post = _delta_mod.read_delta_postings(
+                self.spark, self.base, self._delta_max_gen
+            )
+            self.docs = _delta_mod.read_visible_docs(self.spark, self.base)
+        else:
+            self._tomb = None
+            self._delta_post = None
+            self.docs = self.spark.read.parquet(
+                os.path.join(self.base, "docs")
+            )
         self._vocab_pd: pd.DataFrame | None = None
         self._generation = int(self.stats.get("generation", 0))
         st = os.stat(os.path.join(self.base, "stats.json"))
@@ -439,6 +460,14 @@ class SearchEngine:
         self._ensure_fresh()
         n_post = int(self.stats.get("n_postings", 0))
         info: dict = {}
+        if self._delta and n_post > max_postings:
+            # a partial warm set under pending deltas would mix a clean
+            # (visibility-applied) warm frame with a cold path that must
+            # re-apply visibility -- refuse instead of risking stale rows
+            raise ValueError(
+                "index has pending delta segments and exceeds the warm "
+                "budget; compact_segments() first or raise max_postings"
+            )
         if n_post <= max_postings:
             blk = self.blocks
             self._warm_terms = set()
@@ -471,9 +500,26 @@ class SearchEngine:
                 & F.col("term").isin(sorted(chosen))
             )
             info["warm_terms"] = len(chosen)
+        decoded = blk.select(
+            "term", "field", "doc_ids", "tfs", "dls", "fws"
+        ).mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+        if self._delta:
+            # fold pending deltas INTO the warm frame (visibility applied
+            # once, at warm time); the generation check re-warms after the
+            # next maintenance commit
+            from ..build.delta import apply_visibility
+
+            dp = self._delta_post.select(
+                "term", "field", "doc_id", "tf", "dl",
+                F.col("is_full_word").alias("fw"), "gen",
+            )
+            decoded = apply_visibility(
+                decoded.withColumn("gen", F.lit(0)).unionByName(dp),
+                "gen",
+                self._tomb,
+            ).drop("gen")
         decoded = (
-            blk.select("term", "field", "doc_ids", "tfs", "dls", "fws")
-            .mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+            decoded
             # persist HASH-PARTITIONED BY doc_id: every aggregation and
             # window in score_and_intersect clusters on key sets that
             # CONTAIN doc_id, so a doc_id partitioning satisfies all of
@@ -585,6 +631,23 @@ class SearchEngine:
             decoded = cold_dec if decoded is None else decoded.unionByName(cold_dec)
         if decoded is None:  # no candidate terms at all
             decoded = self.spark.createDataFrame([], schema=DECODED_SCHEMA)
+        if self._delta and self._warm_decoded is None:
+            # pending deltas: base blocks still hold the replaced docs'
+            # postings (hidden by tombstones) and the new postings live
+            # only in the flat delta files -- union candidate terms' delta
+            # rows and apply generation visibility (build/delta.py)
+            from ..build.delta import apply_visibility
+
+            dp = self._delta_post.filter(
+                F.col("term").isin(terms) & F.col("field").isin(fields)
+            ).select(
+                "term", "field", "doc_id", "tf", "dl",
+                F.col("is_full_word").alias("fw"), "gen",
+            )
+            base = decoded.withColumn("gen", F.lit(0))
+            decoded = apply_visibility(
+                base.unionByName(dp), "gen", self._tomb
+            ).drop("gen")
         if self._warm_decoded is not None:
             # serving mode: the candidate meta is injected as an ARRAY
             # LITERAL + explode(filter(...)) instead of a broadcast join --
@@ -828,6 +891,7 @@ class SearchEngine:
         ``_display_survivors`` pipeline)."""
         from .phrase import POS_DECODED_SCHEMA, decode_blocks_pos_fn
 
+        self._require_compacted("highlight")
         if not getattr(self.settings, "store_positions", True):
             raise ValueError(
                 "index was built with store_positions=False; highlight "
@@ -845,6 +909,16 @@ class SearchEngine:
         return best.select(
             "doc_id", "field", "term", "display", "positions"
         ).distinct()
+
+    def _require_compacted(self, op: str) -> None:
+        """Positional operators read the encoded block position streams,
+        which pending delta postings are not part of -- the NRT trade
+        (build/delta.py): compact first."""
+        if self._delta:
+            raise ValueError(
+                f"{op} needs a compacted index but delta segments are "
+                "pending; run IndexMaintenance.compact_segments() first"
+            )
 
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame(

@@ -79,6 +79,8 @@ def phrase_search(
     """Top-k documents containing the exact phrase, ranked by occurrence
     count (desc) then doc_id (asc). Returns (rank, doc_id, documentID,
     n_occurrences)."""
+    engine._ensure_fresh()
+    engine._require_compacted("phrase_search")
     s = engine.settings
     fields = fields or s.searchable_fields
     bad = set(fields) - set(s.searchable_fields)
@@ -187,6 +189,8 @@ def proximity_search(
     documented) and a qualifying window is a (doc, field, anchor) group
     containing all n distinct tokens -- an equi-key aggregation, no
     pairwise position self-join."""
+    engine._ensure_fresh()
+    engine._require_compacted("proximity_search")
     if window < 1:
         raise ValueError("window must be >= 1")
     s = engine.settings

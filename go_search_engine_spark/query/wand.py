@@ -114,6 +114,18 @@ def wand_topk(
 
     est_postings = int(cand["df"].sum())
     est_rare = min(tok_df.values())
+    # pending delta segments: the pruned tiers decode BASE blocks only and
+    # would silently drop the delta postings -- serve the exhaustive plan
+    # (scan_candidates is delta-aware) until compaction folds them in;
+    # this overrides even prune=True because a wrong answer is never an
+    # acceptable diagnostic
+    if engine._delta:
+        if report is not None:
+            report["est_postings"] = est_postings
+            report["est_rare"] = est_rare
+            report["mode"] = "delta_exhaustive"
+            report["pruned_path"] = False
+        return engine.search_from_cand(cand, fields, k, n_tokens=len(tokens))
     # warm serving mode: when every candidate term is already decoded in
     # the persisted warm frame, block-level decode pruning buys nothing --
     # the exhaustive plan over the in-memory frame is the fastest (and

@@ -18,6 +18,8 @@ Prints one JSON line per hit plus a final summary line. Modes:
   --no-typos   exact-only BM25
   --wand       block-max WAND path (auto tier choice; rank-identical)
   --phrase     positional phrase search (ranked by occurrence count)
+  --warm       serving mode: decode+persist postings before querying
+               (prints warm stats; then --repeat N shows hot latency)
 """
 
 from __future__ import annotations
@@ -45,6 +47,10 @@ def main() -> int:
     ap.add_argument("--proximity", type=int, default=None, metavar="W",
                     help="unordered co-occurrence within a W-token window")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--warm", action="store_true",
+                    help="enable warm serving mode before the query")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run the query N times; report last-run latency")
     args = ap.parse_args()
 
     from go_search_engine_spark.query.engine import SearchEngine
@@ -52,7 +58,12 @@ def main() -> int:
 
     spark = get_spark(cpus=args.cpus)
     engine = SearchEngine(spark, args.warehouse, args.name)
+    if args.warm:
+        print(json.dumps({"warm": engine.warm()}))
     fields = args.fields.split(",") if args.fields else None
+    for _ in range(max(0, args.repeat - 1)):  # warm-up repeats
+        engine.search(args.query, k=args.k, fields=fields,
+                      typo_tolerance=not args.no_typos).collect()
     t0 = time.time()
     if args.phrase:
         from go_search_engine_spark.query.phrase import phrase_search

@@ -1,0 +1,207 @@
+"""Incremental (delta/LSM) maintenance must be RESULT-IDENTICAL to the
+full-refresh path (the strongest oracle available: same upsert/delete
+sequence applied both ways, every query + every stat compared), and
+compaction must fold the deltas back into a plain base index.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_search_engine_spark.build.builder import IndexBuilder
+from go_search_engine_spark.build.maintenance import IndexMaintenance
+from go_search_engine_spark.config import IndexSettings
+from go_search_engine_spark.corpus import generate_corpus
+from go_search_engine_spark.query.engine import SearchEngine
+from go_search_engine_spark.query.wand import wand_topk
+
+QUERIES = [
+    ("tokenizer", True),
+    ("tokenzer retrun", True),   # typos
+    ("zzzfresh zzzwords", False),
+    ("func return", False),
+]
+
+
+def _settings(name):
+    return IndexSettings(
+        name=name,
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(d, "r", "p", "c", "go", t) for d, t in rows],
+        "documentID string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+
+
+def _key(rows):
+    return [
+        (r["doc_id"], round(r["score"], 9), r["num_typos"],
+         r["number_exact_words"])
+        for r in rows
+    ]
+
+
+def _search_all(spark, wh, name):
+    eng = SearchEngine(spark, wh, name)
+    return {q: _key(eng.search(q, k=100, typo_tolerance=t).collect())
+            for q, t in QUERIES}
+
+
+def _term_stats_map(spark, wh, name):
+    rows = spark.read.parquet(f"{wh}/{name}/term_stats").select(
+        "term", "df", F.round("idf", 12).alias("idf")
+    ).collect()
+    return {r["term"]: (r["df"], r["idf"]) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def twin(spark, tmp_path_factory):
+    """Two identical indexes; 'ref' takes the refresh path, 'dlt' the
+    delta path, through the same maintenance sequence."""
+    wh = str(tmp_path_factory.mktemp("wh_delta"))
+    corpus = generate_corpus(spark, 60, seed=51, words_per_doc=12)
+    for name in ("ref", "dlt"):
+        IndexBuilder(spark, _settings(name), wh).build(corpus, num_shards=2)
+    victims = sorted(
+        r["documentID"] for r in corpus.select("documentID").collect()
+    )[:3]
+
+    b1 = _batch(spark, [
+        (victims[0], "zzzfresh zzzwords tokenizer body"),
+        (victims[1], "completely different text now"),
+        ("new-a", "zzzfresh inserted doc one"),
+        ("new-b", "another inserted doc func return"),
+    ])
+    b2 = _batch(spark, [
+        ("new-a", "zzzwords updated twice tokenizer"),   # delta-over-delta
+        (victims[2], "third victim updated body"),
+        ("new-c", "late insert zzzfresh"),
+    ])
+    mr = IndexMaintenance(spark, wh, "ref")
+    md = IndexMaintenance(spark, wh, "dlt")
+    r1 = mr.upsert_documents(b1)
+    d1 = md.upsert_documents(b1, mode="delta")
+    assert (r1["updated"], r1["inserted"]) == (d1["updated"], d1["inserted"]) == (2, 2)
+    r2 = mr.upsert_documents(b2)
+    d2 = md.upsert_documents(b2, mode="delta")
+    assert (r2["updated"], r2["inserted"]) == (d2["updated"], d2["inserted"]) == (2, 1)
+    assert mr.delete_documents([victims[1], "new-b"]) == 2
+    assert md.delete_documents([victims[1], "new-b"], mode="delta") == 2
+    return wh
+
+
+def test_delta_results_identical_to_refresh(spark, twin):
+    wh = twin
+    assert os.path.isdir(f"{wh}/dlt/_delta/postings")
+    assert not os.path.isdir(f"{wh}/ref/_delta")
+    assert _search_all(spark, wh, "dlt") == _search_all(spark, wh, "ref")
+
+
+def test_delta_stats_identical(spark, twin):
+    from go_search_engine_spark.build.builder import load_stats
+
+    wh = twin
+    sr, sd = load_stats(f"{wh}/ref"), load_stats(f"{wh}/dlt")
+    for k in ("N", "avgdl", "total_dl", "n_postings", "n_terms"):
+        assert sr[k] == sd[k], k
+    assert _term_stats_map(spark, wh, "dlt") == _term_stats_map(spark, wh, "ref")
+
+
+def test_delta_wand_exhaustive_fallback(spark, twin):
+    wh = twin
+    eng = SearchEngine(spark, wh, "dlt")
+    rep: dict = {}
+    got = wand_topk(eng, "tokenzer retrun", k=50, report=rep).collect()
+    assert rep["mode"] == "delta_exhaustive" and not rep["pruned_path"]
+    assert _key(got) == _key(eng.search("tokenzer retrun", k=50).collect())
+    # even prune=True must not serve a wrong pruned answer
+    rep2: dict = {}
+    forced = wand_topk(eng, "tokenizer", k=20, report=rep2, prune=True).collect()
+    assert rep2["mode"] == "delta_exhaustive"
+    assert _key(forced) == _key(eng.search("tokenizer", k=20).collect())
+
+
+def test_delta_positional_refusal_and_guards(spark, twin):
+    from go_search_engine_spark.query.phrase import (
+        phrase_search,
+        proximity_search,
+    )
+
+    wh = twin
+    eng = SearchEngine(spark, wh, "dlt")
+    for fn in (lambda: phrase_search(eng, "func return").collect(),
+               lambda: proximity_search(eng, "func return").collect()):
+        with pytest.raises(ValueError, match="delta segments are pending"):
+            fn()
+    # resume build refuses too (it would silently drop the deltas)
+    with pytest.raises(RuntimeError, match="pending delta"):
+        IndexBuilder(spark, _settings("dlt"), wh).build(
+            generate_corpus(spark, 60, seed=51, words_per_doc=12),
+            num_shards=2, resume=True,
+        )
+    # refresh-mode maintenance on a delta index refuses
+    with pytest.raises(RuntimeError, match="pending delta"):
+        IndexMaintenance(spark, wh, "dlt").delete_documents(["new-a"])
+
+
+def test_delta_warm_identical(spark, twin):
+    wh = twin
+    cold = _search_all(spark, wh, "dlt")
+    eng = SearchEngine(spark, wh, "dlt")
+    info = eng.warm()
+    assert info["warm_terms"] == "all"
+    got = {q: _key(eng.search(q, k=100, typo_tolerance=t).collect())
+           for q, t in QUERIES}
+    assert got == cold
+    # partial warm budget under deltas refuses (would mix clean/unclean)
+    eng2 = SearchEngine(spark, wh, "dlt")
+    with pytest.raises(ValueError, match="warm budget"):
+        eng2.warm(max_postings=10)
+
+
+def test_compaction_folds_deltas(spark, twin):
+    wh = twin
+    before = _search_all(spark, wh, "dlt")
+    m = IndexMaintenance(spark, wh, "dlt")
+    m.compact_segments(target_partitions=4)
+    assert not os.path.isdir(f"{wh}/dlt/_delta")
+    assert _search_all(spark, wh, "dlt") == before
+    assert _term_stats_map(spark, wh, "dlt") == _term_stats_map(spark, wh, "ref")
+    # positional operators work again
+    from go_search_engine_spark.query.phrase import phrase_search
+
+    eng = SearchEngine(spark, wh, "dlt")
+    phrase_search(eng, "func return").collect()
+    # and the pruned WAND tiers are live again
+    rep: dict = {}
+    got = wand_topk(eng, "tokenizer", k=20, report=rep, prune=True).collect()
+    assert rep["mode"] == "two_phase"
+    assert _key(got) == _key(
+        eng.search("tokenizer", k=20).collect()
+    )
+
+
+def test_delta_live_engine_reload(spark, tmp_path):
+    """A live engine (vocab cached) sees each delta commit through the
+    generation check -- no stale candidates after an incremental upsert."""
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 40, seed=52, words_per_doc=10)
+    IndexBuilder(spark, _settings("live"), wh).build(corpus, num_shards=2)
+    eng = SearchEngine(spark, wh, "live")
+    assert eng.search("qqqbrandnew", k=10, typo_tolerance=False).count() == 0
+    m = IndexMaintenance(spark, wh, "live")
+    m.upsert_documents(
+        _batch(spark, [("nd", "qqqbrandnew body text")]), mode="delta"
+    )
+    got = eng.search("qqqbrandnew", k=10, typo_tolerance=False).collect()
+    assert [r["documentID"] for r in got] == ["nd"]
+    assert eng._delta  # reloaded into delta-aware mode

@@ -90,14 +90,19 @@ def test_warm_single_job_per_query(spark, warm_idx):
     eng = SearchEngine(spark, warm_idx, "w")
     eng.warm()
     eng.search("tokenizer return", k=10, typo_tolerance=False).collect()
-    tr = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
     df = eng.search("tokenizer return", k=10, typo_tolerance=False)
-    before = set(tr.getJobIdsForGroup(None) or [])
-    df.collect()
-    after = set(tr.getJobIdsForGroup(None) or [])
+    # a dedicated job group isolates this collect from the session's other
+    # jobs (getJobIdsForGroup(None) rotates out of retainedJobs mid-suite)
+    sc.setJobGroup("warm_one_job", "warm single-job probe")
+    try:
+        df.collect()
+        ids = sc.statusTracker().getJobIdsForGroup("warm_one_job") or []
+    finally:
+        sc.setJobGroup(None, None)
     # literal-injected candidates + co-partitioned docs join: the whole
     # query is ONE job (no broadcast-exchange side jobs)
-    assert len(after - before) == 1
+    assert len(ids) == 1
 
 
 def test_warm_dropped_on_maintenance(spark, tmp_path):
