@@ -313,13 +313,18 @@ def embedding_cosine_pairs(
         prev_max: int | None = None
         for rnd in range(max_split_rounds):
             counts = with_b.groupBy("bucket").count().persist()
+            # ONE action per round: histogram + hot-bucket count together
+            # (the common no-skew case pays exactly one aggregation job)
             hist = counts.agg(
                 F.count("*").alias("n_buckets"),
                 F.max("count").alias("max_pop"),
                 F.avg("count").alias("avg_pop"),
+                F.sum(
+                    F.when(F.col("count") > max_bucket_size, 1).otherwise(0)
+                ).alias("n_hot"),
             ).collect()[0]
+            n_hot = int(hist["n_hot"])
             hot = counts.filter(F.col("count") > max_bucket_size)
-            n_hot = hot.count()
             if report is not None:
                 report["rounds"] = rnd + 1
                 report["final_max_pop"] = int(hist["max_pop"])

@@ -79,6 +79,59 @@ class StreamingIndexer:
         )
 
 
+class NRTStreamingIndexer:
+    """Near-real-time streaming ingestion into a LIVE index: every
+    micro-batch commits one delta generation via the incremental
+    maintenance path (build/delta.py), so an open SearchEngine serves the
+    streamed documents on its next query (generation check) with EXACT
+    BM25 statistics -- no rebuild, no refresh, O(batch + vocab) per
+    commit. This is the reference's unimplemented roadmap item
+    ("real-time indexing with streaming updates",
+    /root/reference/README.md:521) expressed as foreachBatch -> delta
+    commit; ``compact_segments`` periodically folds the accumulated
+    generations (``compact_every`` batches, 0 = never)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        name: str,
+        id_col: str = "documentID",
+        compact_every: int = 0,
+    ):
+        from ..build.maintenance import IndexMaintenance
+
+        self.maintenance = IndexMaintenance(spark, warehouse, name)
+        self.id_col = id_col
+        self.compact_every = compact_every
+        self.batches_seen = 0
+        self.commits: list[dict] = []
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        # the delta upsert refuses duplicate ids, so intra-batch
+        # duplicates collapse to one row (arbitrary pick -- a producer
+        # emitting CONFLICTING rows for one doc in one micro-batch has no
+        # defined order anyway); cross-batch updates are ordered by epoch
+        deduped = batch.dropDuplicates([self.id_col])
+        if deduped.isEmpty():
+            return
+        rep = self.maintenance.upsert_documents(
+            deduped, id_col=self.id_col, mode="delta"
+        )
+        self.batches_seen += 1
+        self.commits.append({"epoch": int(epoch_id), **rep})
+        if self.compact_every and self.batches_seen % self.compact_every == 0:
+            self.maintenance.compact_segments()
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
 def windowed_event_counts(events: DataFrame, watermark: str = "10 minutes",
                           window: str = "5 minutes") -> DataFrame:
     """Watermarked tumbling-window counts per event type (late data beyond

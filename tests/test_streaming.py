@@ -295,3 +295,87 @@ def test_stateful_sessionization_timeout_close(spark, tmp_path):
     # (single event at t0+1m) closed by the in-stream 3h gap
     assert (0, t0, t0 + timedelta(minutes=7), 2) in rows
     assert (1, t0 + timedelta(minutes=1), t0 + timedelta(minutes=1), 1) in rows
+
+
+def test_nrt_streaming_delta_ingestion(spark, tmp_path):
+    """NRT path: a file stream of document updates+inserts commits one
+    delta generation per micro-batch into a LIVE index; an already-open
+    engine serves the streamed docs with exact stats, and the result
+    equals a single batch delta upsert of the same rows."""
+    import os
+
+    from go_search_engine_spark.build.builder import IndexBuilder
+    from go_search_engine_spark.build.maintenance import IndexMaintenance
+    from go_search_engine_spark.config import IndexSettings
+    from go_search_engine_spark.corpus import generate_corpus
+    from go_search_engine_spark.query.engine import SearchEngine
+    from go_search_engine_spark.streaming.indexer import NRTStreamingIndexer
+
+    wh = str(tmp_path / "wh")
+    s = IndexSettings(
+        name="nrt",
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+    )
+    corpus = generate_corpus(spark, 40, seed=61, words_per_doc=10)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    # twin index takes the same rows in ONE batch delta upsert
+    IndexBuilder(
+        spark,
+        IndexSettings(name="nrt_twin", searchable_fields=["content"],
+                      fields_without_prefix_search=["content"]),
+        wh,
+    ).build(corpus, num_shards=2)
+
+    victim = corpus.select("documentID").orderBy("documentID").limit(1).collect()[0][0]
+    updates = spark.createDataFrame(
+        [
+            (victim, "r", "p", "c", "go", "zzznrt updated body"),
+            ("nrt-new-1", "r", "p", "c", "go", "zzznrt streamed doc one"),
+            ("nrt-new-2", "r", "p", "c", "go", "zzznrt streamed doc two"),
+        ],
+        "documentID string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    src = str(tmp_path / "src")
+    # two files => (up to) two micro-batches
+    updates.limit(1).write.mode("overwrite").parquet(src + "/f1")
+    updates.offset(1).write.mode("overwrite").parquet(src + "/f2")
+    for f in os.listdir(src + "/f1"):
+        if f.endswith(".parquet"):
+            os.rename(src + f"/f1/{f}", src + f"/b1_{f}")
+    for f in os.listdir(src + "/f2"):
+        if f.endswith(".parquet"):
+            os.rename(src + f"/f2/{f}", src + f"/b2_{f}")
+
+    eng = SearchEngine(spark, wh, "nrt")  # open BEFORE the stream
+    assert eng.search("zzznrt", k=10, typo_tolerance=False).count() == 0
+
+    indexer = NRTStreamingIndexer(spark, wh, "nrt")
+    stream = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = indexer.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+    assert indexer.batches_seen >= 1
+    assert sum(c["inserted"] + c["updated"] for c in indexer.commits) == 3
+
+    IndexMaintenance(spark, wh, "nrt_twin").upsert_documents(
+        updates, mode="delta"
+    )
+
+    def key(name, query):
+        e = SearchEngine(spark, wh, name)
+        return [
+            (r["documentID"], round(r["score"], 9))
+            for r in e.search(query, k=50, typo_tolerance=False).collect()
+        ]
+
+    # the LIVE engine sees the streamed docs (generation reload)...
+    got = eng.search("zzznrt", k=10, typo_tolerance=False).collect()
+    assert {r["documentID"] for r in got} == {victim, "nrt-new-1", "nrt-new-2"}
+    # ...and the streamed index equals the single-batch delta twin
+    for query in ("zzznrt", "tokenizer"):
+        assert key("nrt", query) == key("nrt_twin", query), query
