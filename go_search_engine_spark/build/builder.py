@@ -479,7 +479,10 @@ class IndexBuilder:
             generation = int(load_stats(self.base).get("generation", 0)) + 1
         except (FileNotFoundError, ValueError):
             generation = 1
-        with open(self.path("stats.json"), "w") as f:
+        # atomic replace: stats.json is the commit point readers key their
+        # cache coherence on -- a half-written file must never be visible
+        tmp_stats = self.path("stats.json.tmp")
+        with open(tmp_stats, "w") as f:
             json.dump(
                 {
                     "generation": generation,
@@ -499,6 +502,7 @@ class IndexBuilder:
                 f,
                 indent=2,
             )
+        os.replace(tmp_stats, self.path("stats.json"))
 
     # --- io helpers --------------------------------------------------------
     def _write(

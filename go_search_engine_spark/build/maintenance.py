@@ -579,8 +579,12 @@ class IndexMaintenance:
                 "delta_gen": gen,
             }
         )
-        with open(os.path.join(self.base, "stats.json"), "w") as f:
+        # atomic replace: this is the delta commit point (readers ignore
+        # gen dirs above the delta_gen recorded here)
+        tmp_stats = os.path.join(self.base, "stats.json.tmp")
+        with open(tmp_stats, "w") as f:
             json.dump(stats, f, indent=2)
+        os.replace(tmp_stats, os.path.join(self.base, "stats.json"))
         old_flat.unpersist()
         if new_docs is not None:
             new_flat.unpersist()

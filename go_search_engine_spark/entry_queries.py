@@ -664,6 +664,40 @@ def minhash_lsh_pairs_q(spark, sf_dir):
 
 
 @register(
+    "dedup_cluster_assignment",
+    # connected components over the LSH candidate-pair graph via a
+    # recursive min-label closure: min reachable id == component min
+    "WITH RECURSIVE " + SHINGLE_CTE + ", "
+    "sig AS (SELECT doc_id AS id, "
+    "min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1, "
+    "min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3 "
+    "FROM sh GROUP BY doc_id), "
+    "bands AS (SELECT id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sig "
+    "UNION ALL SELECT id, 1, md5(h2 || '|' || h3) FROM sig), "
+    "p AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bands x "
+    "JOIN bands y ON x.band = y.band AND x.key = y.key AND x.id < y.id), "
+    "e AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p), "
+    "reach(x, lbl) AS (SELECT x, x FROM (SELECT DISTINCT x FROM e) "
+    "UNION SELECT e.x, r.lbl FROM e JOIN reach r ON e.y = r.x) "
+    "SELECT x AS id, min(lbl)::BIGINT AS cluster FROM reach GROUP BY x",
+)
+def dedup_cluster_assignment(spark, sf_dir):
+    """Near-duplicate CLUSTER assignment: connected components over the
+    MinHash-LSH candidate-pair graph, cluster = min doc id (the canonical
+    representative a dedup pipeline keeps). Distributed min-label
+    propagation (pipeline/dedup.py dedup_clusters) vs the oracle's
+    recursive-CTE reachability closure."""
+    from .pipeline.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=4, bands=2
+    )
+    return dedup_clusters(pairs).select(
+        "id", F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+@register(
     "simhash16",
     "WITH " + TOKS_CTE + ", th AS (SELECT doc_id, term, tf, md5(term) AS h "
     "FROM toks), "

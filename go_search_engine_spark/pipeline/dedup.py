@@ -193,6 +193,80 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, cluster): connected components of the near-duplicate pair
+    graph; ``cluster`` = min id in the component (the canonical document
+    a training-data pipeline keeps -- everything else in the cluster is
+    dropped as a duplicate).
+
+    Distributed min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors (one join + one
+    groupBy per round); converges in O(component diameter) rounds, which
+    for near-dup clusters (dense blobs around a canonical doc) is small.
+    The driver loop stops when a round changes nothing (one scalar count
+    per round) and LOGS a warning if ``max_iter`` is hit with changes
+    still flowing -- never a silent cap. Labels are persisted per round
+    and the previous round unpersisted, so lineage stays O(1) deep
+    instead of growing with iterations (the classic iterative-algorithm
+    trap on Spark).
+    """
+    e = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    edges = e.unionByName(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct().persist()
+    labels = (
+        edges.select("x").distinct().withColumn("lbl", F.col("x")).persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("x").alias("y"), F.col("lbl").alias("nl")
+                ),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("nl").alias("cand"))
+        )
+        new_labels = (
+            labels.join(nbr, "x", "left")
+            .select(
+                "x",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("cand"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("x", F.col("lbl").alias("old")), "x"
+            )
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: labels still changing after %d rounds "
+            "(component diameter exceeds max_iter); clusters may be "
+            "over-split -- raise max_iter", max_iter,
+        )
+    edges.unpersist()
+    return labels.select(F.col("x").alias("id"), F.col("lbl").alias("cluster"))
+
+
 _HI_HEX = ["8", "9", "a", "b", "c", "d", "e", "f"]
 
 

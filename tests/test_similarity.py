@@ -240,3 +240,30 @@ def test_near_dup_guard_is_identity_below_cap(spark, emb):
     ).collect()
     key = lambda r: (r["a"], r["b"], r["cos"])
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_dedup_clusters_components(spark, caplog):
+    """Min-label propagation finds exact connected components: two
+    separate blobs, one long chain (diameter > 2 forces multiple
+    rounds), singletons absent from pairs get no cluster row."""
+    import logging
+
+    from go_search_engine_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # blob {1,2,3}, blob {10,11}, chain 20-21-22-23-24-25
+        [(1, 2), (2, 3), (10, 11),
+         (20, 21), (21, 22), (22, 23), (23, 24), (24, 25)],
+        "a long, b long",
+    )
+    got = {
+        r["id"]: r["cluster"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20, 25: 20}
+    # max_iter hit on a long chain logs loudly (never a silent cap)
+    with caplog.at_level(logging.WARNING,
+                         logger="go_search_engine_spark.pipeline.dedup"):
+        part = dedup_clusters(pairs, max_iter=1).collect()
+    assert any("max_iter" in r.message for r in caplog.records)
+    assert {r["id"]: r["cluster"] for r in part} != got  # visibly over-split
