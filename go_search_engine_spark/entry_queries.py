@@ -664,6 +664,64 @@ def minhash_lsh_pairs_q(spark, sf_dir):
 
 
 @register(
+    "chunk_documents_64_48",
+    # whitespace-token windows: chunk i covers [i*48, i*48+64); last
+    # window = final stride boundary still holding unseen tokens
+    "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks "
+    "FROM documents), "
+    "n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1), "
+    "c AS (SELECT doc_id, toks, "
+    "CASE WHEN n <= 64 THEN 1 ELSE CAST(ceil((n - 64) / 48.0) AS INT) + 1 "
+    "END AS nc FROM n), "
+    "x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM c), "
+    "s AS (SELECT doc_id, chunk_id, "
+    "list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64) AS sl FROM x) "
+    "SELECT doc_id AS id, chunk_id::BIGINT AS chunk_id, "
+    "len(sl)::BIGINT AS n_tokens, array_to_string(sl, ' ') AS chunk FROM s",
+)
+def chunk_documents_64_48(spark, sf_dir):
+    """Fixed-token-window chunking with overlap (64-token chunks, stride
+    48) -- the pretraining-data shaping step (pipeline/textstats.py
+    chunk_documents), pure Column expressions."""
+    from .pipeline.textstats import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE_SQL = "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}"
+
+
+@register(
+    "redact_pii",
+    # same pattern order as the Spark op: emails, then phones, then IPv4;
+    # DuckDB regexp_replace needs the 'g' flag for replace-all parity
+    "SELECT doc_id AS id, "
+    f"regexp_replace(regexp_replace(regexp_replace(text, '{_PII_EMAIL_SQL}', "
+    f"'<EMAIL>', 'g'), '{_PII_PHONE_SQL}', '<PHONE>', 'g'), "
+    f"'{_PII_IPV4_SQL}', '<IP>', 'g') AS redacted, "
+    f"len(regexp_extract_all(text, '{_PII_EMAIL_SQL}'))::BIGINT AS n_emails, "
+    f"len(regexp_extract_all(regexp_replace(regexp_replace(text, "
+    f"'{_PII_EMAIL_SQL}', '<EMAIL>', 'g'), '{_PII_PHONE_SQL}', '<PHONE>', "
+    f"'g'), '{_PII_IPV4_SQL}'))::BIGINT AS n_ipv4, "
+    f"len(regexp_extract_all(regexp_replace(text, '{_PII_EMAIL_SQL}', "
+    f"'<EMAIL>', 'g'), '{_PII_PHONE_SQL}'))::BIGINT AS n_phones "
+    "FROM documents",
+)
+def redact_pii_q(spark, sf_dir):
+    """PII scrubbing with per-doc audit counts (pipeline/textstats.py
+    redact_pii): emails / international phones / IPv4 literals replaced
+    by typed tags; RE2-compatible patterns so both engines agree."""
+    from .pipeline.textstats import redact_pii
+
+    return redact_pii(load(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_cluster_assignment",
     # connected components over the LSH candidate-pair graph via a
     # recursive min-label closure: min reachable id == component min

@@ -113,3 +113,89 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.col(id_col).alias("id"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fp"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk): fixed-token-window document
+    chunking with overlap -- the standard pretraining-data shaping step
+    (context-window-sized samples; stride < chunk_tokens overlaps
+    consecutive chunks so no boundary context is lost).
+
+    Whitespace-token windows, pure Column expressions: chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens); the last window starts at
+    the final stride boundary that still contains unseen tokens, so every
+    token lands in >= 1 chunk and no fully-duplicate tail chunk is
+    emitted. Short docs (< min_tokens) produce nothing.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array()).otherwise(toks)
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    ).filter(F.col("_n") >= min_tokens)
+    n = F.col("_n")
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1
+    )
+    chunks = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("chunk_id"),
+                    F.slice(
+                        F.col("_toks"), i * stride + 1, chunk_tokens
+                    ).alias("_ctoks"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c._ctoks").cast("long").alias("n_tokens"),
+        F.array_join("c._ctoks", " ").alias("chunk"),
+    )
+
+
+# RE2-safe patterns (no backrefs/lookaround) so the Spark (Java regex)
+# and DuckDB (RE2) sides agree character-for-character
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, redacted, n_emails, n_ipv4, n_phones): PII scrubbing for
+    training corpora -- emails, IPv4 literals, and international-format
+    phone numbers replaced by typed placeholder tags, with per-doc match
+    counts (the audit trail a curation pipeline logs). Order matters:
+    emails first (an email can contain digit runs), then phones, then
+    IPv4. Pure regexp Column expressions; patterns are RE2-compatible so
+    independent engines reproduce the exact output."""
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL))
+    step1 = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_phones = F.regexp_count(step1, F.lit(PII_PHONE))
+    step2 = F.regexp_replace(step1, PII_PHONE, "<PHONE>")
+    n_ipv4 = F.regexp_count(step2, F.lit(PII_IPV4))
+    step3 = F.regexp_replace(step2, PII_IPV4, "<IP>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        step3.alias("redacted"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        n_phones.cast("long").alias("n_phones"),
+    )

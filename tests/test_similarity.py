@@ -267,3 +267,57 @@ def test_dedup_clusters_components(spark, caplog):
         part = dedup_clusters(pairs, max_iter=1).collect()
     assert any("max_iter" in r.message for r in caplog.records)
     assert {r["id"]: r["cluster"] for r in part} != got  # visibly over-split
+
+
+def test_chunk_documents_windows(spark):
+    """Window arithmetic: every token lands in >= 1 chunk, overlap =
+    chunk - stride, the last chunk is the final stride boundary with
+    unseen tokens (no fully-duplicate tail), short/empty docs behave."""
+    from go_search_engine_spark.pipeline.textstats import chunk_documents
+
+    def doc(i, n):
+        return (i, " ".join(f"w{j}" for j in range(n)))
+
+    df = spark.createDataFrame(
+        [doc(1, 5), doc(2, 64), doc(3, 65), doc(4, 112), doc(5, 113),
+         (6, ""), (7, "   ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert {6, 7}.isdisjoint(by_doc)  # empty docs produce nothing
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 5
+    assert len(by_doc[2]) == 1  # exactly one full window
+    assert len(by_doc[3]) == 2  # one extra token -> one extra chunk
+    assert [r["n_tokens"] for r in sorted(by_doc[3], key=lambda r: r["chunk_id"])] == [64, 17]
+    assert len(by_doc[4]) == 2 and len(by_doc[5]) == 3
+    # coverage: union of chunk tokens == all tokens (doc 5)
+    seen = set()
+    for r in by_doc[5]:
+        seen.update(r["chunk"].split(" "))
+    assert seen == {f"w{j}" for j in range(113)}
+    # overlap: consecutive chunks share chunk-stride tokens
+    c0, c1 = sorted(by_doc[4], key=lambda r: r["chunk_id"])[:2]
+    assert set(c0["chunk"].split()) & set(c1["chunk"].split())
+
+
+def test_redact_pii_behavior(spark):
+    from go_search_engine_spark.pipeline.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org or ping 10.0.0.1"),
+            (2, "call +1 555 0100 199 twice: +44 020 7946 0958"),
+            (3, "clean text without identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["redacted"] == "mail me at <EMAIL> or ping <IP>"
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (1, 1, 0)
+    assert got[2]["n_phones"] == 2 and "<PHONE>" in got[2]["redacted"]
+    assert "+44" not in got[2]["redacted"]
+    assert got[3]["redacted"] == "clean text without identifiers"
+    assert (got[3]["n_emails"], got[3]["n_ipv4"], got[3]["n_phones"]) == (0, 0, 0)
