@@ -157,6 +157,7 @@ class SearchEngine:
         self._warm_terms: set[str] | None = None  # None=cold, empty set=ALL
         self._warm_all = False
         self._docs_slim: DataFrame | None = None
+        self._expr_cache: dict | None = None  # per-generation Column cache
 
     def _ensure_fresh(self) -> None:
         """Generation check before serving from cached driver state: every
@@ -730,6 +731,7 @@ class SearchEngine:
         return self.finish_topk(scored, k)
 
     def finish_topk(self, scored: DataFrame, k: int) -> DataFrame:
+        ex = self._exprs()
         if self._docs_slim is not None:
             # shuffle-hash hint vetoes the broadcast the planner would
             # otherwise pick: both sides are already HashPartitioning
@@ -738,13 +740,10 @@ class SearchEngine:
             docs_slim = self._docs_slim.hint("shuffle_hash")
         else:
             docs_slim = self.docs.select("doc_id", "documentID")
-        out = (
-            scored.join(docs_slim, "doc_id")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return out.withColumn("rank", F.row_number().over(w)).select(
+        out = scored.join(docs_slim, "doc_id").orderBy(*ex["order"]).limit(k)
+        return out.withColumn(
+            "rank", F.row_number().over(ex["rank_w"])
+        ).select(
             "rank",
             "doc_id",
             "documentID",
@@ -752,6 +751,67 @@ class SearchEngine:
             "num_typos",
             "number_exact_words",
         )
+
+    def _exprs(self) -> dict:
+        """Per-generation cache of the REUSABLE Column/Window objects of
+        the scoring pipeline: Columns are immutable unresolved expression
+        trees, so building them once removes ~40 py4j round trips from
+        every query's plan construction (a measurable slice of warm-mode
+        latency). Rebuilt on reload because avgdl and settings are baked
+        into the expressions."""
+        if self._expr_cache is not None:
+            return self._expr_cache
+        avgdl = float(self.stats["avgdl"])
+        bm25 = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+                )
+            )
+        )
+        w = Window.partitionBy("token", "doc_id")
+        ntf = list(self.settings.no_typo_tolerance_fields)
+        self._expr_cache = {
+            "ntf_keep": (
+                (F.col("distance") == 0) | ~F.col("field").isin(ntf)
+                if ntf
+                else None
+            ),
+            "g1_aggs": [
+                F.sum("tf").alias("tf"),
+                F.first("dl").alias("dl"),
+                F.max(F.col("fw").cast("int")).alias("fw_any"),
+            ],
+            "contrib": F.col("penalty") * bm25,
+            "best_d": F.min("distance").over(w),
+            "best_keep": F.col("distance") == F.col("best_d"),
+            "g3_aggs": [
+                F.max("contrib").alias("contrib"),
+                F.min("distance").alias("dist"),
+                F.max(
+                    F.when(
+                        (F.col("distance") == 0) & (F.col("fw_any") == 1), 1
+                    ).otherwise(0)
+                ).alias("exact_w"),
+            ],
+            "final_aggs": [
+                F.countDistinct("token").alias("_nt"),
+                F.sum("contrib").alias("score"),
+                F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
+                .cast("int")
+                .alias("num_typos"),
+                F.sum("exact_w").cast("int").alias("number_exact_words"),
+            ],
+            "rank_w": Window.orderBy(F.desc("score"), F.asc("doc_id")),
+            "order": [F.desc("score"), F.asc("doc_id")],
+        }
+        return self._expr_cache
 
     def score_and_intersect(self, matched: DataFrame, n_tokens: int) -> DataFrame:
         """exact-skip + best-distance-wins + max-per-token BM25 + AND,
@@ -767,62 +827,25 @@ class SearchEngine:
         typo tolerance is disabled (only exact matches)") but its search
         path never reads it; this engine implements the documented
         semantics (the pure-Python oracle mirrors it)."""
-        ntf = list(self.settings.no_typo_tolerance_fields)
-        if ntf:
-            matched = matched.filter(
-                (F.col("distance") == 0) | ~F.col("field").isin(ntf)
-            )
-        avgdl = float(self.stats["avgdl"])
+        ex = self._exprs()
+        if ex["ntf_keep"] is not None:
+            matched = matched.filter(ex["ntf_keep"])
         # doc-level tf per candidate term: sum over allowed fields;
         # fw_any: the term occurs as a full word in >= 1 allowed field
         g1 = matched.groupBy(
             "token", "term", "distance", "penalty", "idf", "doc_id"
-        ).agg(
-            F.sum("tf").alias("tf"),
-            F.first("dl").alias("dl"),
-            F.max(F.col("fw").cast("int")).alias("fw_any"),
-        )
-        bm25 = (
-            F.col("idf")
-            * F.col("tf")
-            * F.lit(BM25_K1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(BM25_K1)
-                * (
-                    F.lit(1.0 - BM25_B)
-                    + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
-                )
-            )
-        )
-        g1 = g1.withColumn("contrib", F.col("penalty") * bm25)
+        ).agg(*ex["g1_aggs"])
+        g1 = g1.withColumn("contrib", ex["contrib"])
         # exact-skip + best-distance-wins (service.go:234-257): keep only
         # entries at the minimum distance per (token, doc)
-        w = Window.partitionBy("token", "doc_id")
-        g2 = g1.withColumn("best_d", F.min("distance").over(w)).filter(
-            F.col("distance") == F.col("best_d")
-        )
-        g3 = g2.groupBy("token", "doc_id").agg(
-            F.max("contrib").alias("contrib"),
-            F.min("distance").alias("dist"),
-            # exact full-word match for this token: distance-0 rows only
-            # ever survive the best-distance filter when they exist
-            F.max(
-                F.when((F.col("distance") == 0) & (F.col("fw_any") == 1), 1)
-                .otherwise(0)
-            ).alias("exact_w"),
-        )
+        g2 = g1.withColumn("best_d", ex["best_d"]).filter(ex["best_keep"])
+        # exact full-word match per token: distance-0 rows only ever
+        # survive the best-distance filter when they exist (g3_aggs)
+        g3 = g2.groupBy("token", "doc_id").agg(*ex["g3_aggs"])
         # AND intersection: doc must match every query token
         return (
             g3.groupBy("doc_id")
-            .agg(
-                F.countDistinct("token").alias("_nt"),
-                F.sum("contrib").alias("score"),
-                F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
-                .cast("int")
-                .alias("num_typos"),
-                F.sum("exact_w").cast("int").alias("number_exact_words"),
-            )
+            .agg(*ex["final_aggs"])
             .filter(F.col("_nt") == n_tokens)
             .drop("_nt")
         )
