@@ -577,6 +577,13 @@ class IndexMaintenance:
                 "n_terms": n_terms,
                 "generation": int(stats.get("generation", 0)) + 1,
                 "delta_gen": gen,
+                # cumulative LIVE delta volume (rows written to _delta,
+                # including rows later shadowed by newer gens): the
+                # signal maybe_compact's ratio policy reads
+                "delta_postings": int(stats.get("delta_postings", 0))
+                + new_post,
+                "tombstoned_docs": int(stats.get("tombstoned_docs", 0))
+                + old_n,
             }
         )
         # atomic replace: this is the delta commit point (readers ignore
@@ -589,6 +596,35 @@ class IndexMaintenance:
         if new_docs is not None:
             new_flat.unpersist()
         return {"delta_postings": new_post, "tombstoned": old_n}
+
+    def maybe_compact(
+        self,
+        max_delta_fraction: float = 0.10,
+        max_tombstone_fraction: float = 0.10,
+        target_partitions: int | None = None,
+    ) -> bool:
+        """Ratio-triggered compaction policy (the LSM knob a serving
+        deployment runs after each delta commit or on a timer): fold the
+        deltas when the cumulative delta postings exceed
+        ``max_delta_fraction`` of the table, or tombstoned docs exceed
+        ``max_tombstone_fraction`` of N -- past that point the per-query
+        delta-union + visibility filter and the WAND exhaustive fallback
+        start costing more than one amortized compaction. Returns whether
+        it compacted."""
+        from .builder import load_stats
+        from .delta import has_delta
+
+        if not has_delta(self.base):
+            return False
+        stats = load_stats(self.base)
+        n_post = max(1, int(stats.get("n_postings", 0)))
+        n_docs = max(1, int(stats.get("N", 0)))
+        frac_post = int(stats.get("delta_postings", 0)) / n_post
+        frac_tomb = int(stats.get("tombstoned_docs", 0)) / n_docs
+        if frac_post <= max_delta_fraction and frac_tomb <= max_tombstone_fraction:
+            return False
+        self.compact_segments(target_partitions)
+        return True
 
     def compact_segments(self, target_partitions: int | None = None) -> int:
         """Rewrite the segments table into a bounded number of files.

@@ -205,3 +205,32 @@ def test_delta_live_engine_reload(spark, tmp_path):
     got = eng.search("qqqbrandnew", k=10, typo_tolerance=False).collect()
     assert [r["documentID"] for r in got] == ["nd"]
     assert eng._delta  # reloaded into delta-aware mode
+
+
+def test_maybe_compact_ratio_policy(spark, tmp_path):
+    """The LSM compaction knob: below both ratios nothing happens; once
+    delta postings cross the fraction, one call folds everything."""
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 50, seed=53, words_per_doc=10)
+    IndexBuilder(spark, _settings("mc"), wh).build(corpus, num_shards=2)
+    m = IndexMaintenance(spark, wh, "mc")
+    assert m.maybe_compact() is False  # no delta state at all
+
+    m.upsert_documents(_batch(spark, [("mc-1", "tiny delta one")]),
+                       mode="delta")
+    # one 3-posting delta against a ~500-posting base: below 10%
+    assert m.maybe_compact() is False
+    assert os.path.isdir(f"{wh}/mc/_delta")
+    # generous batch pushes past the fraction
+    m.upsert_documents(
+        _batch(spark, [
+            (f"mc-big-{i}", "lots of fresh words here body text " * 3)
+            for i in range(30)
+        ]),
+        mode="delta",
+    )
+    before = _search_all(spark, wh, "mc")
+    assert m.maybe_compact() is True
+    assert not os.path.isdir(f"{wh}/mc/_delta")
+    assert _search_all(spark, wh, "mc") == before
+    assert m.maybe_compact() is False  # idempotent after folding
