@@ -125,3 +125,29 @@ def test_warm_dropped_on_maintenance(spark, tmp_path):
     assert victim not in {r["documentID"] for r in after}
     # warm state was invalidated (not re-warmed silently)
     assert eng._warm_decoded is None and eng._docs_slim is None
+
+
+def test_warm_plan_shape(spark, warm_idx):
+    """The warm plan must (1) scan the persisted decoded frame (an
+    InMemoryTableScan, not parquet+decode), and (2) run every
+    aggregation/window of score+intersect WITHOUT an exchange (the warm
+    frame's doc_id hash-partitioning satisfies all their clusterings) --
+    the final executed plan's only exchanges are the single-partition
+    top-k rank window's."""
+    eng = SearchEngine(spark, warm_idx, "w")
+    eng.warm()
+    df = eng.search("tokenizer return", k=10, typo_tolerance=False)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in final
+    # an InMemoryRelation node echoes its STORED child plan (which
+    # legitimately contains the decode MapInPandas and the warm
+    # repartition exchange) -- the live query region is everything above
+    # the first such echo
+    live = final.split("InMemoryRelation")[0]
+    assert "MapInPandas" not in live  # no per-query Arrow decode
+    agg_region = live[live.find("TakeOrderedAndProject"):]
+    assert "HashAggregate" in agg_region
+    assert "Exchange hashpartitioning" not in agg_region
+    assert "BroadcastExchange" not in agg_region  # literal-injected cand
