@@ -166,6 +166,10 @@ class EngineServer:
              lambda m: self.delete_all(m.group(1))),
             ("POST", r"^/indexes/([^/]+)/search$",
              lambda m: self.search(m.group(1), body)),
+            ("POST", r"^/indexes/([^/]+)/warm$",
+             lambda m: self.warm(m.group(1), body)),
+            ("POST", r"^/indexes/([^/]+)/compact$",
+             lambda m: self.compact(m.group(1), body)),
             ("POST", r"^/multi-search$", lambda m: self.multi_search(body)),
             ("GET", r"^/jobs/([^/]+)$", lambda m: self.get_job(m.group(1))),
             ("GET", r"^/jobs$", lambda m: self.list_jobs(query)),
@@ -338,6 +342,39 @@ class EngineServer:
             }
             for qn, r in envs.items()
         }
+
+    def warm(self, name: str, body: dict | None):
+        """Serving mode for THIS server's engine instance: decode +
+        persist hot postings (engine.warm); subsequent searches on the
+        index run as one Spark job each. Maintenance commits invalidate
+        it via the generation check; POST again to re-warm."""
+        eng = self._engine(name)
+        kwargs = {}
+        if body and "max_postings" in body:
+            kwargs["max_postings"] = int(body["max_postings"])
+        try:
+            return eng.warm(**kwargs)
+        except ValueError as e:
+            raise ApiError(409, str(e))
+
+    def compact(self, name: str, body: dict | None):
+        """Async segment compaction; body {"if_needed": true} applies the
+        ratio policy (maybe_compact) instead of always folding."""
+        self._settings(name)
+        if_needed = bool((body or {}).get("if_needed", False))
+
+        def run(progress):
+            progress(0, 1, "compacting")
+            m = mnt.IndexMaintenance(self.spark, self.warehouse, name)
+            if if_needed:
+                did = m.maybe_compact()
+                progress(1, 1, "done")
+                return {"compacted": did}
+            n_files = m.compact_segments()
+            progress(1, 1, "done")
+            return {"compacted": True, "segment_files": n_files}
+
+        return {"job_id": self.jobs.submit("compact", name, run)}
 
     def get_job(self, job_id: str):
         job = self.jobs.get(job_id)

@@ -207,3 +207,35 @@ def test_job_manager_failure_and_progress():
     job.completed_at = time.time() - 7200
     assert jm.prune(3600) == 1
     assert jm.get(jid) is None
+
+
+def test_warm_and_compact_endpoints(spark, api):
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "ops", "searchable_fields": ["text"],
+        "fields_without_prefix_search": ["text"],
+    })
+    st, out = _call(port, "PUT", "/indexes/ops/documents", [
+        {"documentID": f"o{i}", "text": f"ops document number {i} body"}
+        for i in range(6)
+    ])
+    assert _wait_job(port, out["job_id"])["status"] == "completed"
+
+    # warm serving mode over HTTP
+    st, warm = _call(port, "POST", "/indexes/ops/warm")
+    assert st == 200 and warm["warm_terms"] == "all"
+    st, res = _call(port, "POST", "/indexes/ops/search", {"query": "body"})
+    assert res["total"] == 6
+
+    # delta upsert through the API (add_documents upserts when built),
+    # then ratio-gated and forced compaction jobs
+    st, out = _call(port, "POST", "/indexes/ops/compact",
+                    {"if_needed": True})
+    job = _wait_job(port, out["job_id"])
+    assert job["result"] == {"compacted": False}  # no delta pending
+    st, out = _call(port, "POST", "/indexes/ops/compact")
+    job = _wait_job(port, out["job_id"])
+    assert job["status"] == "completed" and job["result"]["compacted"]
+    st, res = _call(port, "POST", "/indexes/ops/search", {"query": "body"})
+    assert res["total"] == 6  # results unchanged after folding
+    _call(port, "DELETE", "/indexes/ops")

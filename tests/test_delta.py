@@ -234,3 +234,47 @@ def test_maybe_compact_ratio_policy(spark, tmp_path):
     assert not os.path.isdir(f"{wh}/mc/_delta")
     assert _search_all(spark, wh, "mc") == before
     assert m.maybe_compact() is False  # idempotent after folding
+
+
+def test_uncommitted_delta_gen_is_invisible(spark, tmp_path):
+    """Commit-protocol crash window: delta gen dirs written but
+    stats.json NOT yet updated (simulated crash) must be invisible to
+    readers -- stats.json's delta_gen is the atomic commit point -- and
+    the next commit reclaims the orphan generation by overwriting it."""
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 30, seed=54, words_per_doc=10)
+    IndexBuilder(spark, _settings("crash"), wh).build(corpus, num_shards=2)
+    m = IndexMaintenance(spark, wh, "crash")
+    m.upsert_documents(_batch(spark, [("c-1", "zzzcommitted body")]),
+                       mode="delta")
+
+    # simulate a crashed gen-2 commit: files on disk, stats.json untouched
+    orphan_post = _batch(spark, [("c-orphan", "zzzorphan body")])
+    ghost = m._flat_postings(
+        m._normalize_batch(orphan_post, "documentID")
+        .withColumn("doc_id", F.lit(999))
+    )
+    ghost.write.mode("overwrite").parquet(
+        f"{wh}/crash/_delta/postings/gen=2"
+    )
+    spark.createDataFrame([(0,)], "doc_id long").write.mode(
+        "overwrite"
+    ).parquet(f"{wh}/crash/_delta/tombstones/gen=2")
+
+    eng = SearchEngine(spark, wh, "crash")
+    # committed gen-1 rows served; orphan gen-2 postings invisible; the
+    # orphan TOMBSTONE (would hide doc 0) is ignored too
+    assert eng.search("zzzcommitted", k=5, typo_tolerance=False).count() == 1
+    assert eng.search("zzzorphan", k=5, typo_tolerance=False).count() == 0
+    n_before = eng.stats["N"]
+    assert eng.docs.filter(F.col("doc_id") == 0).count() == 1
+
+    # the next commit takes gen=2 and OVERWRITES the orphan dirs
+    rep = m.upsert_documents(
+        _batch(spark, [("c-2", "zzzsecond body")]), mode="delta"
+    )
+    assert rep["gen"] == 2
+    eng2 = SearchEngine(spark, wh, "crash")
+    assert eng2.search("zzzsecond", k=5, typo_tolerance=False).count() == 1
+    assert eng2.search("zzzorphan", k=5, typo_tolerance=False).count() == 0
+    assert eng2.stats["N"] == n_before + 1
