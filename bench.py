@@ -134,7 +134,7 @@ def run_queries(spark, sf_dir: str, engine, wand) -> dict[str, float]:
     # operator sweep from the driver-gate set
     for name in [
         "tokenize_tf",
-        "bm25_and_query",
+        "bm25_topk",
         "term_df_idf",
         "analytics_hourly",
         "events_window_5m",

@@ -54,6 +54,21 @@ def _rows(cols, data):
 QUERY_NAMES = sorted(entry_mod.queries())
 
 
+def test_roster_fits_driver_window():
+    """The driver runs only the FIRST 50 registered gates (proven by the
+    round-2/3 artifacts). Pin: at most 50 gates, and the five gates that
+    historically fell off the tail are registered first."""
+    names = list(entry_mod.queries())
+    assert len(names) <= 50, f"{len(names)} gates exceed the driver's window"
+    assert names[:5] == [
+        "multimodal_metadata",
+        "analytics_avg_response",
+        "events_sessionization",
+        "star_join_revenue",
+        "top_parts_by_revenue",
+    ]
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_parity(spark, ddb, name):
     fn = entry_mod.queries()[name]
