@@ -21,15 +21,30 @@ Endpoint parity with the reference's gin router (citations per handler):
   POST   /indexes/{n}/search            search (api/search_handlers.go:49-114)
   POST   /multi-search                  named queries -> envelopes
                                         (internal/search/multi_search.go:12-81)
+  GET    /indexes/{n}/documents/{id}    single doc fetch
+                                        (api/document_handlers.go:236)
+  GET    /indexes/{n}/stats             index statistics
+                                        (api/index_handlers.go:424)
+  GET    /analytics                     search-analytics dashboard
+                                        (api/analytics_handlers.go:12)
+  GET    /jobs/metrics                  aggregate job metrics
+                                        (api/job_handlers.go:60)
   GET    /jobs/{id}                     job polling
                                         (internal/jobs/manager.go:113-172)
   GET    /jobs?index={n}                job listing
 
+Middleware parity: request-size cap (413 before the body is read,
+api/middleware.go:10) and CORS headers + OPTIONS preflight
+(api/middleware.go:19). Every index-mutating operation serializes on a
+per-index lock -- the reference's per-index mutex
+(internal/indexing/service.go:99-100); Spark schedules tasks but does
+not serialize the filesystem commit protocol.
+
 Implementation: stdlib ThreadingHTTPServer (no web framework in the
 container; the reference's gin layer is ~2.5k LoC of routing/validation
 that collapses onto the library surface here). One SparkSession serves
-all requests -- Spark's scheduler multiplexes concurrent jobs, which is
-exactly how the reference multiplexes goroutines onto its index mutex.
+all requests: Spark's scheduler multiplexes concurrent *read* jobs;
+writes serialize on the per-index locks above.
 """
 
 from __future__ import annotations
@@ -46,7 +61,14 @@ from ..config import IndexSettings
 from ..query.engine import SearchEngine
 from ..query.filters import FilterCondition, Filters
 from ..query.service import SearchRequest, SearchService
+from .analytics import AnalyticsService
 from .jobs import JobManager
+
+# Request bodies larger than this are rejected with 413 before being read
+# (reference api/middleware.go:10-16 RequestSizeLimitMiddleware; its router
+# sets 50MB for document endpoints). Prevents a multi-GB PUT from being
+# buffered into driver memory.
+MAX_BODY_BYTES = 50 * 1024 * 1024
 
 
 def parse_filters(d: dict | None) -> Filters | None:
@@ -97,10 +119,22 @@ class EngineServer:
         self.spark = spark
         self.warehouse = warehouse
         self.jobs = JobManager()
+        self.analytics = AnalyticsService()
         self._engines: dict[str, SearchEngine] = {}
         self._lock = threading.Lock()
+        # Per-index mutation locks: every filesystem-mutating operation
+        # (upsert/delete/compact/reindex/rename) holds the index's lock
+        # for its full read-compute-commit protocol. Spark serializes
+        # *tasks*, not the commit protocol -- two concurrent delta
+        # commits would both compute max_committed_gen+1 and clobber
+        # each other (the reference serializes identically with
+        # per-index mutexes, internal/indexing/service.go:99-100).
+        self._index_locks: dict[str, threading.Lock] = {}
 
     # -- helpers -----------------------------------------------------------
+    def _index_lock(self, name: str) -> threading.Lock:
+        with self._lock:
+            return self._index_locks.setdefault(name, threading.Lock())
     def _engine(self, name: str) -> SearchEngine:
         with self._lock:
             eng = self._engines.get(name)
@@ -160,6 +194,12 @@ class EngineServer:
              lambda m: self.add_documents(m.group(1), body)),
             ("GET", r"^/indexes/([^/]+)/documents$",
              lambda m: self.list_documents(m.group(1), query)),
+            ("GET", r"^/indexes/([^/]+)/documents/([^/]+)$",
+             lambda m: self.get_document(m.group(1), m.group(2))),
+            ("GET", r"^/indexes/([^/]+)/stats$",
+             lambda m: self.index_stats(m.group(1))),
+            ("GET", r"^/analytics$", lambda m: self.get_analytics()),
+            ("GET", r"^/jobs/metrics$", lambda m: self.job_metrics()),
             ("DELETE", r"^/indexes/([^/]+)/documents/([^/]+)$",
              lambda m: self.delete_documents(m.group(1), [m.group(2)])),
             ("DELETE", r"^/indexes/([^/]+)/documents$",
@@ -186,16 +226,18 @@ class EngineServer:
     def create_index(self, body: dict):
         if not body or not body.get("name"):
             raise ApiError(400, "settings body with 'name' required")
-        if body["name"] in mnt.list_indexes(self.warehouse):
-            raise ApiError(409, f"index {body['name']!r} exists")
         settings = IndexSettings.from_dict(body)
-        mnt.create_index(self.warehouse, settings)
+        with self._index_lock(settings.name):
+            if body["name"] in mnt.list_indexes(self.warehouse):
+                raise ApiError(409, f"index {body['name']!r} exists")
+            mnt.create_index(self.warehouse, settings)
         return {"created": settings.name}
 
     def delete_index(self, name: str):
         self._settings(name)
-        mnt.delete_index(self.warehouse, name)
-        self._drop_engine(name)
+        with self._index_lock(name):
+            mnt.delete_index(self.warehouse, name)
+            self._drop_engine(name)
         return {"deleted": name}
 
     def rename_index(self, name: str, body: dict):
@@ -203,8 +245,12 @@ class EngineServer:
         if not new:
             raise ApiError(400, "new_name required")
         self._settings(name)
-        mnt.rename_index(self.warehouse, name, new)
-        self._drop_engine(name)
+        # both ends locked, in name order (no lock-order inversion between
+        # two concurrent renames)
+        first, second = sorted((name, new))
+        with self._index_lock(first), self._index_lock(second):
+            mnt.rename_index(self.warehouse, name, new)
+            self._drop_engine(name)
         return {"renamed": name, "to": new}
 
     def update_settings(self, name: str, body: dict):
@@ -225,16 +271,18 @@ class EngineServer:
             corpus.count()  # snapshot BEFORE the rewrite deletes the files
 
             def run(progress):
-                progress(0, 1, "reindexing")
-                mnt.update_settings(self.spark, self.warehouse, new, corpus)
-                corpus.unpersist()
-                progress(1, 1, "done")
-                return {"reindexed": True}
+                with self._index_lock(name):
+                    progress(0, 1, "reindexing")
+                    mnt.update_settings(self.spark, self.warehouse, new, corpus)
+                    corpus.unpersist()
+                    progress(1, 1, "done")
+                    return {"reindexed": True}
 
             job_id = self.jobs.submit("settings_reindex", name, run)
             return {"job_id": job_id, "reindex": True}
-        mnt.update_settings(self.spark, self.warehouse, new)
-        self._drop_engine(name)
+        with self._index_lock(name):
+            mnt.update_settings(self.spark, self.warehouse, new)
+            self._drop_engine(name)
         return {"reindex": False}
 
     def add_documents(self, name: str, body):
@@ -243,20 +291,21 @@ class EngineServer:
         built = self._built(name)
 
         def run(progress):
-            if built:
-                progress(0, 1, "upserting")
-                rep = mnt.IndexMaintenance(
-                    self.spark, self.warehouse, name
-                ).upsert_documents(df)
-                progress(1, 1, "done")
-                return rep
-            builder = IndexBuilder(self.spark, settings, self.warehouse)
-            report = builder.build(df, num_shards=4, progress_cb=progress)
-            return {
-                "built": True,
-                "n_docs": report.n_docs,
-                "n_postings": report.n_postings,
-            }
+            with self._index_lock(name):
+                if built:
+                    progress(0, 1, "upserting")
+                    rep = mnt.IndexMaintenance(
+                        self.spark, self.warehouse, name
+                    ).upsert_documents(df)
+                    progress(1, 1, "done")
+                    return rep
+                builder = IndexBuilder(self.spark, settings, self.warehouse)
+                report = builder.build(df, num_shards=4, progress_cb=progress)
+                return {
+                    "built": True,
+                    "n_docs": report.n_docs,
+                    "n_postings": report.n_postings,
+                }
 
         job_id = self.jobs.submit("add_documents", name, run)
         return {"job_id": job_id, "count": len(body)}
@@ -265,6 +314,10 @@ class EngineServer:
         """S5 listing, deterministic by doc_id (the reference's map-order
         listing is nondeterministic, document_handlers.go:161-233)."""
         eng = self._engine(name)
+        # revalidate against the on-disk generation: a refresh-mode
+        # maintenance job rewrites docs/ (rmtree+rename), and a stale
+        # cached DataFrame would reference deleted part files
+        eng._ensure_fresh()
         page = max(int(query.get("page", ["1"])[0]), 1)
         size = int(query.get("page_size", ["10"])[0]) or 10
         total = eng.docs.count()
@@ -281,16 +334,114 @@ class EngineServer:
             "page_size": size,
         }
 
+    def get_document(self, name: str, doc_id: str):
+        """Single-document fetch by documentID (reference
+        api/document_handlers.go:236 GetDocumentHandler). The equality
+        predicate is pushed down to the docs parquet scan."""
+        eng = self._engine(name)
+        eng._ensure_fresh()
+        from pyspark.sql import functions as F
+
+        rows = eng.docs.filter(F.col("documentID") == doc_id).limit(1).collect()
+        if not rows:
+            raise ApiError(404, f"document {doc_id!r} not found in {name!r}")
+        return rows[0].asDict(recursive=True)
+
+    def index_stats(self, name: str):
+        """Index statistics (reference api/index_handlers.go:424
+        GetIndexStatsHandler), extended with the build-time posting/term
+        counts the reference cannot cheaply report."""
+        settings = self._settings(name)
+        out = {
+            "name": settings.name,
+            "document_count": 0,
+            "searchable_fields": settings.searchable_fields,
+            "filterable_fields": settings.filterable_fields,
+            "typo_settings": {
+                "min_word_size_for_1_typo": settings.min_word_size_for_1_typo,
+                "min_word_size_for_2_typos": settings.min_word_size_for_2_typos,
+            },
+            "field_settings": {
+                "fields_without_prefix_search":
+                    settings.fields_without_prefix_search,
+                "no_typo_tolerance_fields": settings.no_typo_tolerance_fields,
+                "distinct_field": settings.distinct_field,
+            },
+        }
+        if self._built(name):
+            import os
+
+            from ..build.builder import load_stats
+
+            stats = load_stats(os.path.join(self.warehouse, name))
+            out["document_count"] = int(stats.get("N", 0))
+            out["index_stats"] = {
+                k: stats[k]
+                for k in (
+                    "n_postings", "n_terms", "n_blocks", "avgdl",
+                    "generation", "n_salted_terms",
+                )
+                if k in stats
+            }
+        return out
+
+    def get_analytics(self):
+        """Dashboard (reference api/analytics_handlers.go:12): in-process
+        search events + per-index doc counts from the warehouse."""
+        stats = []
+        for n in mnt.list_indexes(self.warehouse):
+            if self._built(n):
+                import os
+
+                from ..build.builder import load_stats
+
+                s = load_stats(os.path.join(self.warehouse, n))
+                stats.append({"name": n, "document_count": int(s.get("N", 0))})
+            else:
+                stats.append({"name": n, "document_count": 0})
+        return self.analytics.dashboard(stats)
+
+    def job_metrics(self):
+        """Aggregate job metrics (reference api/job_handlers.go:60
+        GetJobMetricsHandler: totals, success rate, current workload)."""
+        jobs = self.jobs.list()
+        done = [j for j in jobs if j.status in ("completed", "failed")]
+        completed = [j for j in jobs if j.status == "completed"]
+        by_type: dict[str, int] = {}
+        for j in jobs:
+            by_type[j.type] = by_type.get(j.type, 0) + 1
+        durations = [
+            j.completed_at - j.started_at
+            for j in done
+            if j.completed_at and j.started_at
+        ]
+        return {
+            "metrics": {
+                "total_jobs": len(jobs),
+                "completed_jobs": len(completed),
+                "failed_jobs": len([j for j in jobs if j.status == "failed"]),
+                "jobs_by_type": by_type,
+                "avg_duration_sec": round(
+                    sum(durations) / len(durations), 4
+                ) if durations else 0.0,
+            },
+            "success_rate": round(len(completed) / len(done), 4) if done else 1.0,
+            "current_workload": len(
+                [j for j in jobs if j.status in ("pending", "running")]
+            ),
+        }
+
     def delete_documents(self, name: str, ids: list[str]):
         self._settings(name)
 
         def run(progress):
-            progress(0, 1, "deleting")
-            n = mnt.IndexMaintenance(
-                self.spark, self.warehouse, name
-            ).delete_documents(ids)
-            progress(1, 1, "done")
-            return {"deleted": n}
+            with self._index_lock(name):
+                progress(0, 1, "deleting")
+                n = mnt.IndexMaintenance(
+                    self.spark, self.warehouse, name
+                ).delete_documents(ids)
+                progress(1, 1, "done")
+                return {"deleted": n}
 
         return {"job_id": self.jobs.submit("delete_documents", name, run)}
 
@@ -298,9 +449,12 @@ class EngineServer:
         self._settings(name)
 
         def run(progress):
-            mnt.IndexMaintenance(self.spark, self.warehouse, name).delete_all()
-            progress(1, 1, "done")
-            return {"deleted_all": True}
+            with self._index_lock(name):
+                mnt.IndexMaintenance(
+                    self.spark, self.warehouse, name
+                ).delete_all()
+                progress(1, 1, "done")
+                return {"deleted_all": True}
 
         return {"job_id": self.jobs.submit("delete_all", name, run)}
 
@@ -311,6 +465,9 @@ class EngineServer:
             res = svc.search(req)
         except ValueError as e:
             raise ApiError(400, str(e))
+        self.analytics.record(
+            name, req.query, res.took_ms, len(res.hits), "search"
+        )
         return {
             "hits": res.hits,
             "total": res.total,
@@ -331,6 +488,10 @@ class EngineServer:
             envs = svc.multi_search_envelopes(reqs)
         except ValueError as e:
             raise ApiError(400, str(e))
+        for qn, r in envs.items():
+            self.analytics.record(
+                name, reqs[qn].query, r.took_ms, len(r.hits), "multi_search"
+            )
         return {
             qn: {
                 "hits": r.hits,
@@ -364,15 +525,16 @@ class EngineServer:
         if_needed = bool((body or {}).get("if_needed", False))
 
         def run(progress):
-            progress(0, 1, "compacting")
-            m = mnt.IndexMaintenance(self.spark, self.warehouse, name)
-            if if_needed:
-                did = m.maybe_compact()
+            with self._index_lock(name):
+                progress(0, 1, "compacting")
+                m = mnt.IndexMaintenance(self.spark, self.warehouse, name)
+                if if_needed:
+                    did = m.maybe_compact()
+                    progress(1, 1, "done")
+                    return {"compacted": did}
+                n_files = m.compact_segments()
                 progress(1, 1, "done")
-                return {"compacted": did}
-            n_files = m.compact_segments()
-            progress(1, 1, "done")
-            return {"compacted": True, "segment_files": n_files}
+                return {"compacted": True, "segment_files": n_files}
 
         return {"job_id": self.jobs.submit("compact", name, run)}
 
@@ -398,6 +560,15 @@ def make_handler(server: EngineServer):
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
+            # CORS (reference api/middleware.go:19-31 CORSMiddleware)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header(
+                "Access-Control-Allow-Methods",
+                "GET, POST, PUT, DELETE, OPTIONS",
+            )
+            self.send_header(
+                "Access-Control-Allow-Headers", "Content-Type, Authorization"
+            )
             self.end_headers()
             self.wfile.write(data)
 
@@ -405,6 +576,14 @@ def make_handler(server: EngineServer):
             parsed = urlparse(self.path)
             body = None
             n = int(self.headers.get("Content-Length") or 0)
+            if n > MAX_BODY_BYTES:
+                # reject BEFORE reading: an unbounded body would be
+                # buffered into driver memory (api/middleware.go:10-16)
+                self._respond(
+                    413,
+                    {"error": f"request body exceeds {MAX_BODY_BYTES} bytes"},
+                )
+                return
             if n:
                 try:
                     body = json.loads(self.rfile.read(n))
@@ -432,6 +611,18 @@ def make_handler(server: EngineServer):
 
         def do_DELETE(self):
             self._handle("DELETE")
+
+        def do_OPTIONS(self):  # CORS preflight (middleware.go:25-28)
+            self.send_response(204)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header(
+                "Access-Control-Allow-Methods",
+                "GET, POST, PUT, DELETE, OPTIONS",
+            )
+            self.send_header(
+                "Access-Control-Allow-Headers", "Content-Type, Authorization"
+            )
+            self.end_headers()
 
     return Handler
 

@@ -239,3 +239,112 @@ def test_warm_and_compact_endpoints(spark, api):
     st, res = _call(port, "POST", "/indexes/ops/search", {"query": "body"})
     assert res["total"] == 6  # results unchanged after folding
     _call(port, "DELETE", "/indexes/ops")
+
+
+def test_ops_endpoints_and_middleware(api):
+    """Round 4 REST parity tail: GET /indexes/{n}/stats, GET
+    /indexes/{n}/documents/{id}, GET /analytics, GET /jobs/metrics,
+    request-size cap, CORS preflight."""
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "ops4", "searchable_fields": ["text"],
+        "filterable_fields": ["year"],
+        "fields_without_prefix_search": ["text"],
+    })
+    st, out = _call(port, "PUT", "/indexes/ops4/documents", [
+        {"documentID": f"s{i}", "text": f"stats doc {i} shared", "year": 2000 + i}
+        for i in range(4)
+    ])
+    assert _wait_job(port, out["job_id"])["status"] == "completed"
+
+    # index stats
+    st, stats = _call(port, "GET", "/indexes/ops4/stats")
+    assert st == 200 and stats["name"] == "ops4"
+    assert stats["document_count"] == 4
+    assert stats["searchable_fields"] == ["text"]
+    assert stats["index_stats"]["n_terms"] > 0
+    assert stats["typo_settings"]["min_word_size_for_1_typo"] == 4
+
+    # single-document fetch
+    st, doc = _call(port, "GET", "/indexes/ops4/documents/s2")
+    assert st == 200 and doc["documentID"] == "s2" and doc["year"] == 2002
+    st, err = _call(port, "GET", "/indexes/ops4/documents/nope")
+    assert st == 404
+
+    # a couple of searches to populate analytics
+    _call(port, "POST", "/indexes/ops4/search", {"query": "shared"})
+    _call(port, "POST", "/indexes/ops4/search", {"query": "shared"})
+    _call(port, "POST", "/indexes/ops4/search", {"query": "doc"})
+    st, dash = _call(port, "GET", "/analytics")
+    assert st == 200
+    assert dash["total_searches"] >= 3
+    assert dash["avg_response_time_ms"] > 0
+    top = {p["query"]: p["count"] for p in dash["popular_searches"]}
+    assert top.get("shared", 0) >= 2
+    assert any(u["index_name"] == "ops4" for u in dash["index_usage"])
+    assert dash["total_documents"] >= 4 and dash["active_indexes"] >= 1
+
+    # job metrics
+    st, jm = _call(port, "GET", "/jobs/metrics")
+    assert st == 200
+    assert jm["metrics"]["total_jobs"] >= 1
+    assert 0.0 <= jm["success_rate"] <= 1.0
+    assert jm["metrics"]["jobs_by_type"].get("add_documents", 0) >= 1
+
+    # request-size cap: oversize Content-Length is rejected before read
+    import urllib.request
+
+    from go_search_engine_spark.api.http import MAX_BODY_BYTES
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/indexes/ops4/search",
+        data=b"x", method="POST",
+        headers={"Content-Length": str(MAX_BODY_BYTES + 1)},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("oversize body accepted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+
+    # CORS preflight
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/indexes/ops4/search", method="OPTIONS"
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 204
+        assert r.headers["Access-Control-Allow-Origin"] == "*"
+    _call(port, "DELETE", "/indexes/ops4")
+
+
+def test_concurrent_mutations_serialize(api):
+    """Two concurrent upsert jobs against the same index must both land
+    (per-index lock serializes the read-compute-commit protocol; without
+    it both compute the same generation and one silently clobbers the
+    other)."""
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "race", "searchable_fields": ["text"],
+        "fields_without_prefix_search": ["text"],
+    })
+    st, out = _call(port, "PUT", "/indexes/race/documents", [
+        {"documentID": "base", "text": "baseline corpus payload"}
+    ])
+    assert _wait_job(port, out["job_id"])["status"] == "completed"
+
+    # fire both mutations without waiting in between
+    st1, j1 = _call(port, "PUT", "/indexes/race/documents", [
+        {"documentID": "left", "text": "left racer unique alpha"}
+    ])
+    st2, j2 = _call(port, "PUT", "/indexes/race/documents", [
+        {"documentID": "right", "text": "right racer unique bravo"}
+    ])
+    a = _wait_job(port, j1["job_id"])
+    b = _wait_job(port, j2["job_id"])
+    assert a["status"] == "completed", a
+    assert b["status"] == "completed", b
+    # BOTH updates visible: no lost write
+    st, res = _call(port, "POST", "/indexes/race/search",
+                    {"query": "racer", "typo_tolerance": False})
+    assert {h["documentID"] for h in res["hits"]} == {"left", "right"}
+    _call(port, "DELETE", "/indexes/race")
