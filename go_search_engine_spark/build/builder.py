@@ -366,10 +366,14 @@ class IndexBuilder:
         # (delta) maintenance path updates total_dl by +- integer deltas,
         # and both paths must yield bit-identical avgdl (a float mean
         # would differ in the last ulp by summation order)
-        n_docs, total_dl = docs.agg(
-            F.count("*"), F.sum("doc_len")
+        n_docs, total_dl, max_doc_id = docs.agg(
+            F.count("*"), F.sum("doc_len"), F.max("doc_id")
         ).collect()[0]
         total_dl = int(total_dl or 0)
+        # recorded in stats.json so delta upserts can allocate ids with
+        # zero driver jobs; computed (not N-1) because maintenance can
+        # leave doc_id gaps. Coalesces to -1 for an emptied index.
+        max_doc_id = int(max_doc_id) if max_doc_id is not None else -1
         avgdl = total_dl / n_docs if n_docs else 0.0
         report.n_docs = int(n_docs)
         report.avgdl = avgdl
@@ -494,6 +498,7 @@ class IndexBuilder:
                     "n_blocks": report.n_blocks,
                     "n_salted_terms": report.n_salted_terms,
                     "max_df": report.max_df,
+                    "max_doc_id": max_doc_id,
                     # the shard-hash modulus: maintenance ops must reuse it
                     # (max(docs.shard)+1 under-counts when high shards got
                     # no documents)

@@ -19,10 +19,15 @@ doc d is visible iff g >= T(d), where T(d) is the max tombstone
 generation for d (0 if none). An update at G writes a tombstone at G
 plus new rows at G: the new rows survive (G >= G), every older row dies.
 
-Commit protocol: delta dirs first, term_stats (tmp+rename), stats.json
-LAST -- stats.json carries ``delta_gen``; readers ignore gen dirs above
-it, so a crash mid-commit leaves only invisible orphans (stats.json is
-the atomic commit point, the same role an Iceberg snapshot commit plays).
+Commit protocol: delta dirs first, then a generation-addressed
+``term_stats_gen=G`` directory, stats.json LAST -- stats.json carries
+``delta_gen`` AND the ``term_stats_gen`` pointer; readers ignore gen
+dirs above ``delta_gen`` and resolve term_stats through the pointer, so
+a crash anywhere mid-commit leaves only invisible orphans (stats.json
+is the atomic commit point, the same role an Iceberg snapshot commit
+plays). The previous term_stats directory is retained one commit as a
+grace window for in-flight readers; older ones are garbage-collected
+after the commit point.
 
 Exact-stats arithmetic (what keeps delta results bit-identical to a full
 refresh): df' = df - |docs leaving the term| + |docs joining it| (from
@@ -36,9 +41,10 @@ while deltas are pending anyway).
 Queries under pending deltas: candidate-term postings = pruned base
 block scan ∪ delta-postings scan (term-filtered; delta files are small
 by design), both visibility-filtered. Positional operators
-(phrase/proximity/highlight) refuse until ``compact_segments`` folds the
-deltas back into the base -- the classic NRT trade (Lucene's NRT readers
-carry analogous restrictions).
+(phrase/proximity/highlight) stay live under pending deltas too: delta
+postings carry the same varint position records as the base blocks, so
+``positional_rows`` (query/phrase.py) unions the visibility-filtered
+delta rows into the decoded stream -- no NRT feature gap.
 """
 
 from __future__ import annotations
@@ -57,6 +63,25 @@ def delta_path(base: str, *parts: str) -> str:
 
 def has_delta(base: str) -> bool:
     return os.path.isdir(delta_path(base, "postings"))
+
+
+def term_stats_path(base: str, stats: dict | None = None) -> str:
+    """Resolve the ACTIVE term_stats directory.
+
+    Delta commits write term_stats generation-addressed
+    (``term_stats_gen=G``) and flip the ``term_stats_gen`` pointer in
+    stats.json -- the same atomic-commit-point discipline as
+    ``delta_gen``. A crash anywhere mid-commit leaves the pointer on the
+    old, complete directory (never a missing-or-ahead term_stats window).
+    Full builds/refreshes write the plain legacy dir and drop the key."""
+    if stats is None:
+        from .builder import load_stats
+
+        stats = load_stats(base)
+    g = stats.get("term_stats_gen")
+    if g is not None:
+        return os.path.join(base, f"term_stats_gen={int(g)}")
+    return os.path.join(base, "term_stats")
 
 
 def max_committed_gen(base: str) -> int:

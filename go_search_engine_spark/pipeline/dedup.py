@@ -75,19 +75,26 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, text_col, id_col, k)
     if max_shingle_df is not None:
-        # ONE-PASS guard: a single groupBy(shingle) collects each
-        # shingle's (df, sorted id list); the hot-set log, the sizes, and
-        # the candidate pairs are ALL derived from this persisted frame,
-        # so the whole operator pays exactly one tokenize+shuffle pass
-        # (the r2 layout re-aggregated the shingle stream three times).
-        # The id list is bounded by max_shingle_df, so per-row memory is
-        # capped; pair generation is a JVM-side slice/transform (emits
-        # only a < b), never a self-join.
-        grouped = sh.groupBy("shingle").agg(
-            F.count("*").alias("df"),
-            F.sort_array(F.collect_list("id")).alias("ids"),
-        ).persist()
-        n_hot = grouped.filter(F.col("df") > max_shingle_df).count()
+        # Two-phase guard (round-4 ADVICE fix): a df-only pre-pass
+        # (map-side-combined count, cheap) finds the hot shingles, and
+        # they are anti-joined out BEFORE the collect_list aggregation --
+        # so no aggregation buffer ever materializes a stop-shingle's
+        # full id array (the r3 one-pass layout built the list first and
+        # filtered after: unbounded per-row memory in exactly the
+        # degenerate-skew case the guard exists for). The shingle stream
+        # is persisted, so the second pass reads the cache, not the
+        # tokenizer. The surviving id lists are bounded by
+        # max_shingle_df; pair generation is a JVM-side slice/transform
+        # (emits only a < b), never a self-join. No broadcast hint on the
+        # anti-join: the hot set is usually tiny but CAN be huge on a
+        # degenerate corpus -- AQE picks broadcast when it fits.
+        sh = sh.persist()
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+        )
+        n_hot = hot.count()
         if n_hot:
             import logging
 
@@ -95,7 +102,13 @@ def ngram_jaccard_pairs(
                 "ngram_jaccard_pairs: dropping %d stop-shingles with "
                 "df > %d (skew guard)", n_hot, max_shingle_df
             )
-        kept = grouped.filter(F.col("df") <= max_shingle_df)
+            sh_kept = sh.join(hot.select("shingle"), "shingle", "left_anti")
+        else:
+            sh_kept = sh
+        kept = sh_kept.groupBy("shingle").agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
+        ).persist()
         sizes = (
             kept.select(F.explode("ids").alias("id"))
             .groupBy("id")

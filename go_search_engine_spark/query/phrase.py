@@ -70,6 +70,65 @@ def decode_blocks_pos_fn(
         yield pd.concat(frames, ignore_index=True)
 
 
+def positional_rows(engine, cand: pd.DataFrame, fields: list[str]) -> DataFrame:
+    """(term, field, doc_id, fw, positions) for the candidate terms:
+    bucket-pruned base blocks decoded WITH positions, plus -- when delta
+    segments are pending -- the visibility-filtered delta rows (delta
+    postings carry the same varint position records, build/flatmap.py),
+    so positional operators work under NRT deltas (round-4 VERDICT #4;
+    previously correct-by-refusal)."""
+    blk = engine.candidate_blocks(cand, fields).select(
+        "term", "field", "doc_ids", "positions", "fws"
+    )
+    decoded = blk.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
+    if engine._delta:
+        from ..build.delta import apply_visibility
+
+        terms = sorted(set(cand["term"]))
+        dp = engine._delta_post.filter(
+            F.col("term").isin(terms) & F.col("field").isin(fields)
+        ).select(
+            "term",
+            "field",
+            "doc_id",
+            F.col("is_full_word").alias("fw"),
+            _decode_pos_record(F.col("positions")).alias("positions"),
+            "gen",
+        )
+        decoded = apply_visibility(
+            decoded.withColumn("gen", F.lit(0)).unionByName(dp),
+            "gen",
+            engine._tomb,
+        ).drop("gen")
+    return decoded
+
+
+_POS_UDF = None
+
+
+def _decode_pos_record(col):
+    """One varint position record ([count, first, deltas...]) -> int[].
+    Arrow-batched pandas UDF, created lazily (pandas_udf parses its DDL
+    return type against the ACTIVE session, so no module-import-time
+    registration); only ever applied to delta rows (small by design)."""
+    global _POS_UDF
+    if _POS_UDF is None:
+
+        @F.pandas_udf("array<int>")
+        def decode_record(bufs: pd.Series) -> pd.Series:
+            def one(b):
+                if b is None:
+                    return []
+                return decode_positions(bytes(b), 1)[0].astype(
+                    "int32"
+                ).tolist()
+
+            return bufs.map(one)
+
+        _POS_UDF = decode_record
+    return _POS_UDF(col)
+
+
 def phrase_search(
     engine,
     phrase: str,
@@ -80,7 +139,6 @@ def phrase_search(
     count (desc) then doc_id (asc). Returns (rank, doc_id, documentID,
     n_occurrences)."""
     engine._ensure_fresh()
-    engine._require_compacted("phrase_search")
     s = engine.settings
     fields = fields or s.searchable_fields
     bad = set(fields) - set(s.searchable_fields)
@@ -146,22 +204,19 @@ def _scan_positions(engine, terms: list[str], fields: list[str]):
     dfs = dict(zip(meta["term"], (int(x) for x in meta["df"])))
     if min(dfs.values()) == 0:
         return None
-    blk = engine.candidate_blocks(cand, fields)
-    blk = blk.select("term", "field", "doc_ids", "positions", "fws")
-    decoded = blk.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
-    decoded = decoded.filter(F.col("fw"))
+    decoded = positional_rows(engine, cand, fields).filter(F.col("fw"))
     if len(dfs) > 1 and max(dfs.values()) >= 4 * min(dfs.values()):
         # deliberate SECOND scan of the rare term's blocks (bucket-pruned,
         # cheap by definition): deriving the pair set from `decoded`
         # instead would re-decode EVERY term's blocks (Catalyst does not
         # dedupe shared subplans without a persist, and persisting all
-        # decoded postings is worse at scale than re-reading the rare ones)
+        # decoded postings is worse at scale than re-reading the rare
+        # ones). Delta-aware through the same positional_rows source, so
+        # a doc whose rare-term posting lives only in a delta gen still
+        # survives the semi-join.
         rare_t = min(dfs, key=lambda t: (dfs[t], t))
-        rb = engine.candidate_blocks(
-            pd.DataFrame({"term": [rare_t]}), fields
-        ).select("term", "field", "doc_ids", "positions", "fws")
         rare_pairs = (
-            rb.mapInPandas(decode_blocks_pos_fn, schema=POS_DECODED_SCHEMA)
+            positional_rows(engine, pd.DataFrame({"term": [rare_t]}), fields)
             .filter(F.col("fw"))
             .select("doc_id", "field")
             .distinct()
@@ -190,7 +245,6 @@ def proximity_search(
     containing all n distinct tokens -- an equi-key aggregation, no
     pairwise position self-join."""
     engine._ensure_fresh()
-    engine._require_compacted("proximity_search")
     if window < 1:
         raise ValueError("window must be >= 1")
     s = engine.settings

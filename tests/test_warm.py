@@ -79,11 +79,19 @@ def test_warm_partial_budget_unions_cold_terms(spark, warm_idx):
     # budget far below the index: only head terms get warmed
     info = eng.warm(max_postings=200)
     assert info["warm_terms"] != "all" and info["warm_terms"] >= 1
-    assert eng._warm_terms and not eng._warm_all
+    assert eng._warm_boundary is not None and not eng._warm_all
     for q, kw in QUERIES:
         assert _key(eng.search(q, k=50, **kw).collect()) == _key(
             cold.search(q, k=50, **kw).collect()
         ), q
+    # VERDICT r3 #3: the hot-set decode filter must be a semi-join
+    # against the boundary-filtered term_stats, never a giant IN-list of
+    # term literals in the plan
+    import re
+
+    plan = eng._warm_decoded._jdf.queryExecution().analyzed().toString()
+    assert "LeftSemi" in plan
+    assert not re.search(r"term#\d+ IN \(", plan)
 
 
 def test_warm_single_job_per_query(spark, warm_idx):
