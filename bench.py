@@ -36,6 +36,9 @@ SCALING_WORDS = int(os.environ.get("SPARK_GRAFT_SCALING_WORDS", "200"))
 # cluster's 4N executors add machines -- memory channels and disks scale
 # with N -- which the low-thread pair models more faithfully.
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
+# the official efficiency is the MEDIAN of this many interleaved N/4N
+# pairs (single-shot gating proved environment-fragile in round 3)
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 
 
 def timed(fn):
@@ -295,17 +298,37 @@ def main() -> None:
     spark.stop()
 
     if RUN_SCALING:
+        # Median-of-REPS interleaved pairs (N,4N,N,4N,...): the scaling
+        # efficiency is the single most environment-sensitive number in
+        # the artifact (round-3 recorded 0.563 through a host-contention
+        # window against code that measures 0.873 idle), so one shot must
+        # never gate the round. Per-run numbers + the spread are reported
+        # alongside the median.
         corpus_path = materialize_scaling_corpus(SCALING_DOCS, SCALING_WORDS)
-        lo = scaling_run(corpus_path, SCALING_DOCS, SCALING_N)
-        hi = scaling_run(corpus_path, SCALING_DOCS, 4 * SCALING_N)
-        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
-            hi["cpus"] / lo["cpus"]
-        )
+        runs = []
+        for _ in range(SCALING_REPS):
+            lo = scaling_run(corpus_path, SCALING_DOCS, SCALING_N)
+            hi = scaling_run(corpus_path, SCALING_DOCS, 4 * SCALING_N)
+            eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
+                hi["cpus"] / lo["cpus"]
+            )
+            runs.append({
+                "low": lo,
+                "high": hi,
+                "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+                "efficiency": round(eff, 3),
+            })
+        med = sorted(runs, key=lambda r: r["efficiency"])[len(runs) // 2]
+        effs = [r["efficiency"] for r in runs]
         result["scaling"] = {
-            "low": lo,
-            "high": hi,
-            "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
-            "efficiency": round(eff, 3),
+            "low": med["low"],
+            "high": med["high"],
+            "speedup": med["speedup"],
+            "efficiency": med["efficiency"],  # median of the reps
+            "reps": SCALING_REPS,
+            "efficiency_runs": effs,
+            "efficiency_spread": [min(effs), max(effs)],
+            "runs": runs,
         }
         if CPUS > 4 * SCALING_N:
             result["scaling"]["max_threads"] = scaling_run(

@@ -263,7 +263,9 @@ class EngineServer:
             # bulk_operations.go:427-467)
             import os
 
-            docs_path = os.path.join(self.warehouse, name, "docs")
+            from ..build.delta import table_path
+
+            docs_path = table_path(os.path.join(self.warehouse, name), "docs")
             corpus = self.spark.read.parquet(docs_path).drop(
                 "doc_id", "doc_len", "content_sha256", "shard"
             )

@@ -95,9 +95,21 @@ class IndexBuilder:
         self.spark = spark
         self.settings = settings
         self.base = os.path.join(warehouse, settings.name)
+        # generation-addressed table layout (build/delta.py table_path):
+        # None = plain {base}/{table} dirs (fresh builds); an int R routes
+        # the four table dirs under {base}/tables_gen={R}/ -- set by
+        # maintenance._refresh so a live rewrite never rmtrees files an
+        # in-flight reader is scanning
+        self.tables_gen: int | None = None
 
     # --- paths -----------------------------------------------------------
     def path(self, *parts: str) -> str:
+        from .delta import TABLE_DIRS
+
+        if self.tables_gen and parts and parts[0] in TABLE_DIRS:
+            return os.path.join(
+                self.base, f"tables_gen={self.tables_gen}", *parts
+            )
         return os.path.join(self.base, *parts)
 
     # --- public ----------------------------------------------------------
@@ -122,7 +134,9 @@ class IndexBuilder:
         run_id = uuid.uuid4().hex[:12]
         report = BuildReport()
         os.makedirs(self.base, exist_ok=True)
-        if resume and os.path.isdir(os.path.join(self.base, "_delta")):
+        from .delta import has_delta
+
+        if resume and has_delta(self.base):
             # a resume build reads only the BASE tables; folding it over
             # pending delta segments would silently drop them
             raise RuntimeError(
@@ -480,9 +494,10 @@ class IndexBuilder:
         # stale -- the Spark analogue of the reference's typo-cache
         # invalidation on index update (typo_finder.go:54-76)
         try:
-            generation = int(load_stats(self.base).get("generation", 0)) + 1
+            prev_stats = load_stats(self.base)
         except (FileNotFoundError, ValueError):
-            generation = 1
+            prev_stats = {}
+        generation = int(prev_stats.get("generation", 0)) + 1
         # atomic replace: stats.json is the commit point readers key their
         # cache coherence on -- a half-written file must never be visible
         tmp_stats = self.path("stats.json.tmp")
@@ -503,11 +518,46 @@ class IndexBuilder:
                     # (max(docs.shard)+1 under-counts when high shards got
                     # no documents)
                     "num_shards": num_shards,
+                    # generation-addressed table layout pointer (None when
+                    # this finalize wrote the plain dirs of a fresh build)
+                    **({"tables_gen": self.tables_gen}
+                       if self.tables_gen else {}),
                 },
                 f,
                 indent=2,
             )
         os.replace(tmp_stats, self.path("stats.json"))
+        # GC AFTER the commit point: delete table directories of
+        # generations older than the one just superseded -- the previous
+        # generation stays one commit as a grace window for in-flight
+        # readers (same discipline as the delta path's term_stats GC)
+        self._gc_generations(prev_stats, {"tables_gen": self.tables_gen})
+
+    def _gc_generations(self, prev_stats: dict, new_stats: dict) -> None:
+        """Best-effort, post-commit removal of superseded generation
+        roots (``tables_gen=*``, ``term_stats_gen=*``, plain table dirs),
+        keeping the roots active under either ``prev_stats`` (reader
+        grace window) or ``new_stats``."""
+        import glob as _glob
+
+        from .delta import DELTA_DIR, TABLE_DIRS, generation_roots
+
+        keep = generation_roots(self.base, prev_stats) | generation_roots(
+            self.base, new_stats
+        )
+        # a folded (committed-away) _delta/ dir is retired state too: it
+        # was retained one commit as reader grace by compact_segments
+        if int(prev_stats.get("delta_gen", 0)) > 0 or int(
+            new_stats.get("delta_gen", 0)
+        ) > 0:
+            keep.add(os.path.join(self.base, DELTA_DIR))
+        cands = _glob.glob(os.path.join(self.base, "tables_gen=*"))
+        cands += _glob.glob(os.path.join(self.base, "term_stats_gen=*"))
+        cands += [os.path.join(self.base, n) for n in TABLE_DIRS]
+        cands += [os.path.join(self.base, DELTA_DIR)]
+        for d in cands:
+            if os.path.isdir(d) and d not in keep:
+                shutil.rmtree(d, ignore_errors=True)
 
     # --- io helpers --------------------------------------------------------
     def _write(

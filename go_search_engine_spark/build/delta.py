@@ -56,32 +56,80 @@ from pyspark.sql import functions as F
 
 DELTA_DIR = "_delta"
 
+# the four index tables whose directories are generation-addressed by
+# refresh-mode maintenance (see table_path)
+TABLE_DIRS = ("docs", "segments", "term_stats", "blocks")
+
 
 def delta_path(base: str, *parts: str) -> str:
     return os.path.join(base, DELTA_DIR, *parts)
 
 
 def has_delta(base: str) -> bool:
-    return os.path.isdir(delta_path(base, "postings"))
+    """Pending delta segments exist iff the COMMITTED ``delta_gen``
+    pointer says so -- never by directory existence: compaction retains
+    the folded ``_delta/`` directory one commit as a grace window for
+    in-flight readers (same discipline as the tables_gen roots), and
+    a crashed first commit leaves orphan dirs with no pointer."""
+    return int(_load_stats_or_empty(base).get("delta_gen", 0)) > 0
+
+
+def _load_stats_or_empty(base: str) -> dict:
+    from .builder import load_stats
+
+    try:
+        return load_stats(base)
+    except FileNotFoundError:
+        return {}
+
+
+def table_path(base: str, name: str, stats: dict | None = None) -> str:
+    """Resolve the ACTIVE directory of an index table.
+
+    Three layouts, committed by the atomic stats.json pointer flip:
+
+    - fresh build: plain ``{base}/{name}`` (no pointer keys);
+    - refresh-mode maintenance (upsert/delete/compact): ALL FOUR tables
+      rewritten under ``{base}/tables_gen={R}/{name}`` with
+      ``stats["tables_gen"] = R`` -- the previous generation's
+      directories are retained one commit as a grace window for
+      in-flight readers, so a LIVE engine mid-query never loses its
+      files to an rmtree (the reference takes a full index lock for
+      every rewrite, service.go:99-100; immutable generations + a
+      pointer flip are the lock-free equivalent, and the same shape an
+      Iceberg snapshot commit has on object storage);
+    - delta commit: only term_stats is rewritten, at top-level
+      ``term_stats_gen=G`` with the ``term_stats_gen`` pointer (that
+      namespace never collides with ``tables_gen=R/`` directories).
+
+    A crash anywhere mid-commit leaves every pointer on the old,
+    complete directories -- never a missing-or-ahead table window."""
+    if stats is None:
+        stats = _load_stats_or_empty(base)
+    if name == "term_stats":
+        g = stats.get("term_stats_gen")
+        if g is not None:
+            return os.path.join(base, f"term_stats_gen={int(g)}")
+    r = stats.get("tables_gen")
+    if r:
+        return os.path.join(base, f"tables_gen={int(r)}", name)
+    return os.path.join(base, name)
 
 
 def term_stats_path(base: str, stats: dict | None = None) -> str:
-    """Resolve the ACTIVE term_stats directory.
+    """Resolve the ACTIVE term_stats directory (see table_path)."""
+    return table_path(base, "term_stats", stats)
 
-    Delta commits write term_stats generation-addressed
-    (``term_stats_gen=G``) and flip the ``term_stats_gen`` pointer in
-    stats.json -- the same atomic-commit-point discipline as
-    ``delta_gen``. A crash anywhere mid-commit leaves the pointer on the
-    old, complete directory (never a missing-or-ahead term_stats window).
-    Full builds/refreshes write the plain legacy dir and drop the key."""
-    if stats is None:
-        from .builder import load_stats
 
-        stats = load_stats(base)
-    g = stats.get("term_stats_gen")
-    if g is not None:
-        return os.path.join(base, f"term_stats_gen={int(g)}")
-    return os.path.join(base, "term_stats")
+def generation_roots(base: str, stats: dict) -> set[str]:
+    """The TOP-LEVEL directories holding the active tables under
+    ``stats`` -- the unit a generation GC must keep or delete whole."""
+    roots = set()
+    for name in TABLE_DIRS:
+        p = table_path(base, name, stats)
+        rel = os.path.relpath(p, base)
+        roots.add(os.path.join(base, rel.split(os.sep)[0]))
+    return roots
 
 
 def max_committed_gen(base: str) -> int:
@@ -135,7 +183,7 @@ def read_visible_docs(spark: SparkSession, base: str) -> DataFrame:
     """The docs table as a reader must see it: base rows (gen 0) plus
     committed delta rows, visibility-filtered. Falls back to the plain
     base table when no delta state exists."""
-    docs = spark.read.parquet(os.path.join(base, "docs"))
+    docs = spark.read.parquet(table_path(base, "docs"))
     if not has_delta(base):
         return docs
     max_gen = max_committed_gen(base)

@@ -126,22 +126,40 @@ class IndexMaintenance:
         num_shards: int | None = None,
     ) -> None:
         """Rewrite docs + segments, then recompute stats/blocks via the
-        builder's finalize (the sorted-merge). Two-phase via temp dirs so a
-        crash mid-rewrite leaves the old tables readable."""
+        builder's finalize (the sorted-merge).
+
+        Every rewrite goes into a FRESH generation root
+        (``tables_gen={R}/``, build/delta.py table_path) and becomes
+        visible only at finalize's atomic stats.json pointer flip; the
+        previous generation's files are retained one commit as a grace
+        window. A LIVE engine mid-query therefore keeps reading its
+        (complete, immutable) old generation and picks up the new one at
+        its next generation check -- queries concurrent with an
+        upsert/delete/compaction see either the pre- or post-rewrite
+        index, never a mix, a deleted-file error, or a lock (the
+        reference holds a full per-index mutex across its rewrite,
+        service.go:99-100)."""
+        from .builder import load_stats
+
         if num_shards is None:
             # resolve BEFORE the rewrite: the fallback reads the OLD docs
             # table, which is about to be replaced (and may become empty)
             num_shards = self._num_shards()
-        tmp_docs = self.base + "/_docs_new"
-        tmp_seg = self.base + "/_segments_new"
+        try:
+            prev_gen = int(load_stats(self.base).get("tables_gen", 0))
+        except FileNotFoundError:
+            prev_gen = 0
+        self.builder.tables_gen = prev_gen + 1
         # builder._write preserves schema when the frame is empty (a
-        # delete of every document must leave a readable empty table)
-        self.builder._write(docs, tmp_docs, partition_by=["shard"])
-        segments.write.mode("overwrite").parquet(tmp_seg)
-        for sub, tmp in (("docs", tmp_docs), ("segments", tmp_seg)):
-            final = os.path.join(self.base, sub)
-            shutil.rmtree(final, ignore_errors=True)
-            os.rename(tmp, final)
+        # delete of every document must leave a readable empty table);
+        # the new generation dir is invisible until the stats.json flip,
+        # so no tmp-dir dance is needed
+        self.builder._write(
+            docs, self.builder.path("docs"), partition_by=["shard"]
+        )
+        segments.write.mode("overwrite").parquet(
+            self.builder.path("segments")
+        )
         # the rewritten tables no longer correspond to any build's shard
         # fingerprints: invalidate resume state so the next
         # build(resume=True) re-verifies shard contents instead of
@@ -167,7 +185,9 @@ class IndexMaintenance:
             n = 0
         if n > 0:
             return n
-        docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
+        from .delta import table_path
+
+        docs = self.spark.read.parquet(table_path(self.base, "docs"))
         m = docs.agg(F.max("shard")).collect()[0][0]
         return int(m) + 1 if m is not None else 1
 
@@ -192,14 +212,16 @@ class IndexMaintenance:
         if mode == "delta":
             return self._delete_delta(document_ids)
         self._guard_no_delta()
-        docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
+        from .delta import table_path
+
+        docs = self.spark.read.parquet(table_path(self.base, "docs"))
         victims = docs.filter(F.col("documentID").isin(document_ids)).select(
             "doc_id"
         )
         n = victims.count()
         if n == 0:
             return 0
-        segments = self.spark.read.parquet(os.path.join(self.base, "segments"))
+        segments = self.spark.read.parquet(table_path(self.base, "segments"))
         new_docs = docs.join(F.broadcast(victims), "doc_id", "left_anti")
         new_segments = segments.drop("shard").join(
             F.broadcast(victims), "doc_id", "left_anti"
@@ -270,10 +292,11 @@ class IndexMaintenance:
         self._guard_no_delta()
         from .flatmap import POSTINGS_SCHEMA, make_flatmap
         from .builder import _norm_field
+        from .delta import table_path
 
         s = self.settings
-        docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
-        segments = self.spark.read.parquet(os.path.join(self.base, "segments"))
+        docs = self.spark.read.parquet(table_path(self.base, "docs"))
+        segments = self.spark.read.parquet(table_path(self.base, "segments"))
         if "shard" in segments.columns:
             segments = segments.drop("shard")
 
@@ -741,17 +764,16 @@ class IndexMaintenance:
         import glob
 
         from .delta import (
-            DELTA_DIR,
             apply_visibility,
             has_delta,
             max_committed_gen,
             read_delta_postings,
             read_tombstones,
             read_visible_docs,
+            table_path,
         )
 
-        seg_path = os.path.join(self.base, "segments")
-        segments = self.spark.read.parquet(seg_path)
+        segments = self.spark.read.parquet(table_path(self.base, "segments"))
         if "shard" in segments.columns:
             segments = segments.drop("shard")
         folding = has_delta(self.base)
@@ -765,7 +787,7 @@ class IndexMaintenance:
             segments = apply_visibility(allseg, "gen", tomb).drop("gen")
             docs = read_visible_docs(self.spark, self.base)
         else:
-            docs = self.spark.read.parquet(os.path.join(self.base, "docs"))
+            docs = self.spark.read.parquet(table_path(self.base, "docs"))
         if target_partitions is None:
             target_partitions = int(
                 self.spark.conf.get("spark.sql.shuffle.partitions")
@@ -774,21 +796,29 @@ class IndexMaintenance:
         # finalize's blocks job shuffles less
         compacted = segments.repartition(target_partitions, "term")
         self._refresh(docs, compacted)
-        if folding:
-            shutil.rmtree(os.path.join(self.base, DELTA_DIR),
-                          ignore_errors=True)
-        # _refresh rewrote the plain term_stats dir and a fresh stats.json
-        # without the term_stats_gen pointer: GC the gen-addressed dirs
-        self._gc_term_stats(keep={os.path.join(self.base, "term_stats")})
-        return len(glob.glob(os.path.join(seg_path, "*.parquet")))
+        # the folded _delta/ directory is NOT deleted here: stats.json no
+        # longer carries delta_gen (so readers ignore it), and in-flight
+        # readers of the pre-fold generation may still be scanning its
+        # files -- the next maintenance commit's generation GC removes it
+        # (same one-commit grace as the tables_gen roots).
+        # _refresh's finalize already GC'd superseded generations; count
+        # files in the NEW segments dir
+        return len(
+            glob.glob(os.path.join(table_path(self.base, "segments"),
+                                   "*.parquet"))
+        )
 
     def delete_all(self) -> None:
         """T12: clear everything; next build starts fresh."""
+        import glob
+
         from .delta import DELTA_DIR
 
         for sub in ("docs", "segments", "term_stats", "blocks",
                     "_checkpoints", DELTA_DIR):
             shutil.rmtree(os.path.join(self.base, sub), ignore_errors=True)
+        for d in glob.glob(os.path.join(self.base, "tables_gen=*")):
+            shutil.rmtree(d, ignore_errors=True)
         self._gc_term_stats(keep=set())
         for f in ("stats.json", "metrics.json", "_docs_complete.json"):
             p = os.path.join(self.base, f)

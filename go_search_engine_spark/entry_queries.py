@@ -1000,8 +1000,10 @@ def maintenance_delete_upsert(spark, sf_dir):
         )
         m.upsert_documents(updates.unionByName(inserts))
         _MAINT_CACHE[sf_dir] = wh
+    from .build.delta import term_stats_path
+
     ts = spark.read.parquet(
-        os.path.join(_MAINT_CACHE[sf_dir], "maint_idx", "term_stats")
+        term_stats_path(os.path.join(_MAINT_CACHE[sf_dir], "maint_idx"))
     )
     return ts.select("term", "df", F.round("idf", 6).alias("idf"))
 
@@ -1132,8 +1134,10 @@ def settings_update_reindex(spark, sf_dir):
         )
         assert update_settings(spark, wh, new, corpus=docs) is True
         _SETTINGS_CACHE[sf_dir] = wh
+    from .build.delta import term_stats_path
+
     ts = spark.read.parquet(
-        os.path.join(_SETTINGS_CACHE[sf_dir], "sdiff_idx", "term_stats")
+        term_stats_path(os.path.join(_SETTINGS_CACHE[sf_dir], "sdiff_idx"))
     )
     return ts.select("term", "df")
 

@@ -108,7 +108,16 @@ class SearchEngine:
         driver vocab cache. Called at open and on generation change."""
         self.settings = load_settings(self.base)
         self.stats = load_stats(self.base)
-        self.blocks = self.spark.read.parquet(os.path.join(self.base, "blocks"))
+        from ..build.delta import table_path
+
+        # every table resolves through the stats.json pointers
+        # (build/delta.py table_path): refresh-mode maintenance commits
+        # immutable tables_gen=R directories with one-commit grace, so a
+        # query in flight across a concurrent rewrite keeps its complete
+        # old-generation files
+        self.blocks = self.spark.read.parquet(
+            table_path(self.base, "blocks", self.stats)
+        )
         if "fws" not in self.blocks.columns:
             # format v2 (adds the full-word bitmask per block); a v1 index
             # decodes wrongly everywhere, so fail loud at open
@@ -143,7 +152,7 @@ class SearchEngine:
             self._tomb = None
             self._delta_post = None
             self.docs = self.spark.read.parquet(
-                os.path.join(self.base, "docs")
+                table_path(self.base, "docs", self.stats)
             )
         self._vocab_pd: pd.DataFrame | None = None
         self._generation = int(self.stats.get("generation", 0))
@@ -464,11 +473,18 @@ class SearchEngine:
         persisted when N <= ``docs_map_max``. A maintenance rewrite
         (generation bump) drops all warm state on the next query.
 
-        Returns {"warm_terms": n|"all", "warm_postings": n, "docs_slim": bool}.
+        Returns {"warm_terms": n|"all", "warm_postings": n, "docs_slim":
+        bool} plus storage telemetry measured from the block manager after
+        materialization -- ``bytes_in_memory``, ``bytes_on_disk``,
+        ``fraction_in_memory``, ``cached_partitions`` -- so a serving
+        operator can size ``max_postings`` against executor memory (a
+        ``fraction_in_memory`` < 1.0 means the warm set spilled and the
+        budget is too big for the heap).
         """
         self._ensure_fresh()
         n_post = int(self.stats.get("n_postings", 0))
         info: dict = {}
+        pre_storage = set(self._storage_info())
         if self._delta and n_post > max_postings:
             # a partial warm set under pending deltas would mix a clean
             # (visibility-applied) warm frame with a cold path that must
@@ -568,7 +584,28 @@ class SearchEngine:
             info["docs_slim"] = True
         else:
             info["docs_slim"] = False
+        mem = disk = parts = 0
+        for rid, (m, d, p) in self._storage_info().items():
+            if rid not in pre_storage:
+                mem, disk, parts = mem + m, disk + d, parts + p
+        info["bytes_in_memory"] = mem
+        info["bytes_on_disk"] = disk
+        info["cached_partitions"] = parts
+        total = mem + disk
+        info["fraction_in_memory"] = round(mem / total, 4) if total else 1.0
         return info
+
+    def _storage_info(self) -> dict[int, tuple[int, int, int]]:
+        """Block-manager storage per cached RDD: {rdd_id: (bytes_in_memory,
+        bytes_on_disk, cached_partitions)}. Driver-side metadata lookup,
+        zero Spark jobs."""
+        out: dict[int, tuple[int, int, int]] = {}
+        for i in self.spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            out[int(i.id())] = (
+                int(i.memSize()), int(i.diskSize()),
+                int(i.numCachedPartitions()),
+            )
+        return out
 
     def _warm_chosen_terms(self) -> DataFrame:
         """The warm hot-set as a FRAME (term_stats filtered by the

@@ -201,7 +201,13 @@ def test_compaction_folds_deltas(spark, twin):
     before = _search_all(spark, wh, "dlt")
     m = IndexMaintenance(spark, wh, "dlt")
     m.compact_segments(target_partitions=4)
-    assert not os.path.isdir(f"{wh}/dlt/_delta")
+    from go_search_engine_spark.build.delta import has_delta
+
+    # the commit clears the delta_gen pointer; the folded _delta/ dir is
+    # RETAINED one commit as reader grace (in-flight pre-fold queries may
+    # still be scanning its tombstone files), GC'd at the next commit
+    assert not has_delta(f"{wh}/dlt")
+    assert os.path.isdir(f"{wh}/dlt/_delta")
     assert _search_all(spark, wh, "dlt") == before
     assert _term_stats_map(spark, wh, "dlt") == _term_stats_map(spark, wh, "ref")
     # positional operators work again
@@ -259,9 +265,14 @@ def test_maybe_compact_ratio_policy(spark, tmp_path):
     )
     before = _search_all(spark, wh, "mc")
     assert m.maybe_compact() is True
-    assert not os.path.isdir(f"{wh}/mc/_delta")
+    from go_search_engine_spark.build.delta import has_delta
+
+    assert not has_delta(f"{wh}/mc")
     assert _search_all(spark, wh, "mc") == before
     assert m.maybe_compact() is False  # idempotent after folding
+    # the retained grace _delta/ dir is GC'd by the NEXT refresh commit
+    m.upsert_documents(_batch(spark, [("mc-post", "post fold doc")]))
+    assert not os.path.isdir(f"{wh}/mc/_delta")
 
 
 def test_uncommitted_delta_gen_is_invisible(spark, tmp_path):
@@ -355,10 +366,15 @@ def test_term_stats_crash_window_and_gc(spark, tmp_path):
     )
     assert dirs == ["term_stats_gen=1", "term_stats_gen=2"]
 
-    # compaction folds everything back to the legacy layout + GCs gen dirs
+    # compaction folds everything into a fresh tables_gen root; the
+    # pre-compaction pointer target (gen=2) is retained one commit as
+    # reader grace, the older gen dir is GC'd
     m.compact_segments()
-    assert glob.glob(f"{base}/term_stats_gen=*") == []
-    assert os.path.isdir(f"{base}/term_stats")
+    assert term_stats_path(base).endswith("tables_gen=1/term_stats")
+    assert os.path.isdir(f"{base}/tables_gen=1/term_stats")
+    assert sorted(
+        os.path.basename(d) for d in glob.glob(f"{base}/term_stats_gen=*")
+    ) == ["term_stats_gen=2"]
     eng2 = SearchEngine(spark, wh, "tsc")
     assert eng2.search("zzzbeta", k=5, typo_tolerance=False).count() == 1
 

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from go_search_engine_spark.build.builder import IndexBuilder
+from go_search_engine_spark.build.delta import table_path
 from go_search_engine_spark.build.maintenance import (
     IndexMaintenance,
     create_index,
@@ -85,11 +86,11 @@ def test_delete_documents(spark, tmp_path):
     } - set(victims)
     # stats refreshed: N dropped by 2, no dangling postings
     assert eng2.stats["N"] == eng.stats["N"] - 2
-    segs = spark.read.parquet(f"{wh}/del/segments")
+    segs = spark.read.parquet(table_path(f"{wh}/del", "segments"))
     victims_ids = [r["doc_id"] for r in before[:2]]
     assert segs.filter(F.col("doc_id").isin(victims_ids)).count() == 0
     # empty-term cleanup: every term in term_stats still has postings
-    ts = spark.read.parquet(f"{wh}/del/term_stats")
+    ts = spark.read.parquet(table_path(f"{wh}/del", "term_stats"))
     assert ts.join(segs.select("term").distinct(), "term", "left_anti").count() == 0
 
 
@@ -170,7 +171,7 @@ def test_upsert_documents(spark, tmp_path):
     assert got_new == {"zzz-new-doc"}
 
     # old postings of the updated docs are gone
-    segs = spark.read.parquet(f"{wh}/ups/segments")
+    segs = spark.read.parquet(table_path(f"{wh}/ups", "segments"))
     vic_ids = [ids_before[v] for v in victims]
     old_terms = segs.filter(F.col("doc_id").isin(vic_ids)).select(
         "term"
@@ -179,7 +180,7 @@ def test_upsert_documents(spark, tmp_path):
         "zzzupserted", "fresh", "words", "here"
     }
     # no empty terms left behind
-    ts = spark.read.parquet(f"{wh}/ups/term_stats")
+    ts = spark.read.parquet(table_path(f"{wh}/ups", "term_stats"))
     assert ts.join(segs.select("term").distinct(), "term", "left_anti").count() == 0
 
 
@@ -225,7 +226,7 @@ def test_upsert_preserves_shard_modulus(spark, tmp_path):
             "lang string, content string",
         )
     )
-    docs = spark.read.parquet(wh + "/mod8/docs")
+    docs = spark.read.parquet(table_path(wh + "/mod8", "docs"))
     bad = docs.filter(
         F.col("shard")
         != F.pmod(F.xxhash64("documentID"), F.lit(8)).cast("int")
@@ -254,7 +255,12 @@ def test_compact_segments(spark, tmp_path):
         )
     eng_before = SearchEngine(spark, wh, "cmp")
     before = eng_before.search("tokenizer", k=50).collect()
-    n_before = len(glob.glob(os.path.join(wh, "cmp", "segments", "*.parquet")))
+    n_before = len(
+        glob.glob(
+            os.path.join(table_path(os.path.join(wh, "cmp"), "segments"),
+                         "*.parquet")
+        )
+    )
 
     n_after = m.compact_segments(target_partitions=2)
     assert n_after <= 2 < n_before
@@ -287,7 +293,7 @@ def test_upsert_into_emptied_index(spark, tmp_path):
     )
     rep = m.upsert_documents(batch)
     assert rep == {"updated": 0, "inserted": 3}
-    docs = spark.read.parquet(f"{wh}/emptied/docs")
+    docs = spark.read.parquet(table_path(f"{wh}/emptied", "docs"))
     got = sorted(
         (r["documentID"], r["doc_id"])
         for r in docs.select("documentID", "doc_id").collect()
@@ -307,7 +313,7 @@ def test_upsert_bulk_insert_ids_parallel(spark, tmp_path):
     IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
     m = IndexMaintenance(spark, wh, "bulkins")
     old_max = (
-        spark.read.parquet(f"{wh}/bulkins/docs")
+        spark.read.parquet(table_path(f"{wh}/bulkins", "docs"))
         .agg(F.max("doc_id"))
         .collect()[0][0]
     )
@@ -318,7 +324,7 @@ def test_upsert_bulk_insert_ids_parallel(spark, tmp_path):
     ).repartition(8)
     rep = m.upsert_documents(batch)
     assert rep == {"updated": 0, "inserted": 50}
-    docs = spark.read.parquet(f"{wh}/bulkins/docs")
+    docs = spark.read.parquet(table_path(f"{wh}/bulkins", "docs"))
     new_rows = sorted(
         (r["documentID"], r["doc_id"])
         for r in docs.filter(F.col("documentID").startswith("new-")).collect()
@@ -329,12 +335,12 @@ def test_upsert_bulk_insert_ids_parallel(spark, tmp_path):
     )
 
 
-def test_resume_cleans_refresh_root_segment_files(spark, tmp_path):
-    """_refresh writes segments as unpartitioned root-level part files; a
-    later build(resume=True) writes shard= subdirs into the same directory
-    and must REMOVE the root files (otherwise they are orphaned on disk
-    and correctness silently depends on partition discovery ignoring
-    base-path data files once partition dirs exist)."""
+def test_resume_build_after_refresh_maintenance(spark, tmp_path):
+    """A refresh-mode delete commits into a tables_gen root (unpartitioned
+    part files live THERE, never mixed into the plain build layout); a
+    later build(resume=True) writes the plain shard= layout, flips the
+    pointer back, and must re-add the deleted document (resume state was
+    invalidated) with no stale root-level files in its segments dir."""
     import glob
     import os
 
@@ -348,11 +354,15 @@ def test_resume_cleans_refresh_root_segment_files(spark, tmp_path):
         "documentID"
     ]
     IndexMaintenance(spark, wh, "rootclean").delete_documents([victim])
-    seg_root = os.path.join(wh, "rootclean", "segments")
-    assert glob.glob(os.path.join(seg_root, "part-*"))  # refresh layout
+    base = os.path.join(wh, "rootclean")
+    gen_seg = table_path(base, "segments")
+    assert "tables_gen=1" in gen_seg
+    assert glob.glob(os.path.join(gen_seg, "part-*"))  # refresh layout
 
     builder.build(corpus, num_shards=2, resume=True)
-    assert not glob.glob(os.path.join(seg_root, "part-*"))  # cleaned
+    seg_root = os.path.join(base, "segments")  # pointer back to plain
+    assert table_path(base, "segments") == seg_root
+    assert not glob.glob(os.path.join(seg_root, "part-*"))
     assert not glob.glob(os.path.join(seg_root, "_SUCCESS"))
     eng2 = SearchEngine(spark, wh, "rootclean")
     assert eng2.stats["N"] == 40

@@ -54,6 +54,12 @@ def test_warm_rank_identity_full(spark, warm_idx):
     eng = SearchEngine(spark, warm_idx, "w")
     info = eng.warm()
     assert info["warm_terms"] == "all" and info["docs_slim"]
+    # storage telemetry (VERDICT r3 #8): a serving operator needs real
+    # byte sizes to budget max_postings against executor memory
+    assert info["bytes_in_memory"] > 0
+    assert info["cached_partitions"] > 0
+    assert 0.0 <= info["fraction_in_memory"] <= 1.0
+    assert info["bytes_on_disk"] == 0  # tiny index must not spill
     for q, kw in QUERIES:
         assert _key(eng.search(q, k=50, **kw).collect()) == _key(colds[q]), q
     # wand auto mode short-circuits to the warm exhaustive plan
