@@ -263,10 +263,14 @@ class EngineServer:
             # bulk_operations.go:427-467)
             import os
 
-            from ..build.delta import table_path
+            from ..build.delta import read_visible_docs
 
-            docs_path = table_path(os.path.join(self.warehouse, name), "docs")
-            corpus = self.spark.read.parquet(docs_path).drop(
+            # the reindex corpus must be what a READER sees: base docs
+            # plus committed delta rows minus tombstones (a plain table
+            # read would silently drop pending NRT upserts)
+            corpus = read_visible_docs(
+                self.spark, os.path.join(self.warehouse, name)
+            ).drop(
                 "doc_id", "doc_len", "content_sha256", "shard"
             )
             corpus = corpus.persist()

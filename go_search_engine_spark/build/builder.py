@@ -121,6 +121,7 @@ class IndexBuilder:
         resume: bool = True,
         fail_after_shards: int | None = None,
         progress_cb=None,
+        live_rebuild: bool = False,
     ) -> BuildReport:
         """Build (or resume) the index from ``corpus``.
 
@@ -129,6 +130,15 @@ class IndexBuilder:
         ``progress_cb(done, total, message)``: live progress for the job
         manager (api/jobs.py), fired at each shard commit + finalize --
         the reference's job progress updates (jobs/manager.go:113-172).
+
+        ``live_rebuild``: zero-downtime full rebuild. Instead of
+        rmtree'ing the index root (which yanks files out from under
+        concurrent readers AND discards job metrics), the whole build
+        lands in a fresh ``tables_gen=R/`` root and becomes visible at
+        finalize's atomic stats.json flip -- live engines serve the old
+        generation throughout and pick up the rebuild on their next
+        query (the settings-reindex path; the reference blocks behind
+        its index mutex for the duration, bulk_operations.go:427-467).
         """
         t0 = time.time()
         run_id = uuid.uuid4().hex[:12]
@@ -136,6 +146,8 @@ class IndexBuilder:
         os.makedirs(self.base, exist_ok=True)
         from .delta import has_delta
 
+        if resume and live_rebuild:
+            raise ValueError("live_rebuild is a full rebuild: resume=False")
         if resume and has_delta(self.base):
             # a resume build reads only the BASE tables; folding it over
             # pending delta segments would silently drop them
@@ -145,8 +157,21 @@ class IndexBuilder:
                 "build, or rebuild with resume=False"
             )
         if not resume:
-            shutil.rmtree(self.base, ignore_errors=True)
-            os.makedirs(self.base, exist_ok=True)
+            if live_rebuild:
+                try:
+                    prev = load_stats(self.base)
+                except (FileNotFoundError, ValueError):
+                    prev = {}
+                self.tables_gen = int(prev.get("tables_gen", 0)) + 1
+                # resume state describes the plain-layout shards, not the
+                # generation being written now
+                shutil.rmtree(self.path("_checkpoints"), ignore_errors=True)
+                old_marker = self.path("_docs_complete.json")
+                if os.path.exists(old_marker):
+                    os.remove(old_marker)
+            else:
+                shutil.rmtree(self.base, ignore_errors=True)
+                os.makedirs(self.base, exist_ok=True)
         with open(self.path("settings.json"), "w") as f:
             json.dump(self.settings.to_dict(), f, indent=2)
 
@@ -176,12 +201,22 @@ class IndexBuilder:
         docs_ok = False
         if resume and os.path.exists(marker):
             with open(marker) as f:
-                docs_ok = json.load(f).get("fingerprint") == total_fp
+                mk = json.load(f)
+            # the marker must describe THIS build's layout: a docs table
+            # written into a tables_gen root by a live_rebuild must not
+            # satisfy a later plain-layout resume build (or vice versa)
+            docs_ok = (
+                mk.get("fingerprint") == total_fp
+                and mk.get("tables_gen") == self.tables_gen
+            )
 
         def write_docs() -> None:
             self._write(docs, self.path("docs"), partition_by=["shard"])
             with open(marker, "w") as f:
-                json.dump({"fingerprint": total_fp}, f)
+                json.dump(
+                    {"fingerprint": total_fp, "tables_gen": self.tables_gen},
+                    f,
+                )
 
         # resume hygiene: a shard that vanished from the new corpus (or a
         # shard id beyond a shrunk num_shards) must not leave stale

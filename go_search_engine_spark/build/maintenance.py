@@ -102,8 +102,11 @@ def update_settings(
     if requires_full_reindex(old, new_settings):
         if corpus is None:
             raise ValueError("core settings changed: corpus required for reindex")
+        # zero-downtime: the rebuild lands in a fresh tables_gen root and
+        # flips atomically -- live engines keep serving the old settings'
+        # index until the commit, then reload (builder.build live_rebuild)
         IndexBuilder(spark, new_settings, warehouse).build(
-            corpus, id_col=id_col, resume=False
+            corpus, id_col=id_col, resume=False, live_rebuild=True
         )
         return True
     with open(os.path.join(base, "settings.json"), "w") as f:

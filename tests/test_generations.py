@@ -77,10 +77,13 @@ def test_refresh_commits_new_generation_with_grace(spark, tmp_path):
     assert {"doc-000001", "doc-000002", "doc-000003"} <= got
 
 
-@pytest.mark.parametrize("fold", ["compact", "refresh_upsert"])
+@pytest.mark.parametrize(
+    "fold", ["compact", "refresh_upsert", "live_reindex"]
+)
 def test_queries_live_through_concurrent_rewrite(spark, tmp_path, fold):
     """A live engine fires queries in a tight loop while a maintenance
-    rewrite (delta compaction, or a refresh-mode upsert) runs in another
+    rewrite (delta compaction, a refresh-mode upsert, or a full
+    settings reindex via build(live_rebuild=True)) runs in another
     thread. Every result must be the exact pre- or post-rewrite answer --
     never an error, never a mixed/partial view. The reference can only do
     this by blocking readers behind its index mutex; immutable
@@ -100,11 +103,20 @@ def test_queries_live_through_concurrent_rewrite(spark, tmp_path, fold):
         )
         m.delete_documents(["doc-000002"], mode="delta")
         mutate = lambda: m.compact_segments()
-    else:
+    elif fold == "refresh_upsert":
         mutate = lambda: m.upsert_documents(
             _batch(spark, [("doc-000003", "zzfresh refreshed words"),
                            ("zz-new-2", "zzfresh another doc")])
         )
+    else:  # full settings reindex, zero-downtime (live_rebuild)
+        from go_search_engine_spark.build.maintenance import update_settings
+
+        new = IndexSettings(
+            name="live",
+            searchable_fields=["content"],
+            fields_without_prefix_search=[],  # core diff => reindex
+        )
+        mutate = lambda: update_settings(spark, wh, new, corpus=corpus)
 
     eng = SearchEngine(spark, wh, "live")
     queries = ["zzfresh delta", "tokenizer", "func return"]
