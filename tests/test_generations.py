@@ -157,3 +157,39 @@ def test_queries_live_through_concurrent_rewrite(spark, tmp_path, fold):
             f"post-rewrite answer"
         )
         assert observed[q], q  # the loop actually observed something
+
+
+def test_crashed_refresh_orphan_generation_is_invisible(spark, tmp_path):
+    """Commit-protocol crash window for refresh-mode rewrites: a crash
+    after writing the new tables_gen root but BEFORE the stats.json flip
+    leaves an orphan directory that readers must ignore (pointer still
+    on the old generation); the NEXT rewrite picks the same gen number
+    (committed+1), overwrites the orphan, and commits normally."""
+    import shutil
+
+    from go_search_engine_spark.build.builder import load_stats
+    from go_search_engine_spark.build.delta import table_path
+
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 40, seed=9, words_per_doc=10)
+    IndexBuilder(spark, _settings("cr"), wh).build(corpus, num_shards=2)
+    base = os.path.join(wh, "cr")
+    m = IndexMaintenance(spark, wh, "cr")
+    m.upsert_documents(_batch(spark, [("c-1", "qqalpha body")]))
+    assert load_stats(base)["tables_gen"] == 1
+
+    # simulate a crash mid-commit-2: gen-2 root exists, pointer still 1
+    shutil.copytree(
+        os.path.join(base, "tables_gen=1"),
+        os.path.join(base, "tables_gen=2"),
+    )
+    eng = SearchEngine(spark, wh, "cr")
+    assert table_path(base, "docs").endswith("tables_gen=1/docs")
+    assert eng.search("qqalpha", k=5, typo_tolerance=False).count() == 1
+
+    # the next rewrite takes gen 2 for real, overwriting the orphan
+    m.upsert_documents(_batch(spark, [("c-2", "qqbeta body")]))
+    assert load_stats(base)["tables_gen"] == 2
+    eng2 = SearchEngine(spark, wh, "cr")
+    assert eng2.search("qqbeta", k=5, typo_tolerance=False).count() == 1
+    assert eng2.search("qqalpha", k=5, typo_tolerance=False).count() == 1
