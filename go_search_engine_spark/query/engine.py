@@ -82,6 +82,31 @@ def decode_blocks_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _esc(s: str) -> str:
+    """Escape a term for embedding in a SQL string literal. Terms are
+    tokenizer output ([a-z0-9]+ and prefixes), so this is belt and
+    braces."""
+    return str(s).replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _cand_entries(cand: pd.DataFrame) -> str:
+    """The candidate table as one SQL array-of-named_struct literal --
+    shared by the warm Column path (scan_candidates) and the warm SQL
+    template (_warm_sql_topk). repr(float) round-trips exactly."""
+    return ",".join(
+        "named_struct('token','%s','cterm','%s','distance',%d,"
+        "'penalty',CAST(%r AS DOUBLE),'idf',CAST(%r AS DOUBLE))"
+        % (_esc(t), _esc(m), int(d), float(p), float(i))
+        for t, m, d, p, i in zip(
+            cand["token"], cand["term"], cand["distance"],
+            cand["penalty"], cand["idf"],
+        )
+    )
+
+
+_WARM_VIEW_SEQ = [0]  # unique temp-view names across engines in a session
+
+
 class SearchEngine:
     """``vocab_cache_max``: when the index's vocabulary is at most this
     many terms, (term, df, idf, term_len) is pulled to the driver ONCE and
@@ -175,6 +200,7 @@ class SearchEngine:
         self._warm_all = False
         self._docs_slim: DataFrame | None = None
         self._expr_cache: dict | None = None  # per-generation Column cache
+        self._warm_sql: dict | None = None  # cached SQL template (warm())
 
     def _ensure_fresh(self) -> None:
         """Generation check before serving from cached driver state: every
@@ -593,7 +619,126 @@ class SearchEngine:
         info["cached_partitions"] = parts
         total = mem + disk
         info["fraction_in_memory"] = round(mem / total, 4) if total else 1.0
+        self._build_warm_sql_template()
+        info["sql_template"] = self._warm_sql is not None
         return info
+
+    def _build_warm_sql_template(self) -> None:
+        """Cache a single SQL string for the whole warm top-k pipeline
+        (full warm + persisted docs_slim only). The DataFrame path costs
+        ~30 py4j round trips of plan construction PER QUERY (~45% of
+        warm p50 -- measured plan-build 320ms of 749ms total on a
+        degraded-window profile, same ratio idle); the template needs
+        ONE spark.sql() call. The logical plan is identical -- same
+        cached InMemoryRelations via temp views, same expression trees
+        (see score_and_intersect for the semantics and reference
+        citations) -- so Catalyst produces the same one-job physical
+        plan, which tests/test_warm.py pins for both paths."""
+        self._warm_sql = None
+        if not self._warm_all or self._docs_slim is None:
+            return
+        _WARM_VIEW_SEQ[0] += 1
+        seq = _WARM_VIEW_SEQ[0]
+        post_v = f"gse_warm_post_{seq}"
+        docs_v = f"gse_warm_docs_{seq}"
+        self._warm_decoded.createOrReplaceTempView(post_v)
+        self._docs_slim.createOrReplaceTempView(docs_v)
+        # bare decimal literals parse as DECIMAL in Spark SQL (0.75 * dl
+        # would run through decimal arithmetic and drift ~1e-9 from the
+        # Column path's double math) -- emit explicit double casts, the
+        # same form _cand_entries uses; repr round-trips exactly
+        def _dbl(x: float) -> str:
+            return f"CAST('{x!r}' AS DOUBLE)"
+
+        avgdl = _dbl(float(self.stats["avgdl"]))
+        k1, b = _dbl(float(BM25_K1)), _dbl(float(BM25_B))
+        k1p1, one_b = _dbl(float(BM25_K1 + 1.0)), _dbl(float(1.0 - BM25_B))
+        ntf = list(self.settings.no_typo_tolerance_fields)
+        ntf_pred = (
+            " AND (_c.distance = 0 OR field NOT IN (%s))"
+            % ",".join(f"'{_esc(f)}'" for f in ntf)
+            if ntf
+            else ""
+        )
+        self._warm_sql = {
+            "template": f"""
+WITH matched AS (
+  SELECT term, field, doc_id, tf, dl, fw,
+         _c.token AS token, _c.distance AS distance,
+         _c.penalty AS penalty, _c.idf AS idf
+  FROM (
+    SELECT d.*, explode(filter(array({{cands}}), s -> s.cterm = d.term)) AS _c
+    FROM {post_v} d
+    WHERE d.term IN ({{terms}}) AND d.field IN ({{fields}})
+  )
+  WHERE true{ntf_pred}
+),
+g1 AS (
+  SELECT token, term, distance, penalty, idf, doc_id,
+         sum(tf) AS tf, first(dl) AS dl, max(cast(fw AS int)) AS fw_any
+  FROM matched
+  GROUP BY token, term, distance, penalty, idf, doc_id
+),
+g1c AS (
+  SELECT *,
+         penalty * (idf * tf * {k1p1}
+                    / (tf + {k1} * ({one_b} + {b} * dl / {avgdl}))) AS contrib
+  FROM g1
+),
+g2 AS (
+  SELECT * FROM (
+    SELECT *, min(distance) OVER (PARTITION BY token, doc_id) AS best_d
+    FROM g1c
+  ) WHERE distance = best_d
+),
+g3 AS (
+  SELECT token, doc_id,
+         max(contrib) AS contrib,
+         min(distance) AS dist,
+         max(CASE WHEN distance = 0 AND fw_any = 1 THEN 1 ELSE 0 END)
+           AS exact_w
+  FROM g2 GROUP BY token, doc_id
+),
+scored AS (
+  SELECT doc_id, score, num_typos, number_exact_words FROM (
+    SELECT doc_id,
+           count(DISTINCT token) AS _nt,
+           sum(contrib) AS score,
+           cast(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS int)
+             AS num_typos,
+           cast(sum(exact_w) AS int) AS number_exact_words
+    FROM g3 GROUP BY doc_id
+  ) WHERE _nt = {{n_tokens}}
+),
+topk AS (
+  SELECT /*+ SHUFFLE_HASH(ds) */
+         s.doc_id, ds.documentID, s.score, s.num_typos,
+         s.number_exact_words
+  FROM scored s JOIN {docs_v} ds ON s.doc_id = ds.doc_id
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT {{k}}
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, documentID, score, num_typos, number_exact_words
+FROM topk
+""",
+        }
+
+    def _warm_sql_topk(
+        self, cand: pd.DataFrame, fields: list[str], k: int, n_tokens: int
+    ) -> DataFrame:
+        """One spark.sql() call for the whole warm exhaustive top-k --
+        rank-identical to the DataFrame path (tests/test_warm.py)."""
+        terms = ",".join(
+            f"'{_esc(t)}'" for t in sorted(set(cand["term"]))
+        )
+        sql = self._warm_sql["template"].format(
+            cands=_cand_entries(cand),
+            terms=terms,
+            fields=",".join(f"'{_esc(f)}'" for f in fields),
+            n_tokens=int(n_tokens),
+            k=int(k),
+        )
+        return self.spark.sql(sql)
 
     def _storage_info(self) -> dict[int, tuple[int, int, int]]:
         """Block-manager storage per cached RDD: {rdd_id: (bytes_in_memory,
@@ -785,18 +930,7 @@ class SearchEngine:
             # trips PER candidate row, which dominated warm p50. Terms
             # are tokenizer output ([a-z0-9]+ and prefixes), safe to
             # embed; repr(float) round-trips exactly.
-            def _esc(s: str) -> str:
-                return str(s).replace("\\", "\\\\").replace("'", "\\'")
-
-            entries = ",".join(
-                "named_struct('token','%s','cterm','%s','distance',%d,"
-                "'penalty',CAST(%r AS DOUBLE),'idf',CAST(%r AS DOUBLE))"
-                % (_esc(t), _esc(m), int(d), float(p), float(i))
-                for t, m, d, p, i in zip(
-                    cand["token"], cand["term"], cand["distance"],
-                    cand["penalty"], cand["idf"],
-                )
-            )
+            entries = _cand_entries(cand)
             matches = F.expr(
                 f"filter(array({entries}), s -> s.cterm = term)"
             )
@@ -850,7 +984,12 @@ class SearchEngine:
         self, cand: pd.DataFrame, fields: list[str], k: int, n_tokens: int
     ) -> DataFrame:
         """Exhaustive scoring plan from a prepared candidate table (shared
-        by search() and the WAND fallback path)."""
+        by search() and the WAND fallback path). In full warm mode the
+        whole pipeline is one cached-SQL call (_warm_sql_topk) instead
+        of ~30 py4j plan-construction round trips -- same logical plan,
+        same single job, rank-identical (tests/test_warm.py)."""
+        if self._warm_sql is not None and len(cand):
+            return self._warm_sql_topk(cand, fields, k, n_tokens)
         matched = self.scan_candidates(cand, fields)
         scored = self.score_and_intersect(matched, n_tokens=n_tokens)
         return self.finish_topk(scored, k)

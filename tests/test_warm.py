@@ -165,3 +165,53 @@ def test_warm_plan_shape(spark, warm_idx):
     assert "HashAggregate" in agg_region
     assert "Exchange hashpartitioning" not in agg_region
     assert "BroadcastExchange" not in agg_region  # literal-injected cand
+
+
+def test_warm_sql_template_ntf_and_field_restriction(spark, tmp_path):
+    """The warm SQL template (one spark.sql call per query) must stay
+    rank-identical to the cold Column path on the branches the shared
+    suite above doesn't reach: multi-field indexes, per-query field
+    restriction, and no_typo_tolerance_fields (typo matches excluded in
+    those fields only)."""
+    wh = str(tmp_path)
+    s = IndexSettings(
+        name="wsql",
+        searchable_fields=["path", "content"],
+        fields_without_prefix_search=["path", "content"],
+        no_typo_tolerance_fields=["path"],
+    )
+    corpus = generate_corpus(spark, 120, seed=43, words_per_doc=15)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    cold = SearchEngine(spark, wh, "wsql")
+    eng = SearchEngine(spark, wh, "wsql")
+    cases = [
+        ("tokenizer return", dict(typo_tolerance=False)),
+        ("tokenzer retrun", dict(typo_tolerance=True)),  # ntf exclusion
+        ("tokenizer", dict(fields=["content"])),  # restriction slot
+        ("tokenizer", dict(fields=["path"])),
+    ]
+    colds = [cold.search(q, k=50, **kw).collect() for q, kw in cases]
+    info = eng.warm()
+    assert info["sql_template"] is True
+    for (q, kw), want in zip(cases, colds):
+        assert _key(eng.search(q, k=50, **kw).collect()) == _key(
+            want
+        ), (q, kw)
+    # at least one case must be non-empty or the identity is vacuous
+    assert any(len(c) for c in colds)
+    # the template must be BIT-EXACT vs the warm DataFrame path (same
+    # cached frame, same expression trees -- SQL decimal-literal
+    # parsing once drifted the BM25 arithmetic ~1e-9 until the
+    # constants were emitted as explicit double casts)
+    tpl = eng._warm_sql
+    for q, kw in cases:
+        a = [tuple(r) for r in eng.search(q, k=50, **kw).collect()]
+        eng._warm_sql = None
+        b = [tuple(r) for r in eng.search(q, k=50, **kw).collect()]
+        eng._warm_sql = tpl
+        assert a == b, (q, kw)
+    # a partial warm must NOT build the template (cold-union path)
+    eng2 = SearchEngine(spark, wh, "wsql")
+    info2 = eng2.warm(max_postings=200)
+    assert info2["sql_template"] is False
+    assert eng2._warm_sql is None
