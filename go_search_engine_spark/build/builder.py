@@ -85,6 +85,11 @@ class BuildReport:
     docs_per_sec: float = 0.0
     postings_per_sec: float = 0.0
     per_shard: list[dict] = field(default_factory=list)
+    # wall seconds per serial phase of build(): prepare+fingerprint,
+    # the concurrent docs-write+segment-jobs block, finalize. The
+    # finalize share is the scaling-relevant number: it is the part
+    # that does not shrink linearly with executors
+    phases: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return dict(self.__dict__)
@@ -194,6 +199,7 @@ class IndexBuilder:
         fps = {
             int(r["shard"]): (f"{r['n']}:{r['s']}", int(r["n"])) for r in fp_rows
         }
+        report.phases["prepare_fingerprint"] = round(time.time() - t0, 3)
 
         # docs table: one partitioned write, marker-gated for resume
         marker = self.path("_docs_complete.json")
@@ -318,9 +324,14 @@ class IndexBuilder:
                     built += 1
 
         report.shards_built = built
+        report.phases["docs_and_segments"] = round(
+            time.time() - t0 - report.phases["prepare_fingerprint"], 3
+        )
         if progress_cb is not None:
             progress_cb(len(pending), len(pending) + 1, "finalizing")
+        t_fin = time.time()
         self._finalize(report, num_shards=num_shards)
+        report.phases["finalize"] = round(time.time() - t_fin, 3)
         if progress_cb is not None:
             progress_cb(len(pending) + 1, len(pending) + 1, "complete")
         report.wall_sec = time.time() - t0
