@@ -62,10 +62,10 @@ def timed(fn):
 def _cal_sec() -> float:
     """Fixed single-core numpy kernel (same family as the build's hot
     path: sort+unique over 3M int64) timed before each scaling leg.
-    Effective per-core speed on this box swings 2-4x with OTHER GUESTS'
-    load on the physical host (SMT-sibling contention is invisible to
-    both guest loadavg AND steal accounting), so each leg records the
-    core speed it actually got -- two legs with matching cal_sec are
+    Quiet-host value ~0.1-0.5 s; observed up to ~7 s when OTHER GUESTS
+    load the physical host (SMT-sibling contention is invisible to both
+    guest loadavg AND steal accounting), so each leg records the core
+    speed it actually got -- two legs with matching cal_sec are
     comparable; a leg with 2x the cal_sec of its pair documents its own
     contamination."""
     import numpy as np
@@ -380,9 +380,9 @@ def main() -> None:
     times: dict = {}
 
     # window quality telemetry for the WHOLE artifact: cal_sec is the
-    # fixed single-core kernel (idle ~0.5-1s on this box; observed up to
-    # ~7s when other guests load the physical host -- invisible to guest
-    # loadavg and mostly to steal). A headline sweep recorded with
+    # fixed single-core kernel (quiet ~0.1-0.5s on this box; observed up
+    # to ~7s when other guests load the physical host -- invisible to
+    # guest loadavg and mostly to steal). A headline sweep recorded with
     # cal_sec 2x another run's is not comparable to it.
     env_stat0 = _cpu_stat()
     result["env"] = {"cal_sec_start": _cal_sec()}
