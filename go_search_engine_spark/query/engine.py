@@ -200,7 +200,12 @@ class SearchEngine:
         self._warm_all = False
         self._docs_slim: DataFrame | None = None
         self._expr_cache: dict | None = None  # per-generation Column cache
-        self._warm_sql: dict | None = None  # cached SQL template (warm())
+        # cached warm SQL template (warm()); reload drops its temp views
+        old_sql = getattr(self, "_warm_sql", None)
+        self._warm_sql: dict | None = None
+        if old_sql:
+            for v in old_sql["views"]:
+                self.spark.catalog.dropTempView(v)
 
     def _ensure_fresh(self) -> None:
         """Generation check before serving from cached driver state: every
@@ -634,7 +639,7 @@ class SearchEngine:
         (see score_and_intersect for the semantics and reference
         citations) -- so Catalyst produces the same one-job physical
         plan, which tests/test_warm.py pins for both paths."""
-        self._warm_sql = None
+        self._drop_warm_views()
         if not self._warm_all or self._docs_slim is None:
             return
         _WARM_VIEW_SEQ[0] += 1
@@ -661,6 +666,7 @@ class SearchEngine:
             else ""
         )
         self._warm_sql = {
+            "views": (post_v, docs_v),
             "template": f"""
 WITH matched AS (
   SELECT term, field, doc_id, tf, dl, fw,
@@ -722,6 +728,16 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM topk
 """,
         }
+
+    def _drop_warm_views(self) -> None:
+        """Drop this engine's warm temp views (a long-lived server warms
+        once per generation; the catalog must not accumulate two dead
+        views per maintenance commit)."""
+        old = self._warm_sql
+        self._warm_sql = None
+        if old:
+            for v in old["views"]:
+                self.spark.catalog.dropTempView(v)
 
     def _warm_sql_topk(
         self, cand: pd.DataFrame, fields: list[str], k: int, n_tokens: int

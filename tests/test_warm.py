@@ -215,3 +215,41 @@ def test_warm_sql_template_ntf_and_field_restriction(spark, tmp_path):
     info2 = eng2.warm(max_postings=200)
     assert info2["sql_template"] is False
     assert eng2._warm_sql is None
+
+
+def test_warm_sql_views_dropped_on_rewarm_and_reload(spark, tmp_path):
+    """Temp views backing the warm SQL template must not accumulate in
+    the session catalog across re-warms or generation reloads."""
+    from go_search_engine_spark.build.maintenance import IndexMaintenance
+
+    wh = str(tmp_path)
+    s = IndexSettings(
+        name="wv",
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+    )
+    corpus = generate_corpus(spark, 60, seed=44, words_per_doc=12)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+
+    def warm_views():
+        return {
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("gse_warm_")
+        }
+
+    base = warm_views()
+    eng = SearchEngine(spark, wh, "wv")
+    eng.warm()
+    v1 = warm_views() - base
+    assert len(v1) == 2
+    eng.warm()  # re-warm replaces, never accumulates
+    v2 = warm_views() - base
+    assert len(v2) == 2 and v2 != v1
+    # a maintenance commit reloads the engine on the next query and
+    # drops the stale views with the stale warm state
+    IndexMaintenance(spark, wh, "wv").delete_documents(
+        [eng.search("tokenizer", k=1, typo_tolerance=False)
+         .collect()[0]["documentID"]]
+    )
+    eng.search("tokenizer", k=1, typo_tolerance=False).collect()
+    assert warm_views() - base == set()
