@@ -72,6 +72,7 @@ def _cal_sec() -> float:
 
     rng = np.random.default_rng(0)
     a = rng.integers(0, 1 << 40, 3_000_000)
+    np.unique(np.sort(a))  # first call pays numpy/page-fault warm-up
     t0 = time.time()
     np.unique(np.sort(a))
     return round(time.time() - t0, 3)
