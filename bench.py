@@ -78,6 +78,46 @@ def _cal_sec() -> float:
     return round(time.time() - t0, 3)
 
 
+class _CalSampler:
+    """Samples the calibration kernel every ``period`` seconds on a
+    daemon thread for the DURATION of a leg -- contention on this host
+    arrives in multi-minute bursts that a start-of-leg sample misses
+    (two round-4 legs started at cal 0.11-0.13 s and still ran ~3x
+    slow). The median-during-leg is the window-quality number that
+    actually describes the measured wall time. Cost: one ~0.1-s
+    single-core kernel per period, negligible against any leg."""
+
+    def __init__(self, period: float = 25.0):
+        import threading
+
+        self.period = period
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.period):
+            self.samples.append(_cal_sec())
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._t.join(timeout=1.0)
+
+    def summary(self) -> dict:
+        if not self.samples:
+            return {"n": 0}
+        s = sorted(self.samples)
+        return {
+            "n": len(s),
+            "median": s[len(s) // 2],
+            "max": s[-1],
+        }
+
+
 def _cpu_stat() -> tuple:
     """(total_jiffies, steal_jiffies) across all cpus from /proc/stat --
     the delta over a leg exposes hypervisor steal that VM-local loadavg
@@ -346,9 +386,10 @@ def scaling_run(corpus_path: str, n_docs: int, cpus: int) -> dict:
         cal = _cal_sec()
         stat0 = _cpu_stat()
         t0 = time.time()
-        report = IndexBuilder(spark, settings, wh).build(
-            corpus, num_shards=2
-        )
+        with _CalSampler() as sampler:
+            report = IndexBuilder(spark, settings, wh).build(
+                corpus, num_shards=2
+            )
         wall = time.time() - t0
         stat1 = _cpu_stat()
         steal_pct = round(
@@ -368,6 +409,10 @@ def scaling_run(corpus_path: str, n_docs: int, cpus: int) -> dict:
             "loadavg_before": load_before,
             "steal_pct": steal_pct,
             "cal_sec": cal,
+            # during-leg samples of the same kernel: the median is the
+            # window-quality number that describes the measured wall
+            # time (start-of-leg cal misses multi-minute bursts)
+            "cal_during": sampler.summary(),
         }
     finally:
         spark.stop()
