@@ -150,6 +150,13 @@ def scaling_needs_more_reps(runs: list, max_reps: int, ratio: int = 4) -> bool:
     if len(runs) >= max_reps:
         return False
     _, _, eff_min = scaling_min_estimate(runs, ratio)
+    if eff_min > 1.02:
+        # efficiency > 1 is physically implausible for the same job at N
+        # vs 4N threads on one box: it PROVES every low leg so far ran
+        # contended (the 4x-shorter high legs land in quiet sub-windows
+        # more easily, so contention inflates lo_best first). Buy more
+        # chances at a quiet low leg.
+        return True
     hi_walls = [r["high"]["wall_sec"] for r in runs]
     scatter = (max(hi_walls) - min(hi_walls)) / min(hi_walls)
     return eff_min < 0.82 and scatter >= 0.10
@@ -163,7 +170,7 @@ def summarize_scaling(runs: list, ratio: int = 4) -> dict:
     distribution is inspectable."""
     lo_best, hi_best, eff_min = scaling_min_estimate(runs, ratio)
     effs = sorted(r["efficiency"] for r in runs)
-    return {
+    out = {
         "low": min(runs, key=lambda r: r["low"]["wall_sec"])["low"],
         "high": min(runs, key=lambda r: r["high"]["wall_sec"])["high"],
         "speedup": round(lo_best / hi_best, 3),
@@ -175,6 +182,17 @@ def summarize_scaling(runs: list, ratio: int = 4) -> dict:
         "efficiency_spread": [effs[0], effs[-1]],
         "runs": runs,
     }
+    if eff_min > 1.02:
+        # Plausibility cap: >1 efficiency at N vs 4N threads on one box
+        # means the quietest low leg observed was STILL contended (the
+        # high legs, 4x shorter, land in quiet sub-windows more easily),
+        # so the raw quotient overstates the truth. Publish 1.0 as the
+        # headline, keep the raw value and the contamination flag so the
+        # window is honestly described rather than flattered.
+        out["efficiency"] = 1.0
+        out["efficiency_raw"] = round(eff_min, 3)
+        out["low_legs_contended"] = True
+    return out
 
 
 def build_index(spark, sf_dir: str):
@@ -480,8 +498,11 @@ def main() -> None:
         # and the loadavg at each leg start are all reported alongside
         # so the distribution stays inspectable. If after the base reps
         # the min-estimator is still below 0.82 AND the legs show
-        # contention scatter, up to SCALING_REPS_MAX pairs run in total
-        # to buy more chances at a quiet window.
+        # contention scatter -- or is implausibly ABOVE 1.02, which
+        # proves every low leg ran contended -- up to SCALING_REPS_MAX
+        # pairs run in total to buy more chances at a quiet window, and
+        # summarize_scaling caps an implausible headline at 1.0 with
+        # the raw quotient + contamination flag preserved.
         corpus_path = materialize_scaling_corpus(SCALING_DOCS, SCALING_WORDS)
         runs: list = []
 

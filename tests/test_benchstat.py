@@ -65,6 +65,37 @@ def test_min_estimator_cannot_exceed_quietest_observed_ratio():
     assert abs(eff - 279.5 / 100.0 / 4) < 1e-9  # 0.699, not flattered
 
 
+def test_implausible_efficiency_is_capped_and_flagged():
+    """Round-4 contended-window shape: EVERY low leg inflated (518/549s
+    vs ~300s idle truth) while the short high legs caught quiet
+    sub-windows -> raw per-leg-min quotient 1.154, physically
+    implausible for N vs 4N threads on one box. The artifact must not
+    publish a flattering >1 headline: cap at 1.0, keep the raw value
+    and a contamination flag."""
+    runs = [_run(518.23, 112.27), _run(549.63, 284.52)]
+    summary = bench.summarize_scaling(runs)
+    assert summary["efficiency"] == 1.0
+    assert summary["efficiency_raw"] == 1.154
+    assert summary["low_legs_contended"] is True
+    # plausible results are untouched and carry no flag
+    ok = bench.summarize_scaling([_run(272.0, 78.0), _run(300.0, 100.0)])
+    assert ok["efficiency"] == 0.872
+    assert "efficiency_raw" not in ok and "low_legs_contended" not in ok
+    # mild superlinearity (cache effects) within the 2% tolerance passes
+    mild = bench.summarize_scaling([_run(272.0, 67.2)])  # eff 1.012
+    assert mild["efficiency"] == 1.012
+    assert "low_legs_contended" not in mild
+
+
+def test_adaptive_reps_buy_chances_on_implausible_high():
+    """eff > 1.02 proves the low legs all ran contended even if they
+    agree with each other -- more reps buy chances at a quiet low leg
+    (bounded by the caller's wall budget and max_reps)."""
+    runs = [_run(518.23, 112.27), _run(549.63, 284.52)]
+    assert bench.scaling_needs_more_reps(runs, max_reps=5)
+    assert not bench.scaling_needs_more_reps(runs * 3, max_reps=5)
+
+
 def test_adaptive_reps_stop_when_quiet_or_passing():
     # passing estimate -> no extra reps even with scatter
     runs = [_run(272.0, 78.0), _run(272.0, 190.0), _run(273.0, 79.0)]
