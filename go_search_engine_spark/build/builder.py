@@ -544,6 +544,10 @@ class IndexBuilder:
         except (FileNotFoundError, ValueError):
             prev_stats = {}
         generation = int(prev_stats.get("generation", 0)) + 1
+        delta_floor_fwd = max(
+            int(prev_stats.get("delta_gen", 0)),
+            int(prev_stats.get("delta_floor", 0)),
+        )
         # atomic replace: stats.json is the commit point readers key their
         # cache coherence on -- a half-written file must never be visible
         tmp_stats = self.path("stats.json.tmp")
@@ -568,6 +572,12 @@ class IndexBuilder:
                     # this finalize wrote the plain dirs of a fresh build)
                     **({"tables_gen": self.tables_gen}
                        if self.tables_gen else {}),
+                    # monotone delta-generation floor: a compaction folds
+                    # delta_gen G and the NEXT delta commit must take
+                    # G+1, never reuse gens whose _delta dirs are still
+                    # retained as reader grace (delta.py delta_floor)
+                    **({"delta_floor": delta_floor_fwd}
+                       if delta_floor_fwd else {}),
                 },
                 f,
                 indent=2,

@@ -25,7 +25,13 @@ Commit protocol: delta dirs first, then a generation-addressed
 dirs above ``delta_gen`` and resolve term_stats through the pointer, so
 a crash anywhere mid-commit leaves only invisible orphans (stats.json
 is the atomic commit point, the same role an Iceberg snapshot commit
-plays). The previous term_stats directory is retained one commit as a
+plays). Generation numbers are MONOTONE for the index's whole life:
+a compaction that folds deltas records the folded high-water mark as
+``delta_floor`` (carried forward by every finalize), new commits take
+``max(delta_gen, delta_floor) + 1``, and readers only see
+``delta_floor < gen <= delta_gen`` -- so the folded ``_delta`` dirs
+retained as reader grace can never be resurrected or overwritten by a
+later commit. The previous term_stats directory is retained one commit as a
 grace window for in-flight readers; older ones are garbage-collected
 after the commit point.
 
@@ -143,14 +149,47 @@ def max_committed_gen(base: str) -> int:
         return 0
 
 
+def delta_floor(base: str, stats: dict | None = None) -> int:
+    """Highest delta generation ever FOLDED by a compaction (0 = none).
+
+    Generation numbers are monotone across the index's whole life and
+    never reused: a new delta commit takes ``max(delta_gen, delta_floor)
+    + 1``, and readers only see ``delta_floor < gen <= delta_gen``.
+    Without the floor, the first delta commit after a compaction would
+    re-take gen=1 while the folded ``_delta/*/gen=1`` directories are
+    still retained as the readers' grace window -- a delta DELETE (which
+    writes no docs dir) would then resurrect the stale pre-fold docs
+    rows at its own generation: folded docs would surface twice and the
+    deleted victim would stay visible. Monotone gens also mean a commit
+    never overwrites a directory an in-flight graced reader is scanning.
+    ``_finalize`` carries the floor forward through every refresh-mode
+    rewrite (build/builder.py)."""
+    if stats is None:
+        stats = _load_stats_or_empty(base)
+    return int(stats.get("delta_floor", 0))
+
+
+def next_delta_gen(base: str) -> int:
+    """The generation a NEW delta commit must write (monotone; see
+    delta_floor)."""
+    stats = _load_stats_or_empty(base)
+    return max(
+        int(stats.get("delta_gen", 0)), int(stats.get("delta_floor", 0))
+    ) + 1
+
+
 def read_tombstones(
     spark: SparkSession, base: str, max_gen: int
 ) -> DataFrame | None:
-    """(doc_id, tgen = max tombstone generation), committed gens only."""
+    """(doc_id, tgen = max tombstone generation), committed gens only
+    (gens at or below the compaction floor are folded state)."""
     p = delta_path(base, "tombstones")
     if not os.path.isdir(p):
         return None
-    t = spark.read.parquet(p).filter(F.col("gen") <= max_gen)
+    floor = delta_floor(base)
+    t = spark.read.parquet(p).filter(
+        (F.col("gen") <= max_gen) & (F.col("gen") > floor)
+    )
     return t.groupBy("doc_id").agg(F.max("gen").alias("tgen"))
 
 
@@ -173,9 +212,11 @@ def read_delta_postings(
     spark: SparkSession, base: str, max_gen: int
 ) -> DataFrame:
     """Flat delta postings (POSTINGS_SCHEMA + gen partition column),
-    committed gens only; NOT yet visibility-filtered."""
+    committed gens only (above the compaction floor); NOT yet
+    visibility-filtered."""
+    floor = delta_floor(base)
     return spark.read.parquet(delta_path(base, "postings")).filter(
-        F.col("gen") <= max_gen
+        (F.col("gen") <= max_gen) & (F.col("gen") > floor)
     )
 
 
@@ -191,8 +232,9 @@ def read_visible_docs(spark: SparkSession, base: str) -> DataFrame:
     parts = [docs.withColumn("gen", F.lit(0))]
     ddocs_path = delta_path(base, "docs")
     if os.path.isdir(ddocs_path):
+        floor = delta_floor(base)
         ddocs = spark.read.parquet(ddocs_path).filter(
-            F.col("gen") <= max_gen
+            (F.col("gen") <= max_gen) & (F.col("gen") > floor)
         )
         parts.append(ddocs.select(*cols, "gen"))
     allrows = parts[0]

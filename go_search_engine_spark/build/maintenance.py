@@ -242,6 +242,11 @@ class IndexMaintenance:
         nc = new_corpus
         if id_col != "documentID":
             nc = nc.withColumnRenamed(id_col, "documentID")
+        # read-modify-write batches (rows read back from the docs table)
+        # legitimately carry the engine-derived columns; keep them and the
+        # internal doc_id joins/aggs downstream hit AMBIGUOUS_REFERENCE.
+        # They are all recomputed by the commit path, so drop, not trust.
+        nc = nc.drop("doc_id", "doc_len", "content_sha256", "shard")
         dl = None
         for f_name in s.searchable_fields:
             c = whitespace_word_count_col(
@@ -401,7 +406,7 @@ class IndexMaintenance:
 
     def _upsert_delta(self, new_corpus: DataFrame, id_col: str) -> dict:
         from .builder import load_stats
-        from .delta import max_committed_gen, read_visible_docs
+        from .delta import next_delta_gen, read_visible_docs
         from .ids import assign_doc_ids
 
         docs = read_visible_docs(self.spark, self.base)
@@ -463,7 +468,7 @@ class IndexMaintenance:
             "documentID",
             "left_semi",
         ).persist()
-        gen = max_committed_gen(self.base) + 1
+        gen = next_delta_gen(self.base)
         extra = self._delta_commit(
             old_rows,
             upserted,
@@ -478,7 +483,7 @@ class IndexMaintenance:
                 **extra}
 
     def _delete_delta(self, document_ids: list[str]) -> int:
-        from .delta import max_committed_gen, read_visible_docs
+        from .delta import next_delta_gen, read_visible_docs
 
         docs = read_visible_docs(self.spark, self.base)
         old_rows = docs.filter(
@@ -488,7 +493,7 @@ class IndexMaintenance:
         if n == 0:
             old_rows.unpersist()
             return 0
-        gen = max_committed_gen(self.base) + 1
+        gen = next_delta_gen(self.base)
         self._delta_commit(old_rows, None, gen)
         old_rows.unpersist()
         return n

@@ -416,3 +416,49 @@ def test_delta_commit_action_budget(spark, tmp_path):
     n_actions2 = store.executionsCount() - before
     assert rep2 == {**rep2, "updated": 1, "inserted": 0}
     assert n_actions2 <= 5, f"pure-update commit ran {n_actions2} actions"
+
+
+def test_delta_ops_after_compaction_use_fresh_generations(spark, tmp_path):
+    """Generation monotonicity (round-4 review fix): a compaction folds
+    delta gen=1 but RETAINS _delta/*/gen=1 on disk as reader grace. A
+    following delta DELETE writes postings+tombstones but no docs dir,
+    so if it re-took gen=1 the stale pre-fold docs rows would become
+    visible again: the folded doc would surface twice and the deleted
+    victim would survive its own delete. The delta_floor high-water mark
+    forces gen=2 and readers only see floor < gen <= delta_gen."""
+    from go_search_engine_spark.build.delta import (
+        delta_floor,
+        next_delta_gen,
+        read_visible_docs,
+    )
+
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 40, seed=54, words_per_doc=10)
+    IndexBuilder(spark, _settings("fg"), wh).build(corpus, num_shards=2)
+    m = IndexMaintenance(spark, wh, "fg")
+    m.upsert_documents(
+        _batch(spark, [("vic", "qqqvictim special body")]), mode="delta"
+    )
+    m.compact_segments(target_partitions=4)
+    base = f"{wh}/fg"
+    # the folded gen=1 dirs are still on disk (grace window)...
+    assert os.path.isdir(f"{base}/_delta/docs/gen=1")
+    # ...so the floor must fence them off and the next gen must be fresh
+    assert delta_floor(base) == 1
+    assert next_delta_gen(base) == 2
+
+    m.delete_documents(["vic"], mode="delta")
+    eng = SearchEngine(spark, wh, "fg")
+    # the delete took: the victim is gone from search...
+    assert eng.search("qqqvictim", k=10, typo_tolerance=False).count() == 0
+    # ...and from the visible docs, with no resurrected duplicates
+    docs = read_visible_docs(spark, base)
+    assert docs.count() == 40
+    assert docs.select("documentID").distinct().count() == 40
+    # a subsequent delta upsert keeps climbing, never reusing gens
+    m.upsert_documents(
+        _batch(spark, [("nd2", "qqqsecond wave")]), mode="delta"
+    )
+    assert next_delta_gen(base) == 4
+    got = eng.search("qqqsecond", k=10, typo_tolerance=False).collect()
+    assert [r["documentID"] for r in got] == ["nd2"]

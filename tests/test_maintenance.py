@@ -413,3 +413,37 @@ def test_live_engine_generation_coherence(spark, tmp_path):
     vocab = eng._vocab()
     assert vocab is not None and "zzzlively" in set(vocab["term"])
     assert eng.settings is not svc_settings_before  # reload swapped it
+
+
+def test_upsert_read_modify_write_batch(spark, tmp_path):
+    """Round-4 fix: the canonical read-modify-write pattern -- read rows
+    back from the visible docs table, edit a field, upsert -- carries the
+    engine-derived columns (doc_id, doc_len, content_sha256, shard).
+    These must be dropped and recomputed, not joined against the docs
+    table's own doc_id (AMBIGUOUS_REFERENCE) or trusted stale."""
+    from go_search_engine_spark.build.delta import read_visible_docs
+
+    wh = str(tmp_path)
+    s = _settings("rmw")
+    corpus = generate_corpus(spark, 30, seed=31, words_per_doc=10)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    base = f"{wh}/rmw"
+    m = IndexMaintenance(spark, wh, "rmw")
+
+    for mode in ("refresh", "delta"):
+        docs = read_visible_docs(spark, base)
+        row = docs.orderBy("documentID").limit(1).collect()[0].asDict()
+        victim = row["documentID"]
+        row["content"] = f"zzzrmw{mode} rewritten body"
+        batch = spark.createDataFrame([row], docs.schema)
+        rep = m.upsert_documents(batch, mode=mode)
+        assert rep["updated"] == 1 and rep["inserted"] == 0
+        eng = SearchEngine(spark, wh, "rmw")
+        got = eng.search(f"zzzrmw{mode}", k=5, typo_tolerance=False)
+        assert [r["documentID"] for r in got.collect()] == [victim]
+        # derived columns were recomputed, not trusted from the batch
+        fresh = read_visible_docs(spark, base).filter(
+            F.col("documentID") == victim
+        ).collect()[0]
+        assert fresh["doc_len"] == 3
+        assert fresh["doc_id"] == row["doc_id"]  # update keeps the id
