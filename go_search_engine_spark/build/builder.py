@@ -177,6 +177,19 @@ class IndexBuilder:
             else:
                 shutil.rmtree(self.base, ignore_errors=True)
                 os.makedirs(self.base, exist_ok=True)
+        else:
+            # a resume build CONTINUES the committed generation: after a
+            # live_rebuild flipped the index into a tables_gen=R root,
+            # the plain {base}/segments dirs are grace-retained OLD
+            # tables (possibly built under old settings) -- resuming
+            # into the plain layout would skip shards against R's
+            # checkpoints and silently re-finalize the stale segments
+            try:
+                self.tables_gen = (
+                    int(load_stats(self.base).get("tables_gen", 0)) or None
+                )
+            except (FileNotFoundError, ValueError):
+                self.tables_gen = None
         with open(self.path("settings.json"), "w") as f:
             json.dump(self.settings.to_dict(), f, indent=2)
 
@@ -273,6 +286,9 @@ class IndexBuilder:
                 "docs_per_sec": n_docs / wall if wall > 0 else 0.0,
                 "postings_per_sec": n_post / wall if wall > 0 else 0.0,
                 "run_id": run_id,
+                # layout tag: a checkpoint only resumes a build writing
+                # the SAME table root (None = plain dirs)
+                "tables_gen": self.tables_gen,
             }
             self._append_checkpoint(ck)
             notify_shard_done()
@@ -698,8 +714,15 @@ class IndexBuilder:
                     row = json.load(f)
             except Exception:
                 continue
-            if row.get("status") == "complete":
-                out[int(row["shard"])] = row["fingerprint"]
+            if row.get("status") != "complete":
+                continue
+            # a checkpoint describes shards written under ONE table
+            # layout; one from an orphaned (never-committed) live_rebuild
+            # root, or from before a layout flip, must not satisfy this
+            # build (missing key = legacy plain-layout row)
+            if row.get("tables_gen") != self.tables_gen:
+                continue
+            out[int(row["shard"])] = row["fingerprint"]
         return out
 
 

@@ -110,3 +110,74 @@ def test_resume_cleans_stale_shards(spark, tmp_path):
     # while the fresh one is at 1; everything data-derived must match
     d.pop("generation"), c.pop("generation")
     assert d == c
+
+
+def test_resume_after_live_rebuild_adopts_committed_layout(spark, tmp_path):
+    """Round-4 fix: a live_rebuild commits the index under a
+    tables_gen=R root but leaves its checkpoints in base/_checkpoints.
+    A later resume build previously stayed on the PLAIN layout, skipped
+    every shard against those checkpoints, and re-finalized the
+    grace-retained old base/segments -- silent corruption. Resume must
+    adopt the committed layout and only honor checkpoints tagged for it."""
+    from go_search_engine_spark.build.builder import load_stats
+    from go_search_engine_spark.query.engine import SearchEngine
+
+    corpus = generate_corpus(spark, 120, seed=21, words_per_doc=12)
+    wh = str(tmp_path)
+    IndexBuilder(spark, _settings("lrz"), wh).build(corpus, num_shards=4)
+
+    b2 = IndexBuilder(spark, _settings("lrz"), wh)
+    b2.build(corpus, num_shards=4, resume=False, live_rebuild=True)
+    assert b2.tables_gen == 1
+
+    eng = SearchEngine(spark, wh, "lrz")
+    q = eng.docs.select("content").first()["content"].split()[0]
+    baseline = [
+        (r["documentID"], round(r["score"], 9))
+        for r in SearchEngine(spark, wh, "lrz").search(
+            q, k=10, typo_tolerance=False
+        ).collect()
+    ]
+
+    b3 = IndexBuilder(spark, _settings("lrz"), wh)
+    rep = b3.build(corpus, num_shards=4, resume=True)
+    assert b3.tables_gen == 1  # adopted the committed generation
+    assert rep.shards_built == 0 and rep.shards_skipped == 4
+    assert int(load_stats(b3.base).get("tables_gen", 0)) == 1
+    got = [
+        (r["documentID"], round(r["score"], 9))
+        for r in SearchEngine(spark, wh, "lrz").search(
+            q, k=10, typo_tolerance=False
+        ).collect()
+    ]
+    assert got == baseline
+
+
+def test_resume_ignores_orphan_live_rebuild_checkpoints(spark, tmp_path):
+    """A live_rebuild that CRASHES before finalize leaves an orphan
+    tables_gen root plus checkpoints tagged for it. A resume build runs
+    under the still-committed plain layout and must rebuild every shard
+    rather than skip against the orphan's checkpoints."""
+    from go_search_engine_spark.build.builder import load_stats
+    from go_search_engine_spark.query.engine import SearchEngine
+
+    corpus = generate_corpus(spark, 120, seed=22, words_per_doc=12)
+    wh = str(tmp_path)
+    IndexBuilder(spark, _settings("lro"), wh).build(corpus, num_shards=4)
+
+    b2 = IndexBuilder(spark, _settings("lro"), wh)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        b2.build(
+            corpus, num_shards=4, resume=False, live_rebuild=True,
+            fail_after_shards=2,
+        )
+    # commit point never flipped: index still serves the plain layout
+    assert int(load_stats(f"{wh}/lro").get("tables_gen", 0)) == 0
+
+    b3 = IndexBuilder(spark, _settings("lro"), wh)
+    rep = b3.build(corpus, num_shards=4, resume=True)
+    assert b3.tables_gen is None
+    assert rep.shards_built == 4 and rep.shards_skipped == 0
+    eng = SearchEngine(spark, wh, "lro")
+    q = eng.docs.select("content").first()["content"].split()[0]
+    assert eng.search(q, k=5, typo_tolerance=False).count() > 0
