@@ -244,6 +244,11 @@ class EngineServer:
         new = (body or {}).get("new_name", "")
         if not new:
             raise ApiError(400, "new_name required")
+        if new == name:
+            # also load-bearing: sorted((a, a)) below would acquire the
+            # SAME non-reentrant lock twice and deadlock the handler
+            # while holding the index lock
+            raise ApiError(400, "new_name equals the current name")
         self._settings(name)
         # both ends locked, in name order (no lock-order inversion between
         # two concurrent renames)

@@ -177,19 +177,15 @@ class IndexBuilder:
             else:
                 shutil.rmtree(self.base, ignore_errors=True)
                 os.makedirs(self.base, exist_ok=True)
-        else:
-            # a resume build CONTINUES the committed generation: after a
-            # live_rebuild flipped the index into a tables_gen=R root,
-            # the plain {base}/segments dirs are grace-retained OLD
-            # tables (possibly built under old settings) -- resuming
-            # into the plain layout would skip shards against R's
-            # checkpoints and silently re-finalize the stale segments
-            try:
-                self.tables_gen = (
-                    int(load_stats(self.base).get("tables_gen", 0)) or None
-                )
-            except (FileNotFoundError, ValueError):
-                self.tables_gen = None
+        # NOTE a resume build always STAGES in the plain layout
+        # (self.tables_gen stays None) and flips the pointer back at
+        # finalize -- never into the committed tables_gen root, which a
+        # mid-resume crash would otherwise corrupt in place under live
+        # readers. Safety against resuming a DIFFERENT layout's shards
+        # comes from the tables_gen tag on the docs marker and on every
+        # checkpoint row (_completed_shards): after a live_rebuild, a
+        # plain resume sees only foreign-layout checkpoints, ignores
+        # them, and rebuilds every shard.
         with open(self.path("settings.json"), "w") as f:
             json.dump(self.settings.to_dict(), f, indent=2)
 

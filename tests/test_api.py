@@ -152,6 +152,11 @@ def test_full_http_lifecycle(api):
     assert len(jobs) >= 4
     assert all(j["status"] == "completed" for j in jobs)
 
+    # self-rename must 400 fast, not deadlock on the doubled index lock
+    st, out = _call(port, "POST", "/indexes/films/rename",
+                    {"new_name": "films"})
+    assert st == 400
+
     # rename + delete
     st, out = _call(port, "POST", "/indexes/films/rename",
                     {"new_name": "movies2"})

@@ -112,13 +112,15 @@ def test_resume_cleans_stale_shards(spark, tmp_path):
     assert d == c
 
 
-def test_resume_after_live_rebuild_adopts_committed_layout(spark, tmp_path):
+def test_resume_after_live_rebuild_rebuilds_plain_layout(spark, tmp_path):
     """Round-4 fix: a live_rebuild commits the index under a
     tables_gen=R root but leaves its checkpoints in base/_checkpoints.
-    A later resume build previously stayed on the PLAIN layout, skipped
-    every shard against those checkpoints, and re-finalized the
-    grace-retained old base/segments -- silent corruption. Resume must
-    adopt the committed layout and only honor checkpoints tagged for it."""
+    A later resume build previously skipped every shard against those
+    checkpoints and re-finalized the grace-retained old base/segments --
+    silent corruption. Resume stages in the plain layout (a mid-resume
+    crash must never touch the committed root live readers are on), so
+    the layout tag on each checkpoint must force a full rebuild there,
+    then flip the pointer back at finalize with identical results."""
     from go_search_engine_spark.build.builder import load_stats
     from go_search_engine_spark.query.engine import SearchEngine
 
@@ -141,9 +143,11 @@ def test_resume_after_live_rebuild_adopts_committed_layout(spark, tmp_path):
 
     b3 = IndexBuilder(spark, _settings("lrz"), wh)
     rep = b3.build(corpus, num_shards=4, resume=True)
-    assert b3.tables_gen == 1  # adopted the committed generation
-    assert rep.shards_built == 0 and rep.shards_skipped == 4
-    assert int(load_stats(b3.base).get("tables_gen", 0)) == 1
+    assert b3.tables_gen is None  # staged in the plain layout
+    # the live_rebuild's checkpoints are tagged tables_gen=1: a plain
+    # resume must NOT skip shards against them
+    assert rep.shards_built == 4 and rep.shards_skipped == 0
+    assert int(load_stats(b3.base).get("tables_gen", 0)) == 0
     got = [
         (r["documentID"], round(r["score"], 9))
         for r in SearchEngine(spark, wh, "lrz").search(
