@@ -520,7 +520,14 @@ def main() -> None:
             })
 
         t_scaling = time.time()
-        for _ in range(SCALING_REPS):
+        for i in range(SCALING_REPS):
+            # The wall budget bounds the BASE reps too: in a fully
+            # contended window one pair can take ~20 min, and three slow
+            # pairs must not run the driver's bench into a timeout (no
+            # artifact is strictly worse than a short one). At least one
+            # pair always runs.
+            if i > 0 and time.time() - t_scaling >= SCALING_BUDGET_SEC:
+                break
             one_pair()
         while (
             time.time() - t_scaling < SCALING_BUDGET_SEC
