@@ -270,23 +270,33 @@ class EngineServer:
 
             from ..build.delta import read_visible_docs
 
-            # the reindex corpus must be what a READER sees: base docs
-            # plus committed delta rows minus tombstones (a plain table
-            # read would silently drop pending NRT upserts)
-            corpus = read_visible_docs(
-                self.spark, os.path.join(self.warehouse, name)
-            ).drop(
-                "doc_id", "doc_len", "content_sha256", "shard"
-            )
-            corpus = corpus.persist()
-            corpus.count()  # snapshot BEFORE the rewrite deletes the files
-
             def run(progress):
+                # the corpus snapshot MUST be taken inside the per-index
+                # lock: a mutation committed between an early snapshot
+                # and the rebuild would be silently erased by the
+                # rebuild's pointer flip (lost update). Inside the lock
+                # the snapshot is the full committed state by definition.
                 with self._index_lock(name):
-                    progress(0, 1, "reindexing")
-                    mnt.update_settings(self.spark, self.warehouse, new, corpus)
-                    corpus.unpersist()
-                    progress(1, 1, "done")
+                    progress(0, 2, "snapshotting corpus")
+                    # what a READER sees: base docs plus committed delta
+                    # rows minus tombstones (a plain table read would
+                    # silently drop pending NRT upserts)
+                    corpus = read_visible_docs(
+                        self.spark, os.path.join(self.warehouse, name)
+                    ).drop("doc_id", "doc_len", "content_sha256", "shard")
+                    corpus = corpus.persist()
+                    try:
+                        # materialize BEFORE the rewrite deletes the files
+                        corpus.count()
+                        progress(1, 2, "reindexing")
+                        mnt.update_settings(
+                            self.spark, self.warehouse, new, corpus
+                        )
+                    finally:
+                        # a failed rebuild must not pin the whole corpus
+                        # in executor storage for the app's lifetime
+                        corpus.unpersist()
+                    progress(2, 2, "done")
                     return {"reindexed": True}
 
             job_id = self.jobs.submit("settings_reindex", name, run)

@@ -186,8 +186,17 @@ class IndexBuilder:
         # checkpoint row (_completed_shards): after a live_rebuild, a
         # plain resume sees only foreign-layout checkpoints, ignores
         # them, and rebuilds every shard.
-        with open(self.path("settings.json"), "w") as f:
-            json.dump(self.settings.to_dict(), f, indent=2)
+        if not live_rebuild:
+            # live_rebuild must NOT touch the committed settings before
+            # the stats.json flip: readers opening mid-rebuild (and any
+            # state a crashed rebuild leaves behind) must keep the OLD
+            # settings with the OLD tables. The new settings commit
+            # atomically inside stats.json at _finalize; the mirror file
+            # is rewritten after. Fresh builds (base just recreated, no
+            # readers) write the mirror early so the index is
+            # discoverable while it builds.
+            with open(self.path("settings.json"), "w") as f:
+                json.dump(self.settings.to_dict(), f, indent=2)
 
         docs = self._prepare_docs(corpus, id_col, num_shards)
 
@@ -567,6 +576,12 @@ class IndexBuilder:
             json.dump(
                 {
                     "generation": generation,
+                    # the ACTIVE settings commit atomically with the
+                    # table pointers (load_settings prefers this copy):
+                    # a reader can never see new settings with old
+                    # tables or vice versa, and a crashed live_rebuild
+                    # leaves both on the old generation
+                    "settings": self.settings.to_dict(),
                     "N": report.n_docs,
                     "avgdl": avgdl,
                     "total_dl": total_dl,
@@ -595,6 +610,10 @@ class IndexBuilder:
                 indent=2,
             )
         os.replace(tmp_stats, self.path("stats.json"))
+        # keep the human-readable settings mirror in sync, post-commit
+        # (readers already resolve settings from stats.json)
+        with open(self.path("settings.json"), "w") as f:
+            json.dump(self.settings.to_dict(), f, indent=2)
         # GC AFTER the commit point: delete table directories of
         # generations older than the one just superseded -- the previous
         # generation stays one commit as a grace window for in-flight
@@ -728,5 +747,33 @@ def load_stats(base: str) -> dict:
 
 
 def load_settings(base: str) -> IndexSettings:
+    """The ACTIVE settings: the copy committed inside stats.json when the
+    index is built (atomic with the table pointers -- new settings are
+    never visible with old tables or vice versa), else the settings.json
+    manifest (index created but not yet built, or pre-settings-in-stats
+    indexes)."""
+    try:
+        emb = load_stats(base).get("settings")
+        if emb is not None:
+            return IndexSettings.from_dict(emb)
+    except (FileNotFoundError, ValueError):
+        pass
     with open(os.path.join(base, "settings.json")) as f:
         return IndexSettings.from_dict(json.load(f))
+
+
+def commit_settings(base: str, settings: IndexSettings) -> None:
+    """Atomically commit a settings change on a BUILT index without a
+    reindex (non-core diffs, renames): the new settings land in
+    stats.json -- the single commit point -- with a generation bump so
+    live engines reload their cached settings; the human-readable
+    settings.json mirror is rewritten after."""
+    stats = load_stats(base)
+    stats["settings"] = settings.to_dict()
+    stats["generation"] = int(stats.get("generation", 0)) + 1
+    tmp = os.path.join(base, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=2)
+    os.replace(tmp, os.path.join(base, "stats.json"))
+    with open(os.path.join(base, "settings.json"), "w") as f:
+        json.dump(settings.to_dict(), f, indent=2)

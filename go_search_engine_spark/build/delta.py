@@ -71,13 +71,19 @@ def delta_path(base: str, *parts: str) -> str:
     return os.path.join(base, DELTA_DIR, *parts)
 
 
-def has_delta(base: str) -> bool:
+def has_delta(base: str, stats: dict | None = None) -> bool:
     """Pending delta segments exist iff the COMMITTED ``delta_gen``
     pointer says so -- never by directory existence: compaction retains
     the folded ``_delta/`` directory one commit as a grace window for
     in-flight readers (same discipline as the tables_gen roots), and
-    a crashed first commit leaves orphan dirs with no pointer."""
-    return int(_load_stats_or_empty(base).get("delta_gen", 0)) > 0
+    a crashed first commit leaves orphan dirs with no pointer.
+
+    Pass ``stats`` (one loaded snapshot) when resolving several pointers
+    for the same open -- per-call disk reads can tear across a
+    concurrent commit (engine._open_frames threads its snapshot)."""
+    if stats is None:
+        stats = _load_stats_or_empty(base)
+    return int(stats.get("delta_gen", 0)) > 0
 
 
 def _load_stats_or_empty(base: str) -> dict:
@@ -138,15 +144,12 @@ def generation_roots(base: str, stats: dict) -> set[str]:
     return roots
 
 
-def max_committed_gen(base: str) -> int:
+def max_committed_gen(base: str, stats: dict | None = None) -> int:
     """The committed delta generation from stats.json (0 = none). Gen
     dirs above it are uncommitted orphans from a crashed commit."""
-    from .builder import load_stats
-
-    try:
-        return int(load_stats(base).get("delta_gen", 0))
-    except FileNotFoundError:
-        return 0
+    if stats is None:
+        stats = _load_stats_or_empty(base)
+    return int(stats.get("delta_gen", 0))
 
 
 def delta_floor(base: str, stats: dict | None = None) -> int:
@@ -179,14 +182,15 @@ def next_delta_gen(base: str) -> int:
 
 
 def read_tombstones(
-    spark: SparkSession, base: str, max_gen: int
+    spark: SparkSession, base: str, max_gen: int,
+    stats: dict | None = None,
 ) -> DataFrame | None:
     """(doc_id, tgen = max tombstone generation), committed gens only
     (gens at or below the compaction floor are folded state)."""
     p = delta_path(base, "tombstones")
     if not os.path.isdir(p):
         return None
-    floor = delta_floor(base)
+    floor = delta_floor(base, stats)
     t = spark.read.parquet(p).filter(
         (F.col("gen") <= max_gen) & (F.col("gen") > floor)
     )
@@ -209,30 +213,37 @@ def apply_visibility(
 
 
 def read_delta_postings(
-    spark: SparkSession, base: str, max_gen: int
+    spark: SparkSession, base: str, max_gen: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Flat delta postings (POSTINGS_SCHEMA + gen partition column),
     committed gens only (above the compaction floor); NOT yet
     visibility-filtered."""
-    floor = delta_floor(base)
+    floor = delta_floor(base, stats)
     return spark.read.parquet(delta_path(base, "postings")).filter(
         (F.col("gen") <= max_gen) & (F.col("gen") > floor)
     )
 
 
-def read_visible_docs(spark: SparkSession, base: str) -> DataFrame:
+def read_visible_docs(
+    spark: SparkSession, base: str, stats: dict | None = None
+) -> DataFrame:
     """The docs table as a reader must see it: base rows (gen 0) plus
     committed delta rows, visibility-filtered. Falls back to the plain
-    base table when no delta state exists."""
-    docs = spark.read.parquet(table_path(base, "docs"))
-    if not has_delta(base):
+    base table when no delta state exists. Every pointer resolves from
+    ONE stats snapshot (loaded here if not passed) so a commit landing
+    mid-call cannot mix generations."""
+    if stats is None:
+        stats = _load_stats_or_empty(base)
+    docs = spark.read.parquet(table_path(base, "docs", stats))
+    if not has_delta(base, stats):
         return docs
-    max_gen = max_committed_gen(base)
+    max_gen = max_committed_gen(base, stats)
     cols = docs.columns
     parts = [docs.withColumn("gen", F.lit(0))]
     ddocs_path = delta_path(base, "docs")
     if os.path.isdir(ddocs_path):
-        floor = delta_floor(base)
+        floor = delta_floor(base, stats)
         ddocs = spark.read.parquet(ddocs_path).filter(
             (F.col("gen") <= max_gen) & (F.col("gen") > floor)
         )
@@ -240,5 +251,5 @@ def read_visible_docs(spark: SparkSession, base: str) -> DataFrame:
     allrows = parts[0]
     for p in parts[1:]:
         allrows = allrows.unionByName(p)
-    tomb = read_tombstones(spark, base, max_gen)
+    tomb = read_tombstones(spark, base, max_gen, stats)
     return apply_visibility(allrows, "gen", tomb).drop("gen")

@@ -51,8 +51,16 @@ def rename_index(warehouse: str, old: str, new: str) -> None:
     os.rename(src, dst)
     settings = load_settings(dst)
     settings.name = new
-    with open(os.path.join(dst, "settings.json"), "w") as f:
-        json.dump(settings.to_dict(), f, indent=2)
+    try:
+        # built index: the name change must land in the committed copy
+        # inside stats.json (load_settings prefers it), with a
+        # generation bump so live engines reload
+        from .builder import commit_settings
+
+        commit_settings(dst, settings)
+    except FileNotFoundError:
+        with open(os.path.join(dst, "settings.json"), "w") as f:
+            json.dump(settings.to_dict(), f, indent=2)
 
 
 def list_indexes(warehouse: str) -> list[str]:
@@ -109,8 +117,16 @@ def update_settings(
             corpus, id_col=id_col, resume=False, live_rebuild=True
         )
         return True
-    with open(os.path.join(base, "settings.json"), "w") as f:
-        json.dump(new_settings.to_dict(), f, indent=2)
+    try:
+        # non-core diff on a built index: commit atomically via
+        # stats.json (generation bump => live engines pick it up)
+        from .builder import commit_settings
+
+        commit_settings(base, new_settings)
+    except FileNotFoundError:
+        # created-but-never-built index: the manifest is the only state
+        with open(os.path.join(base, "settings.json"), "w") as f:
+            json.dump(new_settings.to_dict(), f, indent=2)
     return False
 
 
@@ -672,7 +688,13 @@ class IndexMaintenance:
             # zero-task write (fully emptied vocab) never posts metrics
             n_terms = spark.read.parquet(new_ts_path).count()
         if obs_of is not None:
-            old_post = int(obs_of.get["n"])
+            try:
+                old_post = int(obs_of.get["n"])
+            except Exception:
+                # obs_of rides the same term_stats write job as obs_ts:
+                # a zero-task write (fully emptied vocab) posts neither
+                # observation, so fall back the same way
+                old_post = old_flat.count()
         else:
             old_post = 0
         stats.update(

@@ -82,13 +82,17 @@ def ngram_jaccard_pairs(
         # full id array (the r3 one-pass layout built the list first and
         # filtered after: unbounded per-row memory in exactly the
         # degenerate-skew case the guard exists for). The shingle stream
-        # is persisted, so the second pass reads the cache, not the
-        # tokenizer. The surviving id lists are bounded by
-        # max_shingle_df; pair generation is a JVM-side slice/transform
-        # (emits only a < b), never a self-join. No broadcast hint on the
-        # anti-join: the hot set is usually tiny but CAN be huge on a
-        # degenerate corpus -- AQE picks broadcast when it fits.
-        sh = sh.persist()
+        # is NOT persisted: it is larger than the corpus, and a
+        # long-lived session (server, bench loop) would accumulate one
+        # pinned copy per call with no safe point to unpersist a frame
+        # the returned plan still references -- recomputing the
+        # tokenizer/explode (pure JVM codegen) per pass is the trade
+        # that survives both 100 TB and a long-lived driver. The
+        # surviving id lists are bounded by max_shingle_df; pair
+        # generation is a JVM-side slice/transform (emits only a < b),
+        # never a self-join. No broadcast hint on the anti-join: the hot
+        # set is usually tiny but CAN be huge on a degenerate corpus --
+        # AQE picks broadcast when it fits.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -105,14 +109,13 @@ def ngram_jaccard_pairs(
             sh_kept = sh.join(hot.select("shingle"), "shingle", "left_anti")
         else:
             sh_kept = sh
+        # per-doc sizes from the flat kept stream (word_shingles is
+        # distinct per (id, shingle), so this equals exploding the kept
+        # id lists) -- avoids a second consumer of the grouped frame,
+        # which would otherwise need its own persist to not recompute
+        sizes = sh_kept.groupBy("id").agg(F.count("*").alias("sz"))
         kept = sh_kept.groupBy("shingle").agg(
-            F.count("*").alias("df"),
             F.sort_array(F.collect_list("id")).alias("ids"),
-        ).persist()
-        sizes = (
-            kept.select(F.explode("ids").alias("id"))
-            .groupBy("id")
-            .agg(F.count("*").alias("sz"))
         )
         pair_col = F.flatten(
             F.transform(

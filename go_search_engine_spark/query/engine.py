@@ -131,6 +131,13 @@ class SearchEngine:
     def _open_frames(self) -> None:
         """(Re)load settings, stats, and the table handles; clears the
         driver vocab cache. Called at open and on generation change."""
+        # freshness signature captured BEFORE the loads: a commit landing
+        # mid-reload then leaves sig older than the file, so the next
+        # _ensure_fresh reloads again (one harmless extra reload) -- the
+        # after-the-loads order would record the NEW file's sig against
+        # the OLD loaded snapshot and never notice the commit
+        st = os.stat(os.path.join(self.base, "stats.json"))
+        self._stats_sig = (st.st_mtime_ns, st.st_size)
         self.settings = load_settings(self.base)
         self.stats = load_stats(self.base)
         from ..build.delta import table_path
@@ -163,16 +170,24 @@ class SearchEngine:
         # operators union visibility-filtered delta position records
         from ..build import delta as _delta_mod
 
-        self._delta = _delta_mod.has_delta(self.base)
+        # every pointer below resolves from the ONE self.stats snapshot
+        # loaded above -- per-call stats.json re-reads can tear across a
+        # commit landing mid-reload (e.g. blocks from generation R but
+        # docs from R+1), violating the pre-or-post-commit invariant
+        self._delta = _delta_mod.has_delta(self.base, self.stats)
         if self._delta:
-            self._delta_max_gen = _delta_mod.max_committed_gen(self.base)
+            self._delta_max_gen = _delta_mod.max_committed_gen(
+                self.base, self.stats
+            )
             self._tomb = _delta_mod.read_tombstones(
-                self.spark, self.base, self._delta_max_gen
+                self.spark, self.base, self._delta_max_gen, self.stats
             )
             self._delta_post = _delta_mod.read_delta_postings(
-                self.spark, self.base, self._delta_max_gen
+                self.spark, self.base, self._delta_max_gen, self.stats
             )
-            self.docs = _delta_mod.read_visible_docs(self.spark, self.base)
+            self.docs = _delta_mod.read_visible_docs(
+                self.spark, self.base, self.stats
+            )
         else:
             self._tomb = None
             self._delta_post = None
@@ -181,8 +196,6 @@ class SearchEngine:
             )
         self._vocab_pd: pd.DataFrame | None = None
         self._generation = int(self.stats.get("generation", 0))
-        st = os.stat(os.path.join(self.base, "stats.json"))
-        self._stats_sig = (st.st_mtime_ns, st.st_size)
         # warm serving mode state (see warm()); dropped on reload so a
         # maintenance rewrite can never serve stale decoded postings
         old_warm = getattr(self, "_warm_decoded", None)
@@ -201,11 +214,7 @@ class SearchEngine:
         self._docs_slim: DataFrame | None = None
         self._expr_cache: dict | None = None  # per-generation Column cache
         # cached warm SQL template (warm()); reload drops its temp views
-        old_sql = getattr(self, "_warm_sql", None)
-        self._warm_sql: dict | None = None
-        if old_sql:
-            for v in old_sql["views"]:
-                self.spark.catalog.dropTempView(v)
+        self._drop_warm_views()
 
     def _ensure_fresh(self) -> None:
         """Generation check before serving from cached driver state: every
@@ -733,7 +742,7 @@ FROM topk
         """Drop this engine's warm temp views (a long-lived server warms
         once per generation; the catalog must not accumulate two dead
         views per maintenance commit)."""
-        old = self._warm_sql
+        old = getattr(self, "_warm_sql", None)
         self._warm_sql = None
         if old:
             for v in old["views"]:

@@ -353,3 +353,43 @@ def test_concurrent_mutations_serialize(api):
                     {"query": "racer", "typo_tolerance": False})
     assert {h["documentID"] for h in res["hits"]} == {"left", "right"}
     _call(port, "DELETE", "/indexes/race")
+
+
+def test_reindex_does_not_lose_concurrent_write(api):
+    """The settings-reindex corpus snapshot is taken INSIDE the job,
+    under the per-index lock: a document write racing the reindex must
+    survive regardless of which job wins the lock (an early snapshot in
+    the handler thread would erase a write committed between snapshot
+    and rebuild)."""
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "rrace", "searchable_fields": ["text"],
+        "fields_without_prefix_search": ["text"],
+    })
+    st, out = _call(port, "PUT", "/indexes/rrace/documents", [
+        {"documentID": "first", "text": "anchor corpus payload"}
+    ])
+    assert _wait_job(port, out["job_id"])["status"] == "completed"
+
+    # fire a core-settings reindex and a document write back-to-back
+    st1, j1 = _call(port, "PUT", "/indexes/rrace/settings",
+                    {"min_word_size_for_1_typo": 5})
+    assert j1.get("reindex") is True, j1
+    st2, j2 = _call(port, "PUT", "/indexes/rrace/documents", [
+        {"documentID": "second", "text": "racer document survives"}
+    ])
+    a = _wait_job(port, j1["job_id"])
+    b = _wait_job(port, j2["job_id"])
+    assert a["status"] == "completed", a
+    assert b["status"] == "completed", b
+    # the racing write is visible after both jobs, and the new settings
+    # are the committed ones
+    st, res = _call(port, "POST", "/indexes/rrace/search",
+                    {"query": "racer", "typo_tolerance": False})
+    assert {h["documentID"] for h in res["hits"]} == {"second"}
+    st, res = _call(port, "POST", "/indexes/rrace/search",
+                    {"query": "anchor", "typo_tolerance": False})
+    assert {h["documentID"] for h in res["hits"]} == {"first"}
+    st, settings = _call(port, "GET", "/indexes/rrace")
+    assert settings["min_word_size_for_1_typo"] == 5
+    _call(port, "DELETE", "/indexes/rrace")

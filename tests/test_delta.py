@@ -462,3 +462,27 @@ def test_delta_ops_after_compaction_use_fresh_generations(spark, tmp_path):
     assert next_delta_gen(base) == 4
     got = eng.search("qqqsecond", k=10, typo_tolerance=False).collect()
     assert [r["documentID"] for r in got] == ["nd2"]
+
+
+def test_delta_delete_all_documents(spark, tmp_path):
+    """A delta delete that tombstones EVERY document must commit cleanly
+    (the term_stats write runs zero tasks, so neither Observation on
+    that job posts metrics -- both fall back) and leave an index that
+    reads as empty."""
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 12, seed=52, words_per_doc=10)
+    IndexBuilder(spark, _settings("wipe"), wh).build(corpus, num_shards=2)
+    ids = sorted(r["documentID"] for r in corpus.select("documentID").collect())
+
+    mnt = IndexMaintenance(spark, wh, "wipe")
+    n = mnt.delete_documents(ids, mode="delta")
+    assert n == len(ids)
+
+    from go_search_engine_spark.build.builder import load_stats
+    from go_search_engine_spark.build.delta import read_visible_docs
+
+    stats = load_stats(os.path.join(wh, "wipe"))
+    assert int(stats["N"]) == 0
+    assert read_visible_docs(spark, os.path.join(wh, "wipe")).count() == 0
+    eng = SearchEngine(spark, wh, "wipe")
+    assert eng.search("tokenizer", k=10).count() == 0

@@ -193,3 +193,70 @@ def test_crashed_refresh_orphan_generation_is_invisible(spark, tmp_path):
     eng2 = SearchEngine(spark, wh, "cr")
     assert eng2.search("qqbeta", k=5, typo_tolerance=False).count() == 1
     assert eng2.search("qqalpha", k=5, typo_tolerance=False).count() == 1
+
+
+def test_crashed_live_rebuild_leaves_settings_and_index_intact(
+    spark, tmp_path, monkeypatch
+):
+    """A live_rebuild (settings reindex) that crashes before its
+    stats.json flip must leave BOTH the old settings and the old tables
+    committed: settings are embedded in stats.json at finalize, and the
+    settings.json mirror is not touched before the commit point."""
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 30, seed=77, words_per_doc=10)
+    IndexBuilder(spark, _settings("crashix"), wh).build(corpus, num_shards=2)
+    base = os.path.join(wh, "crashix")
+    eng = SearchEngine(spark, wh, "crashix")
+    before = _key(eng.search("tokenizer", k=50).collect())
+
+    from go_search_engine_spark.build.builder import load_settings
+    from go_search_engine_spark.build.maintenance import update_settings
+
+    new = _settings("crashix")
+    new.min_word_size_for_1_typo = 6  # core diff => full reindex
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(IndexBuilder, "_finalize", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        update_settings(spark, wh, new, corpus=corpus)
+    monkeypatch.undo()
+
+    # the committed settings are still the old ones (both resolutions)
+    assert load_settings(base).min_word_size_for_1_typo == 4
+    import json as _json
+    with open(os.path.join(base, "settings.json")) as f:
+        assert _json.load(f)["min_word_size_for_1_typo"] == 4
+    # and the index still serves the old generation, bit-identically
+    eng2 = SearchEngine(spark, wh, "crashix")
+    assert _key(eng2.search("tokenizer", k=50).collect()) == before
+    eng._ensure_fresh()
+    assert _key(eng.search("tokenizer", k=50).collect()) == before
+
+
+def test_stats_snapshot_pins_generation_for_readers(spark, tmp_path):
+    """Delta helpers resolve every pointer from ONE stats snapshot when
+    given: a reader holding a pre-commit snapshot keeps resolving the
+    pre-commit tables (retained as the grace window) even after a
+    refresh-mode commit lands -- the property engine._open_frames relies
+    on to never mix generations."""
+    from go_search_engine_spark.build.builder import load_stats
+    from go_search_engine_spark.build.delta import read_visible_docs
+
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 25, seed=78, words_per_doc=10)
+    IndexBuilder(spark, _settings("snapix"), wh).build(corpus, num_shards=2)
+    base = os.path.join(wh, "snapix")
+    snap0 = load_stats(base)
+    n0 = read_visible_docs(spark, base, snap0).count()
+    assert n0 == 25
+
+    mnt = IndexMaintenance(spark, wh, "snapix")
+    mnt.upsert_documents(
+        _batch(spark, [("extra-1", "fresh inserted document")])
+    )
+    # new snapshot sees the insert; the OLD snapshot still resolves the
+    # old (graced) generation
+    assert read_visible_docs(spark, base).count() == 26
+    assert read_visible_docs(spark, base, snap0).count() == 25

@@ -447,3 +447,58 @@ def test_upsert_read_modify_write_batch(spark, tmp_path):
         ).collect()[0]
         assert fresh["doc_len"] == 3
         assert fresh["doc_id"] == row["doc_id"]  # update keeps the id
+
+
+def test_settings_commit_atomic_with_stats(spark, tmp_path):
+    """The ACTIVE settings are the copy committed inside stats.json
+    (atomic with the table pointers); a divergent settings.json mirror
+    (what a crashed pre-fix live_rebuild could leave) must not win.
+    commit_settings updates both and bumps the generation."""
+    import json as _json
+    import os
+
+    from go_search_engine_spark.build.builder import (
+        commit_settings,
+        load_settings,
+        load_stats,
+    )
+
+    wh = str(tmp_path)
+    s = _settings("atom")
+    corpus = generate_corpus(spark, 30, seed=9, words_per_doc=10)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    base = f"{wh}/atom"
+
+    rogue = _settings("atom")
+    rogue.distinct_field = "lang"
+    with open(os.path.join(base, "settings.json"), "w") as f:
+        _json.dump(rogue.to_dict(), f)
+    # stats.json's committed copy wins over the tampered mirror
+    assert load_settings(base).distinct_field is None
+
+    gen0 = int(load_stats(base)["generation"])
+    commit_settings(base, rogue)
+    assert load_settings(base).distinct_field == "lang"
+    assert int(load_stats(base)["generation"]) == gen0 + 1
+    with open(os.path.join(base, "settings.json")) as f:
+        assert _json.load(f)["distinct_field"] == "lang"
+
+
+def test_metadata_settings_update_reaches_live_engine(spark, tmp_path):
+    """A non-core settings update commits through stats.json with a
+    generation bump, so a LIVE engine picks it up on its next freshness
+    check instead of serving cached settings forever."""
+    from go_search_engine_spark.query.engine import SearchEngine
+
+    wh = str(tmp_path)
+    s = _settings("livemeta")
+    corpus = generate_corpus(spark, 30, seed=10, words_per_doc=10)
+    IndexBuilder(spark, s, wh).build(corpus, num_shards=2)
+    eng = SearchEngine(spark, wh, "livemeta")
+    assert eng.settings.distinct_field is None
+
+    s2 = _settings("livemeta")
+    s2.distinct_field = "lang"
+    assert update_settings(spark, wh, s2) is False
+    eng._ensure_fresh()
+    assert eng.settings.distinct_field == "lang"

@@ -109,6 +109,11 @@ def test_resume_cleans_stale_shards(spark, tmp_path):
     # generation counts finalizes, so a resumed index is legitimately at 2
     # while the fresh one is at 1; everything data-derived must match
     d.pop("generation"), c.pop("generation")
+    # the committed settings copy embeds the index name, which
+    # legitimately differs between the two indexes
+    ds, cs = d.pop("settings"), c.pop("settings")
+    ds.pop("name"), cs.pop("name")
+    assert ds == cs
     assert d == c
 
 

@@ -101,6 +101,21 @@ def test_ngram_guard_drops_stop_shingles(spark):
     assert all(a >= 100 for a, b in ids)
 
 
+def test_ngram_guard_leaves_no_cached_frames(spark):
+    """The guarded path must not pin the (larger-than-corpus) shingle
+    stream in executor storage: a long-lived session calling the
+    operator repeatedly would otherwise accumulate one cached copy per
+    call with no safe unpersist point."""
+    from go_search_engine_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = [(i, f"red green blue token{i} extra words here") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=5).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+
+
 def test_bpe_ish_and_rolling_hash_edges(spark):
     """Edge semantics of the two fingerprint/count ops: empty and
     punctuation-heavy strings, known hand-computed rolling hash."""
