@@ -76,7 +76,9 @@ def parse_filters(d: dict | None) -> Filters | None:
     if not d:
         return None
     return Filters(
-        operator=d.get("operator", "AND"),
+        # reference: a missing/empty expression operator means OR
+        # (service.go:749-750)
+        operator=d.get("operator", "OR"),
         filters=[
             FilterCondition(
                 field=c["field"],

@@ -166,14 +166,18 @@ class OracleIndex:
         all vocab terms within max_distance, ordered (distance, term),
         capped at MAX_TYPO_CANDIDATES."""
         s = self.settings
-        if token in s.non_typo_tolerant_words:
+        ntw = [w.lower() for w in s.non_typo_tolerant_words]
+        if token in ntw:  # strings.EqualFold (service.go:179-183)
             return []
         cands = []
         for t in self.vocab:
             if t == token or abs(len(t) - len(token)) > max_distance:
                 continue
-            # prefix guard (service.go:204-218)
-            if len(t) >= 3 and any(w.startswith(t) for w in s.non_typo_tolerant_words):
+            # candidate guard (service.go:204-228): case-insensitive
+            # equality at any length + >=3-char prefix rejection
+            if t in ntw:
+                continue
+            if len(t) >= 3 and any(w.startswith(t) for w in ntw):
                 continue
             d = damerau_levenshtein(token, t, max_distance)
             if 0 < d <= max_distance:
@@ -206,10 +210,14 @@ class OracleIndex:
         for tok in tokens:
             cands = [(tok, 0, 1.0)]
             if typo_tolerance:
+                # `> 0` applies to the resolved setting: 0 disables the
+                # distance tier (service.go:192-202)
                 maxd = 0
-                if len(tok) >= s.min_word_size_for_2_typos:
+                min1 = s.min_word_size_for_1_typo
+                min2 = s.min_word_size_for_2_typos
+                if min2 > 0 and len(tok) >= min2:
                     maxd = 2
-                elif len(tok) >= s.min_word_size_for_1_typo:
+                elif min1 > 0 and len(tok) >= min1:
                     maxd = 1
                 if maxd:
                     for t, d in self.typo_candidates(tok, maxd):

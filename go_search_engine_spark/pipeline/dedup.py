@@ -280,7 +280,16 @@ def dedup_clusters(
             "over-split -- raise max_iter", max_iter,
         )
     edges.unpersist()
-    return labels.select(F.col("x").alias("id"), F.col("lbl").alias("cluster"))
+    out = labels.select(F.col("x").alias("id"), F.col("lbl").alias("cluster"))
+    # eager localCheckpoint: materializes the labels executor-side and
+    # cuts lineage, so the round's persist can be released NOW -- without
+    # this, every dedup_clusters call in a long-lived session leaks one
+    # pinned labels cache (checkpoint blocks are GC'd with the RDD by the
+    # ContextCleaner once the caller drops the result; a CacheManager
+    # persist is never GC'd). Same pattern as query/wand.py finalize.
+    out = out.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 _HI_HEX = ["8", "9", "a", "b", "c", "d", "e", "f"]

@@ -323,12 +323,15 @@ def embedding_cosine_pairs(
                     F.when(F.col("count") > max_bucket_size, 1).otherwise(0)
                 ).alias("n_hot"),
             ).collect()[0]
-            n_hot = int(hist["n_hot"])
+            # an empty input yields NULL max/sum aggregates -- coalesce
+            # to 0 so an empty corpus slice returns an empty pairs frame
+            # instead of a TypeError
+            n_hot = int(hist["n_hot"] or 0)
             hot = counts.filter(F.col("count") > max_bucket_size)
             if report is not None:
                 report["rounds"] = rnd + 1
-                report["final_max_pop"] = int(hist["max_pop"])
-                report["final_n_buckets"] = int(hist["n_buckets"])
+                report["final_max_pop"] = int(hist["max_pop"] or 0)
+                report["final_n_buckets"] = int(hist["n_buckets"] or 0)
             if n_hot == 0:
                 counts.unpersist()
                 break

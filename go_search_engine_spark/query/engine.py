@@ -198,6 +198,16 @@ class SearchEngine:
         self._generation = int(self.stats.get("generation", 0))
         # warm serving mode state (see warm()); dropped on reload so a
         # maintenance rewrite can never serve stale decoded postings
+        self._drop_warm_state()
+        self._expr_cache: dict | None = None  # per-generation Column cache
+
+    def _drop_warm_state(self) -> None:
+        """Unpersist and reset ALL warm serving state (decoded postings,
+        slim docs side, membership boundary, SQL template views). Called
+        on every reload AND at the top of warm() -- re-warming the same
+        generation must not leak the previous persisted frames, and a
+        re-warm that skips the docs_slim branch must not keep serving
+        the stale one."""
         old_warm = getattr(self, "_warm_decoded", None)
         if old_warm is not None:
             old_warm.unpersist()
@@ -212,7 +222,6 @@ class SearchEngine:
         self._warm_boundary: tuple[int, str] | None = None
         self._warm_all = False
         self._docs_slim: DataFrame | None = None
-        self._expr_cache: dict | None = None  # per-generation Column cache
         # cached warm SQL template (warm()); reload drops its temp views
         self._drop_warm_views()
 
@@ -324,28 +333,35 @@ class SearchEngine:
             else s.min_word_size_for_2_typos
         )
         gates = {}
-        # NOTE: no >0 guard on the resolved settings -- the reference's
-        # `> 0` check (service.go:191-200) only detects whether a QUERY
-        # override was provided; an index setting of 0 means "always
-        # typo-eligible" (len >= 0), which the oracle mirrors
+        # the `> 0` guard applies to the RESOLVED value (index setting
+        # or query override, service.go:192-202): a threshold of 0
+        # DISABLES candidates at that distance. Membership in
+        # non_typo_tolerant_words is case-insensitive
+        # (strings.EqualFold, service.go:179-183); query tokens are
+        # already lowercased by the tokenizer
+        ntw = {w.lower() for w in s.non_typo_tolerant_words}
         for tok in tokens:
             maxd = 0
-            if typo_tolerance and tok not in s.non_typo_tolerant_words:
-                if len(tok) >= min2:
+            if typo_tolerance and tok not in ntw:
+                if min2 > 0 and len(tok) >= min2:
                     maxd = 2
-                elif len(tok) >= min1:
+                elif min1 > 0 and len(tok) >= min1:
                     maxd = 1
             gates[tok] = maxd
         return gates
 
     def _guard_ok(self, term: str) -> bool:
-        """Prefix guard (service.go:204-218): a candidate that is a
-        >=3-char prefix of a non-typo-tolerant word is rejected."""
+        """Candidate guard (service.go:204-228, both case-insensitive;
+        index terms are already lowercase): a candidate EQUAL to a
+        non-typo-tolerant word is rejected at any length
+        (strings.EqualFold), and a >=3-char candidate that is a prefix
+        of one is rejected (strings.HasPrefix over lowered strings)."""
+        words = [w.lower() for w in self.settings.non_typo_tolerant_words]
+        if term in words:
+            return False
         if len(term) < 3:
             return True
-        return not any(
-            w.startswith(term) for w in self.settings.non_typo_tolerant_words
-        )
+        return not any(w.startswith(term) for w in words)
 
     def typo_scan(self, eligible: list[tuple[str, int]]) -> pd.DataFrame:
         """(token, term, distance) typo candidates for the given
@@ -433,12 +449,18 @@ class SearchEngine:
         cands = vocab.mapInPandas(
             dist_fn, schema="token string, term string, distance int"
         )
-        # prefix guard (service.go:204-218)
+        # candidate guard (service.go:204-228): case-insensitive
+        # equality at any length + >=3-char prefix rejection (index
+        # terms are already lowercase, so lower only the settings side)
         if non_typo:
             guard = reduce(
                 lambda a, b: a | b,
                 [
-                    (F.length("term") >= 3) & F.lit(w).startswith(F.col("term"))
+                    (F.col("term") == F.lit(w.lower()))
+                    | (
+                        (F.length("term") >= 3)
+                        & F.lit(w.lower()).startswith(F.col("term"))
+                    )
                     for w in non_typo
                 ],
             )
@@ -522,6 +544,9 @@ class SearchEngine:
         budget is too big for the heap).
         """
         self._ensure_fresh()
+        # a re-warm (e.g. re-tuning max_postings) must not leak the
+        # previous persisted warm frames or keep a stale docs_slim
+        self._drop_warm_state()
         n_post = int(self.stats.get("n_postings", 0))
         info: dict = {}
         pre_storage = set(self._storage_info())

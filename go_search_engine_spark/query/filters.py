@@ -14,8 +14,12 @@ Mirrors the reference's filter system (SURVEY.md section 2.5):
   (service.go:913-1020);
 - auto-operator detection: missing operator => ``_contains`` for array
   fields else ``_exact`` (service.go:810-821);
-- unknown operator => treated as no-match-contribution under OR
-  (service.go:747 default branch).
+- unknown CONDITION operator => warn + treat as equality
+  (applyFilterLogic's default branch, service.go:905-908);
+- missing/unknown EXPRESSION operator => OR (service.go:749-750 and the
+  :779-781 default branch); a condition naming a field absent from the
+  docs schema warns and fails just that criterion (service.go:827-831),
+  never the whole query.
 
 The dynamic type coercion machinery (string->float, string->time,
 service.go:851-883,1106-1133) collapses away here: columns are typed at
@@ -42,7 +46,9 @@ class FilterCondition:
 
 @dataclass
 class Filters:
-    operator: str = "AND"  # "AND" | "OR"
+    # reference default: an empty/missing expression operator means OR
+    # (service.go:749-750)
+    operator: str = "OR"  # "AND" | "OR"
     filters: list[FilterCondition] = dc_field(default_factory=list)
     groups: list["Filters"] = dc_field(default_factory=list)
 
@@ -54,12 +60,39 @@ def _is_array(df: DataFrame, name: str) -> bool:
         return False
 
 
+_KNOWN_OPS = (
+    "_exact", "_ne", "_gt", "_gte", "_lt", "_lte",
+    "_contains", "_ncontains", "_contains_any_of",
+)
+
+
 def _condition(df: DataFrame, c: FilterCondition) -> Column:
+    if c.field not in df.columns:
+        # reference: "Field not found in document for filter condition.
+        # Criterion fails." (service.go:827-831) -- fail the criterion,
+        # never the whole query with an unresolved-column error
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "filter field %r not found in docs schema; criterion fails",
+            c.field,
+        )
+        return F.lit(False)
     col = F.col(c.field)
     arr = _is_array(df, c.field)
     op = c.operator
-    if op is None:
+    if op is None or op == "":
         op = "_contains" if arr else "_exact"  # service.go:810-821
+    elif op not in _KNOWN_OPS:
+        # applyFilterLogic default branch: warn, treat as equality
+        # (service.go:905-908)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "unknown filter operator %r for field %r; treating as "
+            "equality", op, c.field,
+        )
+        op = "_exact"
 
     if op == "_exact":
         if arr:
@@ -92,13 +125,11 @@ def _condition(df: DataFrame, c: FilterCondition) -> Column:
         if arr:
             return ~F.exists(col, lambda x: F.contains(F.lower(x), needle))
         return ~F.contains(F.lower(col), needle)
-    if op == "_contains_any_of":
-        vals = list(c.value)
-        if arr:
-            return F.arrays_overlap(col, F.array([F.lit(v) for v in vals]))
-        return col.isin(vals)
-    # unknown operator: never matches (contributes nothing under OR)
-    return F.lit(False)
+    # op == "_contains_any_of" (every other value was normalized above)
+    vals = list(c.value)
+    if arr:
+        return F.arrays_overlap(col, F.array([F.lit(v) for v in vals]))
+    return col.isin(vals)
 
 
 def _tree_fields(f: Filters) -> list[str]:
@@ -149,7 +180,15 @@ def compile_filters(
     for s in scores[1:]:
         total = total + s
 
-    if f.operator.upper() == "AND":
+    op = (f.operator or "").upper()
+    if op not in ("", "AND", "OR"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "unknown filter expression operator %r; defaulting to OR",
+            f.operator,
+        )
+    if op == "AND":
         matched = conds[0]
         for c in conds[1:]:
             matched = matched & c

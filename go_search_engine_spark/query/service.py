@@ -206,6 +206,10 @@ class SearchService:
         ]
         if retrievable is None:
             return df
+        # an empty-query frame (eng._empty_result) lacks filter_score;
+        # select only the meta columns actually present so projection on
+        # an empty result stays an empty result, not an AnalysisException
+        meta = [c for c in meta if c in df.columns]
         keep = meta + [c for c in retrievable if c in df.columns and c not in meta]
         return df.select(*keep)
 

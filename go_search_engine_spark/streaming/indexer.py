@@ -65,7 +65,12 @@ class StreamingIndexer:
             *[_norm_field(prepped, f).alias(f) for f in s.searchable_fields],
         )
         segment = prepped.mapInPandas(make_flatmap(s), schema=POSTINGS_SCHEMA)
-        segment.write.mode("append").parquet(
+        # overwrite-by-epoch, never append: foreachBatch is AT-LEAST-ONCE
+        # (a task failure or restart-from-checkpoint replays an epoch),
+        # so the write must be idempotent per epoch_id -- an append would
+        # double every replayed batch's postings and silently corrupt
+        # tf/df statistics
+        segment.write.mode("overwrite").parquet(
             os.path.join(self.base, "stream_segments", f"epoch={epoch_id}")
         )
         self.batches_seen += 1

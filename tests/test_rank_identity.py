@@ -98,27 +98,30 @@ def test_exact_beats_typo(engine_and_oracle):
         assert max(exact_scores) > max(typo_scores)
 
 
-def test_zero_min_word_size_grants_typos(engine_and_oracle):
-    """Reference semantics: an index/query min_word_size of 0 means
-    len(tok) >= 0 -- typo tolerance for EVERY token (the reference's
-    `> 0` check only detects unset query overrides, service.go:191-200).
-    Engine and oracle must agree."""
-    engine, oracle = engine_and_oracle
-    # 'err' is len 3 < default min1=4: typo-ineligible normally, but a
-    # 0 override makes it eligible
-    strict = engine.search("err", k=10).collect()
-    loose = engine.search("err", k=10, min_word_size_for_1_typo=0).collect()
-    loose_typos = [r for r in loose if r["num_typos"] > 0]
-    strict_typos = [r for r in strict if r["num_typos"] > 0]
-    assert not strict_typos
-    # the corpus plants distance-1 neighbours of common short tokens;
-    # with the 0 gate at least the candidate scan must have run (same
-    # ranks as oracle either way)
+def test_zero_min_word_size_disables_typos(engine_and_oracle):
+    """Reference semantics: the `> 0` guard applies to the RESOLVED
+    min_word_size (index setting or query override,
+    service.go:192-202), so a value of 0 DISABLES candidates at that
+    distance tier -- it does not grant typo tolerance to every token.
+    A low positive override (1) is what loosens the gate. Engine and
+    oracle must agree on both."""
     import math as _math
 
+    engine, oracle = engine_and_oracle
+    # 'err' is len 3 < default min1=4: typo-ineligible normally
+    strict = engine.search("err", k=10).collect()
+    assert not [r for r in strict if r["num_typos"] > 0]
+
+    # 0 disables distance-1 candidates outright: identical to strict
+    zero = engine.search("err", k=10, min_word_size_for_1_typo=0).collect()
+    assert [r["doc_id"] for r in zero] == [r["doc_id"] for r in strict]
+    assert not [r for r in zero if r["num_typos"] > 0]
+
+    # a positive override of 1 makes every token typo-eligible
+    loose = engine.search("err", k=10, min_word_size_for_1_typo=1).collect()
     o = oracle.settings
     saved = o.min_word_size_for_1_typo
-    o.min_word_size_for_1_typo = 0
+    o.min_word_size_for_1_typo = 1
     try:
         want = oracle.search("err", k=10)
     finally:

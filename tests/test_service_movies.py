@@ -194,7 +194,12 @@ def test_filter_truth_table(spark):
         (FilterCondition("tags", None, "y"), {1, 2}),  # auto => _contains
         (FilterCondition("lang", "_contains_any_of", ["go", "rs"]), {1}),
         (FilterCondition("tags", "_contains_any_of", ["y", "z"]), {1, 2}),
-        (FilterCondition("lang", "_bogus_op", "go"), set()),  # unknown op
+        # unknown op => warn + equality (applyFilterLogic default branch,
+        # service.go:905-908)
+        (FilterCondition("lang", "_bogus_op", "go"), {1}),
+        # field absent from the schema => warn + criterion fails, never
+        # an unresolved-column error (service.go:827-831)
+        (FilterCondition("nope_field", "_exact", "go"), set()),
     ]
     for cond, want in cases:
         matched, _ = compile_filters(df, Filters(filters=[cond]))
@@ -568,3 +573,70 @@ def test_multi_search_envelopes_match_single_search(service):
         assert [
             {k: v for k, v in h.items()} for h in m.hits
         ] == [dict(h) for h in single.hits], name
+
+
+def test_empty_query_with_retrievable_fields(service):
+    """An empty-tokenizing query with retrievable_fields set returns an
+    empty result, not an AnalysisException (the empty frame lacks
+    filter_score; projection selects only present columns)."""
+    r = service.search(
+        SearchRequest(query="!!!", retrievable_fields=["title"])
+    )
+    assert r.hits == [] and r.total == 0
+
+
+def test_filter_expression_operator_defaults_to_or(spark):
+    """Reference: an empty/missing expression operator means OR
+    (service.go:749-750), and unknown expression operators warn +
+    default to OR (:779-781) -- not AND."""
+    df = spark.createDataFrame(
+        [(1, "go", 5.0), (2, "rs", 5.0), (3, "py", 1.0)],
+        "id int, lang string, v double",
+    )
+    conds = [
+        FilterCondition("lang", "_exact", "go", score=1.0),
+        FilterCondition("v", "_gte", 4.0, score=2.0),
+    ]
+    # default (no operator passed) => OR: match if either holds
+    matched, score = compile_filters(df, Filters(filters=conds))
+    got = {
+        r["id"]: r["s"]
+        for r in df.withColumn("s", score).filter(matched).select("id", "s").collect()
+    }
+    # doc 1 matches both (score 3), doc 2 matches the _gte only (2)
+    assert got == {1: 3.0, 2: 2.0}
+    # unknown operator string also takes the OR branch
+    matched_u, _ = compile_filters(
+        df, Filters(operator="XOR", filters=conds)
+    )
+    assert {r["id"] for r in df.filter(matched_u).select("id").collect()} == {1, 2}
+    # explicit AND still intersects
+    matched_a, _ = compile_filters(
+        df, Filters(operator="AND", filters=conds)
+    )
+    assert {r["id"] for r in df.filter(matched_a).select("id").collect()} == {1}
+
+
+def test_non_typo_tolerant_words_case_insensitive(spark, tmp_path_factory):
+    """Reference compares non_typo_tolerant_words with strings.EqualFold
+    and lowercased HasPrefix (service.go:179-183, 204-228): a
+    capitalized settings entry must still suppress typo candidates for
+    its lowercase index term."""
+    wh = str(tmp_path_factory.mktemp("wh_ntw"))
+    settings = IndexSettings(
+        name="ntw",
+        searchable_fields=["title", "content"],
+        fields_without_prefix_search=["content"],
+        non_typo_tolerant_words=["Spud"],  # capitalized on purpose
+    )
+    corpus = spark.createDataFrame(MOVIES, COLS)
+    IndexBuilder(spark, settings, wh).build(corpus, num_shards=2)
+    eng = SearchEngine(spark, wh, "ntw")
+
+    # 'spua' is distance 1 from 'spud'; the candidate 'spud' must be
+    # rejected by the case-insensitive guard, so the query has no hits
+    assert eng.search("spua", k=10).count() == 0
+    # the query token 'spud' itself is gated (EqualFold membership):
+    # only exact matches, never typo expansion
+    rows = eng.search("spud", k=10).collect()
+    assert rows and all(r["num_typos"] == 0 for r in rows)

@@ -336,3 +336,16 @@ def test_redact_pii_behavior(spark):
     assert "+44" not in got[2]["redacted"]
     assert got[3]["redacted"] == "clean text without identifiers"
     assert (got[3]["n_emails"], got[3]["n_ipv4"], got[3]["n_phones"]) == (0, 0, 0)
+
+
+def test_embedding_pairs_empty_input(spark):
+    """An empty corpus slice returns an empty pairs frame (NULL
+    aggregates in the bucket histogram coalesce to 0), not a
+    TypeError."""
+    from go_search_engine_spark.pipeline.similarity import (
+        embedding_cosine_pairs,
+    )
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    planes = hyperplanes(dim=8, n_planes=4, seed=7)
+    assert embedding_cosine_pairs(df, planes).count() == 0

@@ -379,3 +379,25 @@ def test_nrt_streaming_delta_ingestion(spark, tmp_path):
     # ...and the streamed index equals the single-batch delta twin
     for query in ("zzznrt", "tokenizer"):
         assert key("nrt", query) == key("nrt_twin", query), query
+
+
+def test_streaming_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch (task failure,
+    restart from checkpoint) must not double the epoch's postings --
+    the per-epoch write is overwrite, not append."""
+    settings = IndexSettings(
+        name="replay",
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+    )
+    corpus = generate_corpus(spark, 20, seed=21, words_per_doc=10).withColumn(
+        "doc_id", F.xxhash64("documentID")
+    )
+    base = str(tmp_path / "idx")
+    ix = StreamingIndexer(spark, settings, base)
+    ix.process_batch(corpus, epoch_id=0)
+    seg = os.path.join(base, "stream_segments", "epoch=0")
+    once = spark.read.parquet(seg).count()
+    assert once > 0
+    ix.process_batch(corpus, epoch_id=0)  # replay
+    assert spark.read.parquet(seg).count() == once

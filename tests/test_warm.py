@@ -253,3 +253,21 @@ def test_warm_sql_views_dropped_on_rewarm_and_reload(spark, tmp_path):
     )
     eng.search("tokenizer", k=1, typo_tolerance=False).collect()
     assert warm_views() - base == set()
+
+
+def test_rewarm_releases_previous_warm_state(spark, warm_idx):
+    """Re-warming the same generation (re-tuning the budget) must not
+    leak the previous persisted frames, and a re-warm that skips the
+    docs_slim branch must not keep serving the stale slim frame."""
+    eng = SearchEngine(spark, warm_idx, "w")
+    eng.warm()
+    n_once = spark.sparkContext._jsc.getPersistentRDDs().size()
+    info2 = eng.warm()  # re-warm: old decoded + docs_slim dropped first
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_once
+    assert info2["docs_slim"]
+    # re-warm with the docs map disabled: the stale slim frame must go
+    info3 = eng.warm(docs_map_max=0)
+    assert info3["docs_slim"] is False
+    assert eng._docs_slim is None
+    rows = eng.search("tokenizer return", k=5, typo_tolerance=False).collect()
+    assert len(rows) > 0
