@@ -23,6 +23,13 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# Driver heap is frozen at the FIRST JVM launch in this process:
+# per-session .config("spark.driver.memory", ...) on a later getOrCreate
+# is silently ignored, so the env var must be set before ANY session is
+# created or the scaling legs would run on whatever heap the headline
+# sweep launched with (session.py reads SPARK_DRIVER_MEMORY at launch).
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
@@ -348,7 +355,11 @@ def materialize_scaling_corpus(n_docs: int, words: int) -> str:
     from go_search_engine_spark.session import get_spark
 
     path = os.path.join(
-        tempfile.gettempdir(), f"gse_scaling_corpus_{n_docs}_w{words}"
+        # v2: corpus generation switched to exact integer modulo word
+        # selection (the old per-row path rounded through float64); the
+        # key bump makes every bench regenerate instead of silently
+        # mixing generations across cached runs
+        tempfile.gettempdir(), f"gse_scaling_corpus_v2_{n_docs}_w{words}"
     )
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
@@ -371,15 +382,18 @@ def scaling_run(corpus_path: str, n_docs: int, cpus: int) -> dict:
     from go_search_engine_spark.config import IndexSettings
     from go_search_engine_spark.session import get_spark
 
-    # identical shuffle partitioning at every parallelism level so the
-    # per-task work is the same and only the executor count varies (with
-    # 2*cpus partitions the 1-core run got 2 huge spilling partitions --
-    # unfair in the other direction, showing superlinear speedup)
+    # identical shuffle partitioning at EVERY parallelism level so the
+    # per-task work is the same and only the executor count varies: pin
+    # one count derived from the PAIR's high leg (4*SCALING_N), not from
+    # this leg's cpus -- max(16, 2*cpus) gave the two legs different
+    # partition counts whenever SCALING_N >= 3, mixing partition-size
+    # effects into the published efficiency. (Driver heap comes from
+    # SPARK_DRIVER_MEMORY at first JVM launch; a per-leg config here
+    # would be silently ignored once the JVM exists.)
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         cpus=cpus,
-        shuffle_partitions=max(16, 2 * cpus),
-        extra_conf={"spark.driver.memory": "48g"},
+        shuffle_partitions=max(16, 2 * 4 * SCALING_N),
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -413,9 +427,18 @@ def scaling_run(corpus_path: str, n_docs: int, cpus: int) -> dict:
         steal_pct = round(
             100.0 * (stat1[1] - stat0[1]) / max(stat1[0] - stat0[0], 1), 2
         )
+        # ACTUAL driver heap (maxMemory), not the requested config:
+        # proves whether SPARK_DRIVER_MEMORY landed (it cannot change
+        # after the first JVM launch in the process)
+        heap_gb = round(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+            / (1 << 30),
+            1,
+        )
         return {
             "cpus": cpus,
             "docs": n_docs,
+            "heap_gb": heap_gb,
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(n_docs / wall, 1),
             "postings_per_sec": round(report.n_postings / wall, 1),

@@ -53,7 +53,7 @@ import json
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from ..build import maintenance as mnt
 from ..build.builder import IndexBuilder, load_settings
@@ -113,6 +113,23 @@ class ApiError(Exception):
         self.status = status
 
 
+class _DecodedMatch:
+    """Percent-decode captured path segments before they reach handlers.
+
+    Routes match the RAW path (so an encoded ``%2F`` inside a document id
+    cannot be confused with a path separator), then each captured segment
+    is unquoted -- without this, documents whose ids contain encoded
+    characters (file paths like ``src/main.go`` in a code corpus) are
+    unreachable and undeletable over HTTP."""
+
+    def __init__(self, m):
+        self._m = m
+
+    def group(self, i: int):
+        g = self._m.group(i)
+        return unquote(g) if g is not None else None
+
+
 class EngineServer:
     """Application state + request dispatch (transport-agnostic, so tests
     can call ``dispatch`` directly and the HTTP handler stays thin)."""
@@ -146,7 +163,15 @@ class EngineServer:
             except FileNotFoundError:
                 raise ApiError(404, f"index {name!r} not found or not built")
             with self._lock:
-                self._engines[name] = eng
+                # check-then-act hygiene: a concurrent DELETE may have
+                # dropped the index between construction and caching --
+                # re-caching the stale engine would turn the intended 404
+                # into 500s until something else evicts it. setdefault
+                # also keeps the FIRST engine when two first-requests
+                # race, so at most one instance is ever served.
+                if not self._built(name):
+                    raise ApiError(404, f"index {name!r} not found or not built")
+                eng = self._engines.setdefault(name, eng)
         return eng
 
     def _drop_engine(self, name: str) -> None:
@@ -221,7 +246,7 @@ class EngineServer:
                 continue
             m = re.match(pat, path)
             if m:
-                return fn(m)
+                return fn(_DecodedMatch(m))
         raise ApiError(404, f"no route for {method} {path}")
 
     # -- handlers ----------------------------------------------------------
@@ -256,7 +281,10 @@ class EngineServer:
         # two concurrent renames)
         first, second = sorted((name, new))
         with self._index_lock(first), self._index_lock(second):
-            mnt.rename_index(self.warehouse, name, new)
+            try:
+                mnt.rename_index(self.warehouse, name, new)
+            except FileExistsError as e:
+                raise ApiError(409, str(e))
             self._drop_engine(name)
         return {"renamed": name, "to": new}
 
@@ -311,11 +339,17 @@ class EngineServer:
     def add_documents(self, name: str, body):
         settings = self._settings(name)
         df = self._docs_df(body, name)
-        built = self._built(name)
 
         def run(progress):
             with self._index_lock(name):
-                if built:
+                # the built check MUST happen inside the job, under the
+                # lock: two batches queued against a new index both see
+                # built=False at request time, and the second full build
+                # would silently erase the first batch's documents
+                # (resume fingerprints mismatch -> shards rebuilt from
+                # batch 2 only). Checked here, batch 2 sees batch 1's
+                # stats.json and takes the upsert path.
+                if self._built(name):
                     progress(0, 1, "upserting")
                     rep = mnt.IndexMaintenance(
                         self.spark, self.warehouse, name
@@ -341,8 +375,13 @@ class EngineServer:
         # maintenance job rewrites docs/ (rmtree+rename), and a stale
         # cached DataFrame would reference deleted part files
         eng._ensure_fresh()
-        page = max(int(query.get("page", ["1"])[0]), 1)
-        size = int(query.get("page_size", ["10"])[0]) or 10
+        try:
+            page = max(int(query.get("page", ["1"])[0]), 1)
+            size = int(query.get("page_size", ["10"])[0]) or 10
+        except ValueError:
+            raise ApiError(400, "page and page_size must be integers")
+        if size < 1:
+            raise ApiError(400, "page_size must be >= 1")
         total = eng.docs.count()
         rows = (
             eng.docs.orderBy("doc_id")
@@ -476,6 +515,10 @@ class EngineServer:
                 mnt.IndexMaintenance(
                     self.spark, self.warehouse, name
                 ).delete_all()
+                # delete_all removes stats.json and the tables; a cached
+                # engine would raise on every later request instead of
+                # returning the proper 404-until-rebuilt
+                self._drop_engine(name)
                 progress(1, 1, "done")
                 return {"deleted_all": True}
 

@@ -64,6 +64,41 @@ def _norm_field(df: DataFrame, name: str):
     return col
 
 
+def derive_doc_columns(df: DataFrame, settings) -> DataFrame:
+    """Append the engine-derived ``doc_len`` and ``content_sha256``
+    columns.
+
+    Shared by the fresh-build path (``_prepare_docs``) and both upsert
+    modes (``IndexMaintenance._normalize_batch``): content_sha256 feeds
+    shard resume fingerprints and doc_len feeds BM25 |d|, so the two
+    paths MUST derive them identically or upserted documents would
+    hash/score differently from built ones.
+
+    BM25 |d|: whitespace word count over searchable fields (reference
+    bm25.go:109-158); array<string> fields are joined with a space like
+    the reference (indexing/service.go:233-241)."""
+    dl = None
+    for f_name in settings.searchable_fields:
+        c = whitespace_word_count_col(
+            F.coalesce(_norm_field(df, f_name), F.lit(""))
+        )
+        dl = c if dl is None else dl + c
+    sha_src = (
+        F.col("content")
+        if "content" in df.columns
+        else F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(_norm_field(df, f), F.lit(""))
+                for f in settings.searchable_fields
+            ],
+        )
+    )
+    return df.withColumn("doc_len", dl.cast("long")).withColumn(
+        "content_sha256", F.sha2(sha_src, 256)
+    )
+
+
 # checkpoint lineage row shape (one JSON file per shard commit under
 # _checkpoints/ -- a metadata write like an Iceberg snapshot commit):
 #   shard, fingerprint, status, n_docs, n_postings, wall_sec,
@@ -106,6 +141,11 @@ class IndexBuilder:
         # maintenance._refresh so a live rewrite never rmtrees files an
         # in-flight reader is scanning
         self.tables_gen: int | None = None
+        # cached frames pinned for the duration of one build() call
+        # (assign_doc_ids' range-partitioned intermediate + the prepared
+        # docs frame); released in build()'s finally so a long-lived HTTP
+        # server doesn't accrete one cached corpus per add_documents job
+        self._stage_caches: list[DataFrame] = []
 
     # --- paths -----------------------------------------------------------
     def path(self, *parts: str) -> str:
@@ -119,6 +159,37 @@ class IndexBuilder:
 
     # --- public ----------------------------------------------------------
     def build(
+        self,
+        corpus: DataFrame,
+        id_col: str = "documentID",
+        num_shards: int = 8,
+        resume: bool = True,
+        fail_after_shards: int | None = None,
+        progress_cb=None,
+        live_rebuild: bool = False,
+    ) -> BuildReport:
+        """See ``_build_impl``; this wrapper only guarantees the build's
+        stage caches are released on every exit path (success, resume
+        crash, injected test failure)."""
+        try:
+            return self._build_impl(
+                corpus,
+                id_col=id_col,
+                num_shards=num_shards,
+                resume=resume,
+                fail_after_shards=fail_after_shards,
+                progress_cb=progress_cb,
+                live_rebuild=live_rebuild,
+            )
+        finally:
+            for frame in self._stage_caches:
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+            self._stage_caches.clear()
+
+    def _build_impl(
         self,
         corpus: DataFrame,
         id_col: str = "documentID",
@@ -217,6 +288,13 @@ class IndexBuilder:
         fps = {
             int(r["shard"]): (f"{r['n']}:{r['s']}", int(r["n"])) for r in fp_rows
         }
+        # the fingerprint aggregate materialized the docs cache (the last
+        # entry in _stage_caches); the id-assignment intermediates are now
+        # redundant copies -- drop them so the build holds ONE cached
+        # corpus, not two
+        for frame in self._stage_caches[:-1]:
+            frame.unpersist()
+        del self._stage_caches[:-1]
         report.phases["prepare_fingerprint"] = round(time.time() - t0, 3)
 
         # docs table: one partitioned write, marker-gated for resume
@@ -351,6 +429,15 @@ class IndexBuilder:
         if progress_cb is not None:
             progress_cb(len(pending), len(pending) + 1, "finalizing")
         t_fin = time.time()
+        if not os.path.isdir(self.path("segments")):
+            # empty corpus: no shard had rows, so no shard job ever wrote
+            # the segments tree. Materialize an empty segments table so
+            # finalize (and every later reader) sees a valid empty index
+            # instead of PATH_NOT_FOUND.
+            self._write(
+                self.spark.createDataFrame([], POSTINGS_SCHEMA),
+                self.path("segments"),
+            )
         self._finalize(report, num_shards=num_shards)
         report.phases["finalize"] = round(time.time() - t_fin, 3)
         if progress_cb is not None:
@@ -367,44 +454,24 @@ class IndexBuilder:
     def _prepare_docs(
         self, corpus: DataFrame, id_col: str, num_shards: int
     ) -> DataFrame:
-        s = self.settings
         df = corpus
         if id_col != "documentID":
             df = df.withColumnRenamed(id_col, "documentID")
-        # BM25 |d|: whitespace word count over searchable fields
-        # (reference bm25.go:109-158); array<string> fields are joined with
-        # a space like the reference (indexing/service.go:233-241)
-        dl = None
-        for f_name in s.searchable_fields:
-            c = whitespace_word_count_col(
-                F.coalesce(_norm_field(df, f_name), F.lit(""))
-            )
-            dl = c if dl is None else dl + c
-        sha_src = (
-            F.col("content")
-            if "content" in df.columns
-            else F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(_norm_field(df, f), F.lit(""))
-                    for f in s.searchable_fields
-                ],
-            )
-        )
-        df = df.withColumn("doc_len", dl.cast("long")).withColumn(
-            "content_sha256", F.sha2(sha_src, 256)
-        )
+        df = derive_doc_columns(df, self.settings)
         par = self.spark.sparkContext.defaultParallelism
         df = assign_doc_ids(
             df,
             "documentID",
             max(num_shards, par),
             out_partitions=4 * par,
+            release_into=self._stage_caches,
         )
         df = df.withColumn(
             "shard", F.pmod(F.xxhash64("documentID"), F.lit(num_shards)).cast("int")
         )
-        return df.persist()
+        df = df.persist()
+        self._stage_caches.append(df)
+        return df
 
     def _head_terms(self, flat: DataFrame, n_postings_hint: int) -> list[str]:
         """Terms to salt (df >= salt_df_threshold).

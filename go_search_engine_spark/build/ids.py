@@ -27,6 +27,7 @@ def assign_doc_ids(
     id_col: str,
     num_partitions: int,
     out_partitions: int | None = None,
+    release_into: list | None = None,
 ) -> DataFrame:
     """Return ``df`` plus a dense 0-based ``doc_id`` = rank of ``id_col``.
 
@@ -35,12 +36,21 @@ def assign_doc_ids(
     downstream stage. The final round-robin ``repartition(out_partitions)``
     restores balance; one extra all-to-all over the corpus, which the
     flatMap amortizes (on a cluster, size out_partitions ~ 2-4x total
-    cores)."""
+    cores).
+
+    The intermediate range-partitioned frame MUST stay cached until the
+    caller materializes the result (the collected per-partition offsets
+    are only valid against the exact partitioning that produced them); it
+    is appended to ``release_into`` so long-lived callers (the HTTP
+    server's repeated build/upsert jobs) can unpersist it afterwards
+    instead of pinning one corpus copy per batch for the app's lifetime."""
     out_partitions = out_partitions or num_partitions
     parted = df.repartitionByRange(num_partitions, id_col).withColumn(
         "_pid", F.spark_partition_id()
     )
     parted = parted.persist()
+    if release_into is not None:
+        release_into.append(parted)
     counts = (
         parted.groupBy("_pid").count().orderBy("_pid").collect()
     )  # tiny: one row per partition

@@ -48,6 +48,11 @@ def delete_index(warehouse: str, name: str) -> None:
 def rename_index(warehouse: str, old: str, new: str) -> None:
     src = os.path.join(warehouse, old)
     dst = os.path.join(warehouse, new)
+    if os.path.exists(dst):
+        # surface a conflict instead of os.rename's platform-dependent
+        # OSError (ENOTEMPTY on a populated index dir); the HTTP layer
+        # maps this to 409
+        raise FileExistsError(f"index {new!r} already exists")
     os.rename(src, dst)
     settings = load_settings(dst)
     settings.name = new
@@ -107,7 +112,8 @@ def update_settings(
     """Apply a settings update; returns True if a full reindex ran."""
     base = os.path.join(warehouse, new_settings.name)
     old = load_settings(base)
-    if requires_full_reindex(old, new_settings):
+    built = os.path.exists(os.path.join(base, "stats.json"))
+    if requires_full_reindex(old, new_settings) and built:
         if corpus is None:
             raise ValueError("core settings changed: corpus required for reindex")
         # zero-downtime: the rebuild lands in a fresh tables_gen root and
@@ -249,12 +255,12 @@ class IndexMaintenance:
         return n
 
     def _normalize_batch(self, new_corpus: DataFrame, id_col: str) -> DataFrame:
-        """Rename the id column and derive doc_len + content_sha256 the
-        same way the builder does (shared by both upsert modes)."""
-        from ..functions.tokenizer import whitespace_word_count_col
-        from .builder import _norm_field
+        """Rename the id column and derive doc_len + content_sha256 via
+        the builder's shared derivation (both upsert modes MUST match the
+        fresh-build path byte-for-byte: the sha feeds resume fingerprints
+        and doc_len feeds BM25 |d|)."""
+        from .builder import derive_doc_columns
 
-        s = self.settings
         nc = new_corpus
         if id_col != "documentID":
             nc = nc.withColumnRenamed(id_col, "documentID")
@@ -263,26 +269,7 @@ class IndexMaintenance:
         # internal doc_id joins/aggs downstream hit AMBIGUOUS_REFERENCE.
         # They are all recomputed by the commit path, so drop, not trust.
         nc = nc.drop("doc_id", "doc_len", "content_sha256", "shard")
-        dl = None
-        for f_name in s.searchable_fields:
-            c = whitespace_word_count_col(
-                F.coalesce(_norm_field(nc, f_name), F.lit(""))
-            )
-            dl = c if dl is None else dl + c
-        sha_src = (
-            F.col("content")
-            if "content" in nc.columns
-            else F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(_norm_field(nc, f), F.lit(""))
-                    for f in s.searchable_fields
-                ],
-            )
-        )
-        return nc.withColumn("doc_len", dl.cast("long")).withColumn(
-            "content_sha256", F.sha2(sha_src, 256)
-        )
+        return derive_doc_columns(nc, self.settings)
 
     def upsert_documents(
         self,
@@ -335,9 +322,15 @@ class IndexMaintenance:
         joined = nc.join(
             docs.select("documentID", "doc_id"), "documentID", "left"
         ).persist()
-        n_upd = joined.filter(F.col("doc_id").isNotNull()).count()
-        n_ins = joined.filter(F.col("doc_id").isNull()).count()
-        n_distinct = joined.select("documentID").distinct().count()
+        # ONE validation job for all batch-level counts (same shape as the
+        # delta path's accounting)
+        row = joined.agg(
+            F.count(F.when(F.col("doc_id").isNotNull(), 1)).alias("n_upd"),
+            F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_ins"),
+            F.countDistinct("documentID").alias("n_dist"),
+        ).collect()[0]
+        n_upd, n_ins = int(row["n_upd"]), int(row["n_ins"])
+        n_distinct = int(row["n_dist"])
         if n_upd + n_ins != n_distinct:
             joined.unpersist()
             # additive duplicates would double postings / fork insert ids;
@@ -354,10 +347,12 @@ class IndexMaintenance:
         from .ids import assign_doc_ids
 
         par = self.spark.sparkContext.defaultParallelism
+        id_caches: list[DataFrame] = []
         news = assign_doc_ids(
             joined.filter(F.col("doc_id").isNull()).drop("doc_id"),
             "documentID",
             max(1, par),
+            release_into=id_caches,
         ).withColumn("doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long"))
         upserted = (
             joined.filter(F.col("doc_id").isNotNull())
@@ -385,6 +380,8 @@ class IndexMaintenance:
         self._refresh(new_docs, kept.unionByName(new_seg), num_shards)
         joined.unpersist()
         upserted.unpersist()
+        for frame in id_caches:
+            frame.unpersist()
         return {"updated": int(n_upd), "inserted": int(n_ins)}
 
     def _validate_batch_columns(
@@ -459,9 +456,12 @@ class IndexMaintenance:
             row0 = docs.agg(F.max("doc_id")).collect()[0][0]
             max_id = int(row0) if row0 is not None else -1
         inserts = joined.filter(F.col("doc_id").isNull()).drop("doc_id")
+        id_caches: list[DataFrame] = []
         if n_ins > 0:
             par = self.spark.sparkContext.defaultParallelism
-            news = assign_doc_ids(inserts, "documentID", max(1, par)).withColumn(
+            news = assign_doc_ids(
+                inserts, "documentID", max(1, par), release_into=id_caches
+            ).withColumn(
                 "doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long")
             )
         else:  # skip assign_doc_ids' per-partition count job entirely
@@ -495,6 +495,8 @@ class IndexMaintenance:
         joined.unpersist()
         upserted.unpersist()
         old_rows.unpersist()
+        for frame in id_caches:
+            frame.unpersist()
         return {"updated": int(n_upd), "inserted": int(n_ins), "gen": gen,
                 **extra}
 

@@ -91,25 +91,41 @@ def _batch(
     # long tail of corpus-unique identifiers (vocab grows with corpus size
     # like real identifiers do -- vital so term-keyed shuffles see a
     # realistic key space, not 80 terms).
-    docs = []
+    #
+    # Fully vectorized over the (n, words_per_doc) matrix; only the final
+    # per-row " ".join stays in Python. All modulos are ARRAY ops on
+    # purpose: a numpy-1.x SCALAR uint64 % python-int silently promotes
+    # to float64 and rounds away the low bits (an earlier per-row loop
+    # did exactly that), whereas array uint64 % uint64 is exact.
     n_head, n_id, n_tail = len(HEAD_TERMS), len(IDENTIFIERS), len(TAIL_WORDS)
-    for r in range(n):
-        base = x[r]
-        hs = _mix(np.arange(words_per_doc, dtype=np.uint64) + base * np.uint64(7919), 9)
-        sel = hs % np.uint64(100)
-        widx = _mix(hs, 11)
-        words = []
-        for s, w in zip(sel, widx):
-            if s < 40:  # 40% head terms -> Zipf skew
-                words.append(HEAD_TERMS[int(w % n_head)])
-            elif s < 60:  # 20% camelCase identifiers
-                words.append(IDENTIFIERS[int(w % n_id)])
-            elif s < 75:  # 15% common library words
-                words.append(TAIL_WORDS[int(w % n_tail)])
-            else:  # 25% unique-ish identifiers (long tail)
-                u = int(w % max(vocab_size, 1))
-                words.append(f"sym{u}{TAIL_WORDS[u % n_tail].capitalize()}")
-        docs.append(" ".join(words))
+    hs = _mix(
+        np.arange(words_per_doc, dtype=np.uint64)[None, :]
+        + (x * np.uint64(7919))[:, None],
+        9,
+    )
+    sel = hs % np.uint64(100)
+    widx = _mix(hs, 11)
+    head_arr = np.array(HEAD_TERMS)
+    id_arr = np.array(IDENTIFIERS)
+    tail_arr = np.array(TAIL_WORDS)
+    cap_arr = np.array([w.capitalize() for w in TAIL_WORDS])
+    u = (widx % np.uint64(max(vocab_size, 1))).astype(np.int64)
+    sym = np.char.add(  # 25% unique-ish identifiers (long tail)
+        np.char.add("sym", u.astype("U20")), cap_arr[u % n_tail]
+    )
+    words = np.select(
+        [sel < 40, sel < 60, sel < 75],
+        [
+            # 40% head terms -> Zipf skew
+            head_arr[(widx % np.uint64(n_head)).astype(np.int64)],
+            # 20% camelCase identifiers
+            id_arr[(widx % np.uint64(n_id)).astype(np.int64)],
+            # 15% common library words
+            tail_arr[(widx % np.uint64(n_tail)).astype(np.int64)],
+        ],
+        default=sym,
+    )
+    docs = [" ".join(row) for row in words]
 
     return pd.DataFrame(
         {

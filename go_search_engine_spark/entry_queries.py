@@ -678,9 +678,17 @@ def chunk_documents_64_48(spark, sf_dir):
     )
 
 
-_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_IPV4_SQL = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-_PII_PHONE_SQL = "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}"
+# The oracle SQL interpolates the PIPELINE's own constants (they are
+# RE2-compatible, so DuckDB accepts them verbatim): editing a pattern in
+# textstats.py updates the oracle with it, instead of silently leaving
+# the oracle on a stale copy that only surfaces as a driver value-hash
+# mismatch rounds later.
+from .pipeline.textstats import PII_EMAIL as _PII_EMAIL_SQL
+from .pipeline.textstats import PII_IPV4 as _PII_IPV4_SQL
+from .pipeline.textstats import PII_PHONE as _PII_PHONE_SQL
+from .pipeline.textstats import EN_STOPWORDS as _EN_STOPWORDS_SQL
+from .pipeline.textstats import BPE_ISH_PATTERN as _BPE_SQL
+from .pipeline.textstats import ROLLING_MOD as _ROLLING_MOD_SQL
 
 
 @register(
@@ -878,7 +886,8 @@ def engine_highlight(spark, sf_dir):
     return (
         hl.join(eng.docs.select("doc_id", "documentID"), "doc_id")
         .select(
-            F.substring("documentID", 5, 8).cast("long").alias("doc_id"),
+            F.regexp_extract("documentID", r"^doc-(\d+)$", 1)
+        .cast("long").alias("doc_id"),
             "field",
             "term",
             "display",
@@ -920,7 +929,8 @@ def engine_proximity_search(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     res = proximity_search(eng, "data table", window=4, k=20)
     return res.select(
-        F.substring("documentID", 5, 8).cast("long").alias("doc_id"),
+        F.regexp_extract("documentID", r"^doc-(\d+)$", 1)
+        .cast("long").alias("doc_id"),
         "n_windows",
         "rank",
     )
@@ -929,10 +939,11 @@ def engine_proximity_search(spark, sf_dir):
 _MAINT_CACHE: dict = {}
 
 
-@register(
-    "maintenance_delete_upsert",
-    # oracle: df/idf over the corpus AFTER the same maintenance --
-    # doc_id % 7 == 0 deleted, doc_id < 25 re-texted, 3 inserts
+# ONE oracle + ONE driver for both maintenance gates (refresh and delta
+# modes MUST land on identical statistics; a single definition cannot
+# desynchronize): df/idf over the corpus AFTER the maintenance sequence
+# -- doc_id % 7 == 0 deleted, doc_id < 25 re-texted, 3 inserts.
+_MAINT_ORACLE_SQL = (
     "WITH d0 AS (SELECT doc_id, CASE WHEN doc_id < 25 THEN text || ' graftzz' "
     "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 "
     "UNION ALL SELECT * FROM (VALUES (90000001, 'graftzz table data'), "
@@ -943,7 +954,74 @@ _MAINT_CACHE: dict = {}
     "n AS (SELECT count(*)::DOUBLE AS n FROM d0) "
     "SELECT term, count(DISTINCT doc_id)::BIGINT AS df, "
     "round(ln(n.n / count(DISTINCT doc_id)), 6) AS idf "
-    "FROM tok_raw, n GROUP BY term, n.n",
+    "FROM tok_raw, n GROUP BY term, n.n"
+)
+
+
+def _maintained_term_stats(spark, sf_dir, cache, name, mode):
+    """Build an index over documents, run the shared delete + upsert
+    sequence in the given maintenance ``mode``, and return post-
+    maintenance (term, df, idf) from the committed term_stats."""
+    import tempfile
+
+    from .build.builder import IndexBuilder
+    from .build.delta import term_stats_path
+    from .build.maintenance import IndexMaintenance
+    from .config import IndexSettings
+
+    if sf_dir not in cache:
+        settings = IndexSettings(
+            name=name,
+            searchable_fields=["text"],
+            fields_without_prefix_search=["text"],
+            term_buckets=8,
+        )
+        base = load(spark, sf_dir, "documents")
+        docs = base.select(
+            F.format_string("doc-%08d", F.col("doc_id")).alias("documentID"),
+            "text",
+        )
+        wh = tempfile.mkdtemp(prefix=f"gse_{name}_wh_")
+        IndexBuilder(spark, settings, wh).build(docs, num_shards=2)
+        m = IndexMaintenance(spark, wh, name)
+        victims = [
+            f"doc-{r['doc_id']:08d}"
+            for r in base.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        n_del = m.delete_documents(victims, mode=mode)
+        if n_del != len(victims):  # not assert: -O must not skip the call
+            raise RuntimeError(f"delete removed {n_del}, want {len(victims)}")
+        updates = (
+            base.filter((F.col("doc_id") < 25) & (F.col("doc_id") % 7 != 0))
+            .withColumn(
+                "documentID", F.format_string("doc-%08d", F.col("doc_id"))
+            )
+            .select(
+                "documentID",
+                F.concat(F.col("text"), F.lit(" graftzz")).alias("text"),
+            )
+        )
+        inserts = spark.createDataFrame(
+            [
+                ("doc-90000001", "graftzz table data"),
+                ("doc-90000002", "graftzz fresh row"),
+                ("doc-90000003", "spark graftzz value"),
+            ],
+            "documentID string, text string",
+        )
+        m.upsert_documents(updates.unionByName(inserts), mode=mode)
+        cache[sf_dir] = wh
+    ts = spark.read.parquet(
+        term_stats_path(os.path.join(cache[sf_dir], name))
+    )
+    return ts.select("term", "df", F.round("idf", 6).alias("idf"))
+
+
+@register(
+    "maintenance_delete_upsert",
+    _MAINT_ORACLE_SQL,
 )
 def maintenance_delete_upsert(spark, sf_dir):
     """T11 + T13 end-to-end against an independent oracle: build an index,
@@ -952,60 +1030,9 @@ def maintenance_delete_upsert(spark, sf_dir):
     ids, inserts append -- reference indexing/service.go:166-215), then
     read df/idf from the REFRESHED term_stats. No full rebuild happens;
     the oracle recomputes statistics over the equivalent corpus."""
-    import tempfile
-
-    from .build.builder import IndexBuilder
-    from .build.maintenance import IndexMaintenance
-    from .config import IndexSettings
-
-    if sf_dir not in _MAINT_CACHE:
-        settings = IndexSettings(
-            name="maint_idx",
-            searchable_fields=["text"],
-            fields_without_prefix_search=["text"],
-            term_buckets=8,
-        )
-        base = load(spark, sf_dir, "documents")
-        docs = base.select(
-            F.format_string("doc-%08d", F.col("doc_id")).alias("documentID"),
-            "text",
-        )
-        wh = tempfile.mkdtemp(prefix="gse_maint_wh_")
-        IndexBuilder(spark, settings, wh).build(docs, num_shards=2)
-        m = IndexMaintenance(spark, wh, "maint_idx")
-        victims = [
-            f"doc-{r['doc_id']:08d}"
-            for r in base.filter(F.col("doc_id") % 7 == 0)
-            .select("doc_id")
-            .collect()
-        ]
-        assert m.delete_documents(victims) == len(victims)
-        updates = (
-            base.filter((F.col("doc_id") < 25) & (F.col("doc_id") % 7 != 0))
-            .withColumn(
-                "documentID", F.format_string("doc-%08d", F.col("doc_id"))
-            )
-            .select(
-                "documentID",
-                F.concat(F.col("text"), F.lit(" graftzz")).alias("text"),
-            )
-        )
-        inserts = spark.createDataFrame(
-            [
-                ("doc-90000001", "graftzz table data"),
-                ("doc-90000002", "graftzz fresh row"),
-                ("doc-90000003", "spark graftzz value"),
-            ],
-            "documentID string, text string",
-        )
-        m.upsert_documents(updates.unionByName(inserts))
-        _MAINT_CACHE[sf_dir] = wh
-    from .build.delta import term_stats_path
-
-    ts = spark.read.parquet(
-        term_stats_path(os.path.join(_MAINT_CACHE[sf_dir], "maint_idx"))
+    return _maintained_term_stats(
+        spark, sf_dir, _MAINT_CACHE, "maint_idx", "refresh"
     )
-    return ts.select("term", "df", F.round("idf", 6).alias("idf"))
 
 
 _DELTA_CACHE: dict = {}
@@ -1013,80 +1040,17 @@ _DELTA_CACHE: dict = {}
 
 @register(
     "maintenance_delta_upsert",
-    # SAME post-maintenance corpus oracle as maintenance_delete_upsert:
-    # the incremental (delta) path must land on identical statistics
-    "WITH d0 AS (SELECT doc_id, CASE WHEN doc_id < 25 THEN text || ' graftzz' "
-    "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 "
-    "UNION ALL SELECT * FROM (VALUES (90000001, 'graftzz table data'), "
-    "(90000002, 'graftzz fresh row'), (90000003, 'spark graftzz value')) "
-    "v(doc_id, text)), "
-    "tok_raw AS (SELECT doc_id, unnest(" + TOK_SQL.format(col="text")
-    + ") AS term FROM d0), "
-    "n AS (SELECT count(*)::DOUBLE AS n FROM d0) "
-    "SELECT term, count(DISTINCT doc_id)::BIGINT AS df, "
-    "round(ln(n.n / count(DISTINCT doc_id)), 6) AS idf "
-    "FROM tok_raw, n GROUP BY term, n.n",
+    _MAINT_ORACLE_SQL,
 )
 def maintenance_delta_upsert(spark, sf_dir):
-    """Incremental (LSM/NRT) maintenance against the independent corpus
-    oracle: the same delete + upsert sequence as maintenance_delete_upsert
-    but through ``mode="delta"`` (build/delta.py) -- tombstones + delta
-    files + exact vocab-sized stats arithmetic, NO O(index) refresh. The
-    rewritten term_stats must carry the exact post-maintenance df/idf."""
-    import tempfile
-
-    from .build.builder import IndexBuilder
-    from .build.maintenance import IndexMaintenance
-    from .config import IndexSettings
-
-    if sf_dir not in _DELTA_CACHE:
-        settings = IndexSettings(
-            name="delta_idx",
-            searchable_fields=["text"],
-            fields_without_prefix_search=["text"],
-            term_buckets=8,
-        )
-        base = load(spark, sf_dir, "documents")
-        docs = base.select(
-            F.format_string("doc-%08d", F.col("doc_id")).alias("documentID"),
-            "text",
-        )
-        wh = tempfile.mkdtemp(prefix="gse_delta_wh_")
-        IndexBuilder(spark, settings, wh).build(docs, num_shards=2)
-        m = IndexMaintenance(spark, wh, "delta_idx")
-        victims = [
-            f"doc-{r['doc_id']:08d}"
-            for r in base.filter(F.col("doc_id") % 7 == 0)
-            .select("doc_id")
-            .collect()
-        ]
-        assert m.delete_documents(victims, mode="delta") == len(victims)
-        updates = (
-            base.filter((F.col("doc_id") < 25) & (F.col("doc_id") % 7 != 0))
-            .withColumn(
-                "documentID", F.format_string("doc-%08d", F.col("doc_id"))
-            )
-            .select(
-                "documentID",
-                F.concat(F.col("text"), F.lit(" graftzz")).alias("text"),
-            )
-        )
-        inserts = spark.createDataFrame(
-            [
-                ("doc-90000001", "graftzz table data"),
-                ("doc-90000002", "graftzz fresh row"),
-                ("doc-90000003", "spark graftzz value"),
-            ],
-            "documentID string, text string",
-        )
-        m.upsert_documents(updates.unionByName(inserts), mode="delta")
-        _DELTA_CACHE[sf_dir] = wh
-    from .build.delta import term_stats_path
-
-    ts = spark.read.parquet(
-        term_stats_path(os.path.join(_DELTA_CACHE[sf_dir], "delta_idx"))
+    """Incremental (LSM/NRT) maintenance against the SAME corpus oracle:
+    the identical delete + upsert sequence but through ``mode="delta"``
+    (build/delta.py) -- tombstones + delta files + exact vocab-sized
+    stats arithmetic, NO O(index) refresh. The rewritten term_stats must
+    carry the exact post-maintenance df/idf."""
+    return _maintained_term_stats(
+        spark, sf_dir, _DELTA_CACHE, "delta_idx", "delta"
     )
-    return ts.select("term", "df", F.round("idf", 6).alias("idf"))
 
 
 _SETTINGS_CACHE: dict = {}
@@ -1132,7 +1096,9 @@ def settings_update_reindex(spark, sf_dir):
             fields_without_prefix_search=[],  # core diff -> reindex
             term_buckets=8,
         )
-        assert update_settings(spark, wh, new, corpus=docs) is True
+        reindexed = update_settings(spark, wh, new, corpus=docs)
+        if reindexed is not True:  # not assert: -O must not skip the call
+            raise RuntimeError("settings update did not trigger a reindex")
         _SETTINGS_CACHE[sf_dir] = wh
     from .build.delta import term_stats_path
 
@@ -1240,14 +1206,23 @@ def embedding_near_dup_pairs_q(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     planes = hyperplanes(dim=64, n_planes=4, seed=42)
-    return embedding_cosine_pairs(emb, planes, threshold=0.40)
+    # max_bucket_size=None: the oracle models the UNGUARDED bucket join,
+    # and the guard's recursive split drops across-boundary pairs -- with
+    # the default cap on, this gate would fail nondeterministically at
+    # exactly the scale where a bucket first exceeds the cap. The guard
+    # stays default-on in the library API; exactness is pinned separately
+    # by tests/test_similarity.py's bounded-bucket identity test.
+    return embedding_cosine_pairs(
+        emb, planes, threshold=0.40, max_bucket_size=None
+    )
 
 
 @register(
     "lang_id_stopword_ratio",
     "WITH toks_arr AS (SELECT doc_id, " + TOK_SQL.format(col="text") + " AS toks "
     "FROM documents) SELECT doc_id AS id, round(CASE WHEN len(toks) > 0 THEN "
-    "len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it')))"
+    "len(list_filter(toks, t -> t IN ("
+    + ",".join(f"'{w}'" for w in _EN_STOPWORDS_SQL) + ")))"
     "::DOUBLE / len(toks) ELSE 0.0 END, 6) AS ratio FROM toks_arr",
 )
 def lang_id_stopword_ratio_q(spark, sf_dir):
@@ -1283,7 +1258,7 @@ def quality_scores_q(spark, sf_dir):
     # under Java regex in Spark and RE2 in DuckDB).
     "SELECT doc_id AS id, (" + DL_SQL.format(col="text") + ")::BIGINT AS n_ws, "
     "len(" + TOK_SQL.format(col="text") + ")::BIGINT AS n_tok, "
-    r"len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))"
+    f"len(regexp_extract_all(text, '{_BPE_SQL}'))"
     "::BIGINT AS n_bpe FROM documents",
 )
 def token_counts_q(spark, sf_dir):
@@ -1309,7 +1284,7 @@ def token_counts_q(spark, sf_dir):
     "(CASE WHEN length(text) > 0 THEN "
     "list_reduce(list_prepend(0::BIGINT, list_transform("
     "range(1, length(text)+1), i -> ascii(substring(text, i::INT, 1)))), "
-    f"(acc, c) -> (acc*31 + c) % {1 << 31}) ELSE 0 END)::BIGINT AS rh "
+    f"(acc, c) -> (acc*31 + c) % {_ROLLING_MOD_SQL}) ELSE 0 END)::BIGINT AS rh "
     "FROM toks_arr",
 )
 def doc_fingerprint_q(spark, sf_dir):
@@ -1360,7 +1335,8 @@ def _engine_result(df):
     """Map engine output to oracle-comparable (doc_id, score) with the
     original documents.doc_id recovered from documentID."""
     return df.select(
-        F.substring("documentID", 5, 8).cast("long").alias("doc_id"),
+        F.regexp_extract("documentID", r"^doc-(\d+)$", 1)
+        .cast("long").alias("doc_id"),
         F.round("score", 6).alias("score"),
     )
 
@@ -1457,7 +1433,8 @@ def engine_hit_info(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     res = eng.search("valu data", k=1_000_000, typo_tolerance=True)
     return res.select(
-        F.substring("documentID", 5, 8).cast("long").alias("doc_id"),
+        F.regexp_extract("documentID", r"^doc-(\d+)$", 1)
+        .cast("long").alias("doc_id"),
         F.round("score", 6).alias("score"),
         "num_typos",
         "number_exact_words",
@@ -1494,7 +1471,8 @@ def engine_phrase_search(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     res = phrase_search(eng, "value table", k=20)
     return res.select(
-        F.substring("documentID", 5, 8).cast("long").alias("doc_id"),
+        F.regexp_extract("documentID", r"^doc-(\d+)$", 1)
+        .cast("long").alias("doc_id"),
         "n_occurrences",
         "rank",
     )

@@ -393,3 +393,127 @@ def test_reindex_does_not_lose_concurrent_write(api):
     st, settings = _call(port, "GET", "/indexes/rrace")
     assert settings["min_word_size_for_1_typo"] == 5
     _call(port, "DELETE", "/indexes/rrace")
+
+
+def test_two_batches_against_new_index_both_survive(api):
+    """The built check happens inside the job, under the index lock: two
+    batches queued before the first build completes must BOTH land (a
+    request-time built=False snapshot made the second job re-run a full
+    build from its own batch only, erasing the first batch)."""
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "fresh2", "searchable_fields": ["text"],
+        "fields_without_prefix_search": ["text"],
+    })
+    # no wait between the two PUTs: both hit an index with no stats.json
+    st1, j1 = _call(port, "PUT", "/indexes/fresh2/documents", [
+        {"documentID": "a1", "text": "batch one alpha payload"}
+    ])
+    st2, j2 = _call(port, "PUT", "/indexes/fresh2/documents", [
+        {"documentID": "b1", "text": "batch two bravo payload"}
+    ])
+    a = _wait_job(port, j1["job_id"])
+    b = _wait_job(port, j2["job_id"])
+    assert a["status"] == "completed", a
+    assert b["status"] == "completed", b
+    st, res = _call(port, "POST", "/indexes/fresh2/search",
+                    {"query": "payload", "typo_tolerance": False})
+    assert {h["documentID"] for h in res["hits"]} == {"a1", "b1"}
+    _call(port, "DELETE", "/indexes/fresh2")
+
+
+def test_percent_encoded_document_ids(api):
+    """Path-like document ids (a code corpus keys documents by file
+    path) must round-trip over HTTP via percent-encoding."""
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "paths", "searchable_fields": ["text"],
+        "fields_without_prefix_search": ["text"],
+    })
+    st, out = _call(port, "PUT", "/indexes/paths/documents", [
+        {"documentID": "src/main.go", "text": "package main entry"},
+        {"documentID": "lib/util.go", "text": "package util helpers"},
+    ])
+    assert _wait_job(port, out["job_id"])["status"] == "completed"
+    st, doc = _call(port, "GET", "/indexes/paths/documents/src%2Fmain.go")
+    assert st == 200 and doc["documentID"] == "src/main.go"
+    st, out = _call(port, "DELETE", "/indexes/paths/documents/src%2Fmain.go")
+    job = _wait_job(port, out["job_id"])
+    assert job["result"] == {"deleted": 1}
+    st, _ = _call(port, "GET", "/indexes/paths/documents/src%2Fmain.go")
+    assert st == 404
+    _call(port, "DELETE", "/indexes/paths")
+
+
+def test_core_settings_update_on_unbuilt_index(api):
+    """Configure-then-index: a core-settings change on a created-but-
+    never-built index commits the manifest (there is nothing to reindex)
+    instead of failing with 'corpus required'."""
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "unbuilt", "searchable_fields": ["title"],
+    })
+    st, out = _call(port, "PUT", "/indexes/unbuilt/settings",
+                    {"searchable_fields": ["title", "body"]})
+    assert st == 200, out
+    assert out == {"reindex": False}
+    st, settings = _call(port, "GET", "/indexes/unbuilt")
+    assert settings["searchable_fields"] == ["title", "body"]
+    _call(port, "DELETE", "/indexes/unbuilt")
+
+
+def test_delete_all_drops_cached_engine(api):
+    """After DELETE /indexes/{n}/documents the cached engine must be
+    evicted: searches return 404-until-rebuilt, not 500s from a stale
+    engine whose stats.json vanished."""
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "wipe", "searchable_fields": ["text"],
+        "fields_without_prefix_search": ["text"],
+    })
+    st, out = _call(port, "PUT", "/indexes/wipe/documents", [
+        {"documentID": "w1", "text": "soon to vanish"}
+    ])
+    assert _wait_job(port, out["job_id"])["status"] == "completed"
+    st, res = _call(port, "POST", "/indexes/wipe/search", {"query": "vanish"})
+    assert st == 200 and res["total"] == 1  # engine now cached
+    st, out = _call(port, "DELETE", "/indexes/wipe/documents")
+    assert _wait_job(port, out["job_id"])["status"] == "completed"
+    st, res = _call(port, "POST", "/indexes/wipe/search", {"query": "vanish"})
+    assert st == 404, res  # not 500: stale engine was dropped
+    _call(port, "DELETE", "/indexes/wipe")
+
+
+def test_listing_pagination_validation(api):
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "pval", "searchable_fields": ["text"],
+        "fields_without_prefix_search": ["text"],
+    })
+    st, out = _call(port, "PUT", "/indexes/pval/documents", [
+        {"documentID": "p1", "text": "one"}
+    ])
+    assert _wait_job(port, out["job_id"])["status"] == "completed"
+    st, out = _call(port, "GET", "/indexes/pval/documents?page_size=-5")
+    assert st == 400
+    st, out = _call(port, "GET", "/indexes/pval/documents?page_size=abc")
+    assert st == 400
+    st, out = _call(port, "GET", "/indexes/pval/documents?page=zzz")
+    assert st == 400
+    _call(port, "DELETE", "/indexes/pval")
+
+
+def test_rename_onto_existing_index_conflicts(api):
+    port = api
+    for n in ("ren_a", "ren_b"):
+        _call(port, "POST", "/indexes", {
+            "name": n, "searchable_fields": ["text"],
+        })
+    st, out = _call(port, "POST", "/indexes/ren_a/rename",
+                    {"new_name": "ren_b"})
+    assert st == 409, out
+    # both indexes still intact
+    st, names = _call(port, "GET", "/indexes")
+    assert {"ren_a", "ren_b"} <= set(names)
+    for n in ("ren_a", "ren_b"):
+        _call(port, "DELETE", f"/indexes/{n}")

@@ -221,3 +221,45 @@ def test_store_positions_off(spark, tmp_path):
     n_rows = seg_f.count()
     assert sz(seg_f) == n_rows  # exactly the 1-byte empty record per row
     assert sz(seg_t) > sz(seg_f)
+
+
+def test_empty_corpus_builds_valid_empty_index(spark, tmp_path):
+    """A build from an empty corpus must produce a valid, queryable empty
+    index (no shard job ever writes segments/, so the builder has to
+    materialize the empty table itself), not PATH_NOT_FOUND in finalize."""
+    from go_search_engine_spark.query.engine import SearchEngine
+
+    wh = str(tmp_path / "wh_empty")
+    settings = IndexSettings(
+        name="t_empty",
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+    )
+    corpus = spark.createDataFrame(
+        [], "documentID string, content string"
+    )
+    report = IndexBuilder(spark, settings, wh).build(corpus, num_shards=4)
+    assert report.n_docs == 0 and report.n_postings == 0
+    stats = load_stats(f"{wh}/t_empty")
+    assert stats["N"] == 0 and stats["max_doc_id"] == -1
+    eng = SearchEngine(spark, wh, "t_empty")
+    assert eng.search("anything").count() == 0
+
+
+def test_build_releases_stage_caches(spark, tmp_path):
+    """build() must not leave its doc-preparation frames cached after it
+    returns: a long-lived server running repeated builds would pin one
+    corpus copy per batch in executor storage forever."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    wh = str(tmp_path / "wh_leak")
+    settings = IndexSettings(
+        name="t_leak",
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+    )
+    corpus = generate_corpus(spark, 60, seed=3, words_per_doc=12)
+    IndexBuilder(spark, settings, wh).build(corpus, num_shards=2)
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    assert not leaked, f"build leaked cached RDDs: {leaked}"
