@@ -375,25 +375,35 @@ def materialize_scaling_corpus(n_docs: int, words: int) -> str:
     return path
 
 
-def scaling_run(corpus_path: str, n_docs: int, cpus: int) -> dict:
+def scaling_run(
+    corpus_path: str,
+    n_docs: int,
+    cpus: int,
+    shuffle_partitions: int | None = None,
+) -> dict:
     """Build throughput at a given parallelism in a fresh SparkSession
-    over the same materialized input."""
+    over the same materialized input.
+
+    The N/4N efficiency PAIR must pass the same pinned
+    ``shuffle_partitions`` to both legs so per-task work is identical
+    and only the executor count varies (the default, pinned to the
+    pair's high leg: ``max(16, 2*cpus)`` gave the legs different
+    partition counts whenever SCALING_N >= 3, mixing partition-size
+    effects into the published efficiency). A standalone THROUGHPUT
+    point (the 32-thread diagnostic) is not part of any ratio and must
+    size partitions to its own parallelism -- pinning it to the pair's
+    16 starves 32 threads to 16 shuffle tasks and halves its measured
+    throughput. (Driver heap comes from SPARK_DRIVER_MEMORY at first
+    JVM launch; a per-leg config here would be silently ignored once
+    the JVM exists.)"""
     from go_search_engine_spark.build.builder import IndexBuilder
     from go_search_engine_spark.config import IndexSettings
     from go_search_engine_spark.session import get_spark
 
-    # identical shuffle partitioning at EVERY parallelism level so the
-    # per-task work is the same and only the executor count varies: pin
-    # one count derived from the PAIR's high leg (4*SCALING_N), not from
-    # this leg's cpus -- max(16, 2*cpus) gave the two legs different
-    # partition counts whenever SCALING_N >= 3, mixing partition-size
-    # effects into the published efficiency. (Driver heap comes from
-    # SPARK_DRIVER_MEMORY at first JVM launch; a per-leg config here
-    # would be silently ignored once the JVM exists.)
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         cpus=cpus,
-        shuffle_partitions=max(16, 2 * 4 * SCALING_N),
+        shuffle_partitions=shuffle_partitions or max(16, 2 * cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -439,6 +449,9 @@ def scaling_run(corpus_path: str, n_docs: int, cpus: int) -> dict:
             "cpus": cpus,
             "docs": n_docs,
             "heap_gb": heap_gb,
+            "shuffle_partitions": int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            ),
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(n_docs / wall, 1),
             "postings_per_sec": round(report.n_postings / wall, 1),
@@ -529,9 +542,19 @@ def main() -> None:
         corpus_path = materialize_scaling_corpus(SCALING_DOCS, SCALING_WORDS)
         runs: list = []
 
+        # one pinned partition count for BOTH legs of the ratio, sized
+        # to the pair's high leg
+        pair_parts = max(16, 2 * 4 * SCALING_N)
+
         def one_pair():
-            lo = scaling_run(corpus_path, SCALING_DOCS, SCALING_N)
-            hi = scaling_run(corpus_path, SCALING_DOCS, 4 * SCALING_N)
+            lo = scaling_run(
+                corpus_path, SCALING_DOCS, SCALING_N,
+                shuffle_partitions=pair_parts,
+            )
+            hi = scaling_run(
+                corpus_path, SCALING_DOCS, 4 * SCALING_N,
+                shuffle_partitions=pair_parts,
+            )
             eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
                 hi["cpus"] / lo["cpus"]
             )
