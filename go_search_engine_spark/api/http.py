@@ -113,14 +113,30 @@ class ApiError(Exception):
         self.status = status
 
 
+# Index names become filesystem path components under the warehouse, so
+# they must never be able to traverse out of it: one path segment, no
+# separators, no leading dot (also excludes '.' and '..'). Document ids
+# are NOT restricted -- they are data (parquet filter values), never
+# joined into a path.
+_SAFE_NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9._-]*$")
+
+
+def check_index_name(name: str) -> str:
+    if not name or not _SAFE_NAME_RE.match(name):
+        raise ApiError(400, f"invalid index name {name!r}")
+    return name
+
+
 class _DecodedMatch:
     """Percent-decode captured path segments before they reach handlers.
 
     Routes match the RAW path (so an encoded ``%2F`` inside a document id
     cannot be confused with a path separator), then each captured segment
-    is unquoted -- without this, documents whose ids contain encoded
-    characters (file paths like ``src/main.go`` in a code corpus) are
-    unreachable and undeletable over HTTP."""
+    is unquoted -- decoding is what makes path-like document ids
+    (``src/main.go`` in a code corpus) reachable over HTTP. Because
+    decoding also lets an INDEX-name segment smuggle ``/`` and ``..``
+    past the route's ``[^/]+``, every helper that resolves a name under
+    the warehouse validates it first (``check_index_name``)."""
 
     def __init__(self, m):
         self._m = m
@@ -155,6 +171,7 @@ class EngineServer:
         with self._lock:
             return self._index_locks.setdefault(name, threading.Lock())
     def _engine(self, name: str) -> SearchEngine:
+        check_index_name(name)
         with self._lock:
             eng = self._engines.get(name)
         if eng is None:
@@ -181,6 +198,7 @@ class EngineServer:
     def _settings(self, name: str) -> IndexSettings:
         import os
 
+        check_index_name(name)
         base = os.path.join(self.warehouse, name)
         if not os.path.exists(os.path.join(base, "settings.json")):
             raise ApiError(404, f"index {name!r} not found")
@@ -189,6 +207,7 @@ class EngineServer:
     def _built(self, name: str) -> bool:
         import os
 
+        check_index_name(name)
         return os.path.exists(
             os.path.join(self.warehouse, name, "stats.json")
         )
@@ -253,6 +272,7 @@ class EngineServer:
     def create_index(self, body: dict):
         if not body or not body.get("name"):
             raise ApiError(400, "settings body with 'name' required")
+        check_index_name(body["name"])
         settings = IndexSettings.from_dict(body)
         with self._index_lock(settings.name):
             if body["name"] in mnt.list_indexes(self.warehouse):
@@ -271,6 +291,7 @@ class EngineServer:
         new = (body or {}).get("new_name", "")
         if not new:
             raise ApiError(400, "new_name required")
+        check_index_name(new)
         if new == name:
             # also load-bearing: sorted((a, a)) below would acquire the
             # SAME non-reentrant lock twice and deadlock the handler
@@ -292,63 +313,79 @@ class EngineServer:
         old = self._settings(name)
         new = IndexSettings.from_dict({**old.to_dict(), **(body or {})})
         new.name = name
-        if mnt.requires_full_reindex(old, new) and self._built(name):
-            # async reindex from the stored docs table (the reference
-            # extracts docs from its store and bulk re-adds,
-            # bulk_operations.go:427-467)
-            import os
+        needs_reindex = mnt.requires_full_reindex(old, new)
+        if not (needs_reindex and self._built(name)):
+            # manifest-only path -- but the built flag was read OUTSIDE
+            # the index lock, and a first build may commit stats.json
+            # while we wait for it; re-checked under the lock, such a
+            # race falls through to the async-reindex path below instead
+            # of dying inside mnt.update_settings ('corpus required')
+            with self._index_lock(name):
+                if not (needs_reindex and self._built(name)):
+                    mnt.update_settings(self.spark, self.warehouse, new)
+                    self._drop_engine(name)
+                    return {"reindex": False}
+        # async reindex from the stored docs table (the reference
+        # extracts docs from its store and bulk re-adds,
+        # bulk_operations.go:427-467)
+        import os
 
-            from ..build.delta import read_visible_docs
+        from ..build.delta import read_visible_docs
 
-            def run(progress):
-                # the corpus snapshot MUST be taken inside the per-index
-                # lock: a mutation committed between an early snapshot
-                # and the rebuild would be silently erased by the
-                # rebuild's pointer flip (lost update). Inside the lock
-                # the snapshot is the full committed state by definition.
-                with self._index_lock(name):
-                    progress(0, 2, "snapshotting corpus")
-                    # what a READER sees: base docs plus committed delta
-                    # rows minus tombstones (a plain table read would
-                    # silently drop pending NRT upserts)
-                    corpus = read_visible_docs(
-                        self.spark, os.path.join(self.warehouse, name)
-                    ).drop("doc_id", "doc_len", "content_sha256", "shard")
-                    corpus = corpus.persist()
-                    try:
-                        # materialize BEFORE the rewrite deletes the files
-                        corpus.count()
-                        progress(1, 2, "reindexing")
-                        mnt.update_settings(
-                            self.spark, self.warehouse, new, corpus
-                        )
-                    finally:
-                        # a failed rebuild must not pin the whole corpus
-                        # in executor storage for the app's lifetime
-                        corpus.unpersist()
-                    progress(2, 2, "done")
-                    return {"reindexed": True}
+        def run(progress):
+            # the corpus snapshot MUST be taken inside the per-index
+            # lock: a mutation committed between an early snapshot
+            # and the rebuild would be silently erased by the
+            # rebuild's pointer flip (lost update). Inside the lock
+            # the snapshot is the full committed state by definition.
+            with self._index_lock(name):
+                progress(0, 2, "snapshotting corpus")
+                # what a READER sees: base docs plus committed delta
+                # rows minus tombstones (a plain table read would
+                # silently drop pending NRT upserts)
+                corpus = read_visible_docs(
+                    self.spark, os.path.join(self.warehouse, name)
+                ).drop("doc_id", "doc_len", "content_sha256", "shard")
+                corpus = corpus.persist()
+                try:
+                    # materialize BEFORE the rewrite deletes the files
+                    corpus.count()
+                    progress(1, 2, "reindexing")
+                    mnt.update_settings(
+                        self.spark, self.warehouse, new, corpus
+                    )
+                finally:
+                    # a failed rebuild must not pin the whole corpus
+                    # in executor storage for the app's lifetime
+                    corpus.unpersist()
+                progress(2, 2, "done")
+                return {"reindexed": True}
 
-            job_id = self.jobs.submit("settings_reindex", name, run)
-            return {"job_id": job_id, "reindex": True}
-        with self._index_lock(name):
-            mnt.update_settings(self.spark, self.warehouse, new)
-            self._drop_engine(name)
-        return {"reindex": False}
+        job_id = self.jobs.submit("settings_reindex", name, run)
+        return {"job_id": job_id, "reindex": True}
 
     def add_documents(self, name: str, body):
-        settings = self._settings(name)
+        self._settings(name)
         df = self._docs_df(body, name)
 
         def run(progress):
             with self._index_lock(name):
-                # the built check MUST happen inside the job, under the
-                # lock: two batches queued against a new index both see
-                # built=False at request time, and the second full build
-                # would silently erase the first batch's documents
-                # (resume fingerprints mismatch -> shards rebuilt from
-                # batch 2 only). Checked here, batch 2 sees batch 1's
-                # stats.json and takes the upsert path.
+                # Re-read EVERYTHING from disk inside the job, under the
+                # lock. (a) The built check: two batches queued against a
+                # new index both see built=False at request time, and the
+                # second full build would silently erase the first
+                # batch's documents; checked here, batch 2 sees batch 1's
+                # stats.json and takes the upsert path. (b) The index's
+                # existence: a DELETE /indexes/{n} accepted after this
+                # request but before this job runs must make the job FAIL
+                # -- a request-time settings snapshot would quietly
+                # rebuild (resurrect) the deleted index from this batch.
+                try:
+                    settings = self._settings(name)
+                except ApiError:
+                    raise RuntimeError(
+                        f"index {name!r} was deleted before the job ran"
+                    )
                 if self._built(name):
                     progress(0, 1, "upserting")
                     rep = mnt.IndexMaintenance(
