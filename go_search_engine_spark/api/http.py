@@ -414,7 +414,7 @@ class EngineServer:
         eng._ensure_fresh()
         try:
             page = max(int(query.get("page", ["1"])[0]), 1)
-            size = int(query.get("page_size", ["10"])[0]) or 10
+            size = int(query.get("page_size", ["10"])[0])
         except ValueError:
             raise ApiError(400, "page and page_size must be integers")
         if size < 1:

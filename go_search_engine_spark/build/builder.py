@@ -429,11 +429,19 @@ class IndexBuilder:
         if progress_cb is not None:
             progress_cb(len(pending), len(pending) + 1, "finalizing")
         t_fin = time.time()
-        if not os.path.isdir(self.path("segments")):
+        import glob as _glob
+
+        if not _glob.glob(
+            os.path.join(self.path("segments"), "**", "*.parquet"),
+            recursive=True,
+        ):
             # empty corpus: no shard had rows, so no shard job ever wrote
-            # the segments tree. Materialize an empty segments table so
-            # finalize (and every later reader) sees a valid empty index
-            # instead of PATH_NOT_FOUND.
+            # the segments tree -- OR a resume over an existing index
+            # removed every stale shard, leaving segments/ as an empty
+            # DIRECTORY (so an isdir check is not enough: readers would
+            # hit UNABLE_TO_INFER_SCHEMA, the same failure class as
+            # PATH_NOT_FOUND). Materialize an empty segments table so
+            # finalize (and every later reader) sees a valid empty index.
             self._write(
                 self.spark.createDataFrame([], POSTINGS_SCHEMA),
                 self.path("segments"),

@@ -322,66 +322,83 @@ class IndexMaintenance:
         joined = nc.join(
             docs.select("documentID", "doc_id"), "documentID", "left"
         ).persist()
-        # ONE validation job for all batch-level counts (same shape as the
-        # delta path's accounting)
-        row = joined.agg(
-            F.count(F.when(F.col("doc_id").isNotNull(), 1)).alias("n_upd"),
-            F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_ins"),
-            F.countDistinct("documentID").alias("n_dist"),
-        ).collect()[0]
-        n_upd, n_ins = int(row["n_upd"]), int(row["n_ins"])
-        n_distinct = int(row["n_dist"])
-        if n_upd + n_ins != n_distinct:
-            joined.unpersist()
-            # additive duplicates would double postings / fork insert ids;
-            # the reference's update path is strictly one-doc-at-a-time
-            raise ValueError(
-                "upsert batch contains duplicate documentIDs; dedupe it "
-                "(e.g. dropDuplicates(['documentID'])) before upserting"
-            )
-        # inserts: dense ids appended after the current maximum via the
-        # builder's range-partition + offset composition (build/ids.py) --
-        # NO single-partition global window, so a bulk insert of 10^8 new
-        # docs parallelizes like a fresh build (the reference pre-allocates
-        # contiguous NextID ranges per batch, bulk_operations.go:168-202)
-        from .ids import assign_doc_ids
-
-        par = self.spark.sparkContext.defaultParallelism
+        # every persist (joined, upserted, the id-range caches) is
+        # released in finally: a failed upsert on a long-lived server
+        # (unresolved passthrough column, disk-full mid-write) must not
+        # pin a corpus-sized cache for the app's lifetime -- the same
+        # discipline as builder.build's try/finally
+        upserted = None
         id_caches: list[DataFrame] = []
-        news = assign_doc_ids(
-            joined.filter(F.col("doc_id").isNull()).drop("doc_id"),
-            "documentID",
-            max(1, par),
-            release_into=id_caches,
-        ).withColumn("doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long"))
-        upserted = (
-            joined.filter(F.col("doc_id").isNotNull())
-            .unionByName(news)
-            .withColumn(
-                "shard",
-                F.pmod(F.xxhash64("documentID"), F.lit(num_shards)).cast("int"),
-            )
-            .select(*docs.columns)
-            .persist()
-        )
+        try:
+            # ONE validation job for all batch-level counts (same shape as
+            # the delta path's accounting)
+            row = joined.agg(
+                F.count(F.when(F.col("doc_id").isNotNull(), 1)).alias("n_upd"),
+                F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_ins"),
+                F.countDistinct("documentID").alias("n_dist"),
+            ).collect()[0]
+            n_upd, n_ins = int(row["n_upd"]), int(row["n_ins"])
+            n_distinct = int(row["n_dist"])
+            if n_upd + n_ins != n_distinct:
+                # additive duplicates would double postings / fork insert
+                # ids; the reference's update path is strictly
+                # one-doc-at-a-time
+                raise ValueError(
+                    "upsert batch contains duplicate documentIDs; dedupe it "
+                    "(e.g. dropDuplicates(['documentID'])) before upserting"
+                )
+            # inserts: dense ids appended after the current maximum via the
+            # builder's range-partition + offset composition (build/ids.py)
+            # -- NO single-partition global window, so a bulk insert of
+            # 10^8 new docs parallelizes like a fresh build (the reference
+            # pre-allocates contiguous NextID ranges per batch,
+            # bulk_operations.go:168-202)
+            from .ids import assign_doc_ids
 
-        new_docs = docs.join(
-            upserted.select("documentID"), "documentID", "left_anti"
-        ).unionByName(upserted)
-        flat_in = upserted.select(
-            "doc_id",
-            "doc_len",
-            *[_norm_field(upserted, f).alias(f) for f in s.searchable_fields],
-        )
-        new_seg = flat_in.mapInPandas(make_flatmap(s), schema=POSTINGS_SCHEMA)
-        kept = segments.join(
-            upserted.select("doc_id"), "doc_id", "left_anti"
-        )
-        self._refresh(new_docs, kept.unionByName(new_seg), num_shards)
-        joined.unpersist()
-        upserted.unpersist()
-        for frame in id_caches:
-            frame.unpersist()
+            par = self.spark.sparkContext.defaultParallelism
+            news = assign_doc_ids(
+                joined.filter(F.col("doc_id").isNull()).drop("doc_id"),
+                "documentID",
+                max(1, par),
+                release_into=id_caches,
+            ).withColumn(
+                "doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long")
+            )
+            upserted = (
+                joined.filter(F.col("doc_id").isNotNull())
+                .unionByName(news)
+                .withColumn(
+                    "shard",
+                    F.pmod(F.xxhash64("documentID"), F.lit(num_shards)).cast(
+                        "int"
+                    ),
+                )
+                .select(*docs.columns)
+                .persist()
+            )
+
+            new_docs = docs.join(
+                upserted.select("documentID"), "documentID", "left_anti"
+            ).unionByName(upserted)
+            flat_in = upserted.select(
+                "doc_id",
+                "doc_len",
+                *[
+                    _norm_field(upserted, f).alias(f)
+                    for f in s.searchable_fields
+                ],
+            )
+            new_seg = flat_in.mapInPandas(make_flatmap(s), schema=POSTINGS_SCHEMA)
+            kept = segments.join(
+                upserted.select("doc_id"), "doc_id", "left_anti"
+            )
+            self._refresh(new_docs, kept.unionByName(new_seg), num_shards)
+        finally:
+            joined.unpersist()
+            if upserted is not None:
+                upserted.unpersist()
+            for frame in id_caches:
+                frame.unpersist()
         return {"updated": int(n_upd), "inserted": int(n_ins)}
 
     def _validate_batch_columns(
@@ -430,73 +447,85 @@ class IndexMaintenance:
         joined = nc.join(
             docs.select("documentID", "doc_id"), "documentID", "left"
         ).persist()
-        # ONE validation job for all batch-level counts (the NRT path's
-        # whole point is many small commits -- driver actions are the
-        # per-commit constant, VERDICT r3 #5)
-        row = joined.agg(
-            F.count(F.when(F.col("doc_id").isNotNull(), 1)).alias("n_upd"),
-            F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_ins"),
-            F.countDistinct("documentID").alias("n_dist"),
-        ).collect()[0]
-        n_upd, n_ins = int(row["n_upd"]), int(row["n_ins"])
-        if n_upd + n_ins != int(row["n_dist"]):
-            joined.unpersist()
-            raise ValueError(
-                "upsert batch contains duplicate documentIDs; dedupe it "
-                "(e.g. dropDuplicates(['documentID'])) before upserting"
-            )
-        # max doc_id from stats.json (maintained by every commit path) --
-        # zero jobs; the agg fallback covers indexes whose stats predate
-        # the field. Stale-high is safe (ids only need to not collide),
-        # and the empty-index case coalesces to -1 either way.
-        stats_now = load_stats(self.base)
-        if "max_doc_id" in stats_now:
-            max_id = int(stats_now["max_doc_id"])
-        else:
-            row0 = docs.agg(F.max("doc_id")).collect()[0][0]
-            max_id = int(row0) if row0 is not None else -1
-        inserts = joined.filter(F.col("doc_id").isNull()).drop("doc_id")
+        # every persist is released in finally -- the NRT path runs MANY
+        # commits on a long-lived server, so a single failed commit
+        # leaking a pinned batch-sized cache compounds fast
+        upserted = None
+        old_rows = None
         id_caches: list[DataFrame] = []
-        if n_ins > 0:
-            par = self.spark.sparkContext.defaultParallelism
-            news = assign_doc_ids(
-                inserts, "documentID", max(1, par), release_into=id_caches
-            ).withColumn(
-                "doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long")
+        try:
+            # ONE validation job for all batch-level counts (the NRT
+            # path's whole point is many small commits -- driver actions
+            # are the per-commit constant, VERDICT r3 #5)
+            row = joined.agg(
+                F.count(F.when(F.col("doc_id").isNotNull(), 1)).alias("n_upd"),
+                F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_ins"),
+                F.countDistinct("documentID").alias("n_dist"),
+            ).collect()[0]
+            n_upd, n_ins = int(row["n_upd"]), int(row["n_ins"])
+            if n_upd + n_ins != int(row["n_dist"]):
+                raise ValueError(
+                    "upsert batch contains duplicate documentIDs; dedupe it "
+                    "(e.g. dropDuplicates(['documentID'])) before upserting"
+                )
+            # max doc_id from stats.json (maintained by every commit path)
+            # -- zero jobs; the agg fallback covers indexes whose stats
+            # predate the field. Stale-high is safe (ids only need to not
+            # collide), and the empty-index case coalesces to -1 either way.
+            stats_now = load_stats(self.base)
+            if "max_doc_id" in stats_now:
+                max_id = int(stats_now["max_doc_id"])
+            else:
+                row0 = docs.agg(F.max("doc_id")).collect()[0][0]
+                max_id = int(row0) if row0 is not None else -1
+            inserts = joined.filter(F.col("doc_id").isNull()).drop("doc_id")
+            if n_ins > 0:
+                par = self.spark.sparkContext.defaultParallelism
+                news = assign_doc_ids(
+                    inserts, "documentID", max(1, par), release_into=id_caches
+                ).withColumn(
+                    "doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long")
+                )
+            else:  # skip assign_doc_ids' per-partition count job entirely
+                news = inserts.withColumn("doc_id", F.lit(None).cast("long"))
+            upserted = (
+                joined.filter(F.col("doc_id").isNotNull())
+                .unionByName(news)
+                .withColumn(
+                    "shard",
+                    F.pmod(F.xxhash64("documentID"), F.lit(num_shards)).cast(
+                        "int"
+                    ),
+                )
+                .select(*docs.columns)
+                .persist()
             )
-        else:  # skip assign_doc_ids' per-partition count job entirely
-            news = inserts.withColumn("doc_id", F.lit(None).cast("long"))
-        upserted = (
-            joined.filter(F.col("doc_id").isNotNull())
-            .unionByName(news)
-            .withColumn(
-                "shard",
-                F.pmod(F.xxhash64("documentID"), F.lit(num_shards)).cast("int"),
+            # rows LEAVING: the previous versions of the updated documents
+            old_rows = docs.join(
+                F.broadcast(
+                    joined.filter(F.col("doc_id").isNotNull()).select(
+                        "documentID"
+                    )
+                ),
+                "documentID",
+                "left_semi",
+            ).persist()
+            gen = next_delta_gen(self.base)
+            extra = self._delta_commit(
+                old_rows,
+                upserted,
+                gen,
+                old_empty=(n_upd == 0),
+                new_max_id=max_id + n_ins if n_ins > 0 else None,
             )
-            .select(*docs.columns)
-            .persist()
-        )
-        # rows LEAVING: the previous versions of the updated documents
-        old_rows = docs.join(
-            F.broadcast(
-                joined.filter(F.col("doc_id").isNotNull()).select("documentID")
-            ),
-            "documentID",
-            "left_semi",
-        ).persist()
-        gen = next_delta_gen(self.base)
-        extra = self._delta_commit(
-            old_rows,
-            upserted,
-            gen,
-            old_empty=(n_upd == 0),
-            new_max_id=max_id + n_ins if n_ins > 0 else None,
-        )
-        joined.unpersist()
-        upserted.unpersist()
-        old_rows.unpersist()
-        for frame in id_caches:
-            frame.unpersist()
+        finally:
+            joined.unpersist()
+            if upserted is not None:
+                upserted.unpersist()
+            if old_rows is not None:
+                old_rows.unpersist()
+            for frame in id_caches:
+                frame.unpersist()
         return {"updated": int(n_upd), "inserted": int(n_ins), "gen": gen,
                 **extra}
 
@@ -507,13 +536,14 @@ class IndexMaintenance:
         old_rows = docs.filter(
             F.col("documentID").isin(document_ids)
         ).persist()
-        n = old_rows.count()
-        if n == 0:
+        try:
+            n = old_rows.count()
+            if n == 0:
+                return 0
+            gen = next_delta_gen(self.base)
+            self._delta_commit(old_rows, None, gen)
+        finally:
             old_rows.unpersist()
-            return 0
-        gen = next_delta_gen(self.base)
-        self._delta_commit(old_rows, None, gen)
-        old_rows.unpersist()
         return n
 
     def _delta_commit(

@@ -496,6 +496,9 @@ def test_listing_pagination_validation(api):
     assert _wait_job(port, out["job_id"])["status"] == "completed"
     st, out = _call(port, "GET", "/indexes/pval/documents?page_size=-5")
     assert st == 400
+    # 0 must be rejected like any size < 1, not silently coerced to 10
+    st, out = _call(port, "GET", "/indexes/pval/documents?page_size=0")
+    assert st == 400
     st, out = _call(port, "GET", "/indexes/pval/documents?page_size=abc")
     assert st == 400
     st, out = _call(port, "GET", "/indexes/pval/documents?page=zzz")

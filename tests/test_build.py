@@ -246,6 +246,36 @@ def test_empty_corpus_builds_valid_empty_index(spark, tmp_path):
     assert eng.search("anything").count() == 0
 
 
+def test_rebuild_existing_index_from_empty_corpus(spark, tmp_path):
+    """Rebuilding an EXISTING index from an empty corpus: stale-shard
+    cleanup empties segments/ but leaves the directory, so a
+    directory-existence guard would skip the empty-table materialization
+    and finalize would die with UNABLE_TO_INFER_SCHEMA. The guard must
+    check for data files, not the directory."""
+    from go_search_engine_spark.query.engine import SearchEngine
+
+    wh = str(tmp_path / "wh_reempty")
+    settings = IndexSettings(
+        name="t_reempty",
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+    )
+    full = spark.createDataFrame(
+        [("a", "hello world"), ("b", "more text")],
+        "documentID string, content string",
+    )
+    IndexBuilder(spark, settings, wh).build(full, num_shards=2)
+    empty = spark.createDataFrame([], "documentID string, content string")
+    report = IndexBuilder(spark, settings, wh).build(
+        empty, num_shards=2, resume=True
+    )
+    assert report.n_docs == 0 and report.n_postings == 0
+    stats = load_stats(f"{wh}/t_reempty")
+    assert stats["N"] == 0
+    eng = SearchEngine(spark, wh, "t_reempty")
+    assert eng.search("hello").count() == 0
+
+
 def test_build_releases_stage_caches(spark, tmp_path):
     """build() must not leave its doc-preparation frames cached after it
     returns: a long-lived server running repeated builds would pin one
