@@ -400,10 +400,27 @@ def scaling_run(
     from go_search_engine_spark.config import IndexSettings
     from go_search_engine_spark.session import get_spark
 
+    parts = shuffle_partitions or max(16, 2 * cpus)
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         cpus=cpus,
-        shuffle_partitions=shuffle_partitions or max(16, 2 * cpus),
+        shuffle_partitions=parts,
+        extra_conf={
+            # identical work at every parallelism: (a) the corpus is
+            # split into the SAME partition count on both legs (task
+            # count drives per-task fixed costs -- the unpinned default
+            # 4*defaultParallelism gave the 1-cpu leg 4 tasks/shard vs
+            # the 4-cpu leg's 16, 0.58 vs 0.83 ms/doc in the flatmap);
+            # (b) AQE coalescing is SIZE-based, not parallelism-based
+            # (parallelismFirst=true ties post-shuffle task counts to
+            # core count: measured 8-task stages at 1 cpu vs 16 at 4
+            # cpus for the same shuffle). Size-based coalescing is also
+            # the production-recommended setting -- on a cluster the
+            # plan shape must follow the data, not the node count.
+            "spark.graft.build.docPartitions": str(parts),
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -467,6 +484,10 @@ def scaling_run(
             # window-quality number that describes the measured wall
             # time (start-of-leg cal misses multi-minute bursts)
             "cal_during": sampler.summary(),
+            # per-phase wall seconds (builder.py BuildReport.phases):
+            # shows WHICH phase stops scaling when a pair's ratio is
+            # below the bar, instead of one opaque wall number
+            "phases": dict(report.phases),
         }
     finally:
         spark.stop()

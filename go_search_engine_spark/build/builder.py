@@ -466,12 +466,23 @@ class IndexBuilder:
         if id_col != "documentID":
             df = df.withColumnRenamed(id_col, "documentID")
         df = derive_doc_columns(df, self.settings)
+        # corpus partition count: defaults scale with the session's
+        # parallelism, but ``spark.graft.build.docPartitions`` pins it --
+        # the N-vs-4N scaling bench must present IDENTICAL work to both
+        # legs (task count drives per-task fixed costs: python-worker
+        # round-trips, parquet writer open/commit; measured 0.58 vs
+        # 0.83 ms/doc when one leg ran 4x the tasks of the other), and
+        # on a real cluster partitioning is sized to the DATA, not to
+        # whichever node count today's job landed on
         par = self.spark.sparkContext.defaultParallelism
+        pinned = self.spark.conf.get("spark.graft.build.docPartitions", None)
+        out_n = int(pinned) if pinned else 4 * par
+        range_n = max(num_shards, out_n // 4 if pinned else par)
         df = assign_doc_ids(
             df,
             "documentID",
-            max(num_shards, par),
-            out_partitions=4 * par,
+            range_n,
+            out_partitions=out_n,
             release_into=self._stage_caches,
         )
         df = df.withColumn(
@@ -541,8 +552,7 @@ class IndexBuilder:
         # zero-task dynamic-partition write never fires them (toPyRow
         # asserts on the empty metric row)
         empty = int(n_docs) == 0
-        head_terms = [] if empty else self._head_terms(flat, n_post_hint)
-        report.n_salted_terms = len(head_terms)
+        head_terms: list[str] = []
 
         def build_term_stats() -> None:
             f = self.spark.read.parquet(self.path("segments"))
@@ -551,36 +561,71 @@ class IndexBuilder:
                 f = f.observe(flat_obs, F.count(F.lit(1)).alias("n"))
             # df dedups by doc across fields (reference bm25.go:44-57);
             # idf = ln(N/df) (bm25.go:26-41)
+            if len(s.searchable_fields) == 1:
+                # single searchable field: the flatMap emits exactly one
+                # posting row per (doc_id, field, term) (tf is aggregated
+                # inside flatmap.py), so df is a plain row count and the
+                # per-field WAND bounds come from the SAME groupBy -- one
+                # segments scan + one shuffle instead of two scans + two
+                # shuffles + a join
+                only = s.searchable_fields[0]
+                ts = (
+                    f.groupBy("term")
+                    .agg(
+                        F.count(F.lit(1)).alias("df"),
+                        F.max("tf").alias("_max_tf"),
+                        F.min("dl").alias("_min_dl"),
+                    )
+                    .withColumn(
+                        "field_bounds",
+                        F.create_map(
+                            F.lit(only),
+                            F.struct(
+                                F.col("_max_tf").alias("max_tf"),
+                                F.col("_min_dl").alias("min_dl"),
+                            ),
+                        ),
+                    )
+                    .drop("_max_tf", "_min_dl")
+                )
+            else:
+                ts = f.groupBy("term").agg(
+                    F.countDistinct("doc_id").alias("df")
+                )
+                # per-(term, field) (max_tf, min_dl): BM25 is monotone
+                # increasing in tf / decreasing in dl, so these bound
+                # every posting of the pair -- the WAND upper bound
+                # becomes a driver-side lookup (query/wand.py) instead
+                # of a per-query block-metadata job
+                fb = (
+                    f.groupBy("term", "field")
+                    .agg(F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl"))
+                    .groupBy("term")
+                    .agg(
+                        F.map_from_entries(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct("field", F.struct("max_tf", "min_dl"))
+                                )
+                            )
+                        ).alias("field_bounds")
+                    )
+                )
+                ts = ts.join(fb, "term")
             ts = (
-                f.groupBy("term")
-                .agg(F.countDistinct("doc_id").alias("df"))
-                .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+                ts.withColumn(
+                    "idf", F.log(F.lit(float(n_docs)) / F.col("df"))
+                )
                 .withColumn("term_len", F.length("term"))
                 .withColumn(
                     "bucket",
                     F.pmod(F.xxhash64("term"), F.lit(s.term_buckets)).cast("int"),
                 )
+                # one canonical column order regardless of which branch
+                # built the frame (readers go by name; this keeps the
+                # parquet footprint stable across single/multi-field)
+                .select("term", "df", "idf", "term_len", "bucket", "field_bounds")
             )
-            # per-(term, field) (max_tf, min_dl): BM25 is monotone
-            # increasing in tf / decreasing in dl, so these bound every
-            # posting of the pair -- the WAND upper bound becomes a
-            # driver-side lookup (query/wand.py) instead of a per-query
-            # block-metadata job
-            fb = (
-                f.groupBy("term", "field")
-                .agg(F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl"))
-                .groupBy("term")
-                .agg(
-                    F.map_from_entries(
-                        F.sort_array(
-                            F.collect_list(
-                                F.struct("field", F.struct("max_tf", "min_dl"))
-                            )
-                        )
-                    ).alias("field_bounds")
-                )
-            )
-            ts = ts.join(fb, "term")
             ts_obs = Observation(f"ts_{uuid.uuid4().hex[:6]}")
             if not empty:
                 ts = ts.observe(
@@ -625,7 +670,14 @@ class IndexBuilder:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
+            # term_stats needs neither head_terms nor blocks: submit it
+            # FIRST so the head-term sampling scan (a prerequisite only
+            # of the blocks job) overlaps it instead of running alone
+            # while every core but its own sits idle
             f1 = pool.submit(build_term_stats)
+            if not empty:
+                head_terms.extend(self._head_terms(flat, n_post_hint))
+            report.n_salted_terms = len(head_terms)
             f2 = pool.submit(build_blocks)
             f1.result()
             f2.result()
