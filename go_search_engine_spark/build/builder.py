@@ -555,6 +555,7 @@ class IndexBuilder:
         head_terms: list[str] = []
 
         def build_term_stats() -> None:
+            t_ts = time.time()
             f = self.spark.read.parquet(self.path("segments"))
             flat_obs = Observation(f"flat_{uuid.uuid4().hex[:6]}")
             if not empty:
@@ -638,8 +639,10 @@ class IndexBuilder:
                 report.n_postings = int(flat_obs.get["n"])
                 report.n_terms = int(ts_obs.get["n"])
                 report.max_df = int(ts_obs.get["max_df"] or 0)
+            report.phases["finalize_term_stats"] = round(time.time() - t_ts, 3)
 
         def build_blocks() -> None:
+            t_blk = time.time()
             f = self.spark.read.parquet(self.path("segments"))
             # explicit head-term salting: terms above the df threshold
             # shuffle into salt_buckets sub-lists so no single reducer
@@ -659,13 +662,28 @@ class IndexBuilder:
             blocks = (
                 salted.repartition(shuffle_n, "term", "salt")
                 .sortWithinPartitions("term", "field", "salt", "doc_id")
-                .mapInPandas(make_block_builder(s), schema=BLOCKS_SCHEMA)
+                .mapInArrow(make_block_builder(s), schema=BLOCKS_SCHEMA)
             )
             blk_obs = Observation(f"blk_{uuid.uuid4().hex[:6]}")
             if not empty:
                 blocks = blocks.observe(blk_obs, F.count(F.lit(1)).alias("n"))
-            self._write(blocks, self.path("blocks"), partition_by=["bucket"])
+            # posting rows are ~tens of bytes, so the default 10k-row Arrow
+            # batch is ~0.5 MB and the encoder's stage time is dominated by
+            # per-batch IPC/framing, not compute (measured ~20% of the
+            # stage at 128k rows/batch vs 10k). Raised ONLY for this job:
+            # the doc-flatmap's rows are KBs each and must keep the small
+            # default. Restored in `finally` -- the conf is session-wide,
+            # but the only concurrent finalize job (term_stats) is pure
+            # JVM aggregation and never reads it.
+            arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+            prev_mrb = self.spark.conf.get(arrow_key)
+            self.spark.conf.set(arrow_key, "131072")
+            try:
+                self._write(blocks, self.path("blocks"), partition_by=["bucket"])
+            finally:
+                self.spark.conf.set(arrow_key, prev_mrb)
             report.n_blocks = 0 if empty else int(blk_obs.get["n"])
+            report.phases["finalize_blocks"] = round(time.time() - t_blk, 3)
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -676,7 +694,11 @@ class IndexBuilder:
             # while every core but its own sits idle
             f1 = pool.submit(build_term_stats)
             if not empty:
+                t_head = time.time()
                 head_terms.extend(self._head_terms(flat, n_post_hint))
+                report.phases["finalize_head_terms"] = round(
+                    time.time() - t_head, 3
+                )
             report.n_salted_terms = len(head_terms)
             f2 = pool.submit(build_blocks)
             f1.result()
