@@ -492,41 +492,14 @@ class IndexBuilder:
         self._stage_caches.append(df)
         return df
 
-    def _head_terms(self, flat: DataFrame, n_postings_hint: int) -> list[str]:
-        """Terms to salt (df >= salt_df_threshold).
-
-        Small inputs: exact (one groupBy). Large inputs: a DETERMINISTIC
-        5% hash-sample of doc ids estimates df -- conservatively biased
-        low on the cutoff (0.5x) so a true head term is salted with
-        overwhelming probability; a false positive merely splits a
-        mid-size term into sub-lists (harmless). Deterministic because the
-        sample is keyed on xxhash64(doc_id), not on partitioning.
-        """
-        s = self.settings
-        if n_postings_hint < 2_000_000:
-            rows = (
-                flat.groupBy("term")
-                .agg(F.countDistinct("doc_id").alias("df"))
-                .filter(F.col("df") >= s.salt_df_threshold)
-                .select("term")
-                .collect()
-            )
-            return [r["term"] for r in rows]
-        rows = (
-            flat.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0)
-            .groupBy("term")
-            .agg(F.countDistinct("doc_id").alias("df_hat"))
-            .filter(F.col("df_hat") * 20 >= s.salt_df_threshold / 2)
-            .select("term")
-            .collect()
-        )
-        return [r["term"] for r in rows]
-
     def _finalize(self, report: BuildReport, num_shards: int = 0) -> None:
-        """Stats + blocks. The term-stats job and the block-build job both
-        read the segments and are INDEPENDENT (blocks need neither df nor
-        idf: bucket is computed inline and block-max bounds are
-        (max_tf, min_dl)), so they run concurrently on the scheduler."""
+        """Stats, then blocks. Sequenced (not concurrent) on purpose: the
+        blocks job's head-term salt set IS term_stats' df column filtered
+        at salt_df_threshold, so running term_stats first makes the salt
+        set an exact, vocab-sized parquet read instead of the third full
+        segments scan per build this used to cost (a sampled df estimate
+        at scale). One fewer corpus-sized scan beats the few seconds of
+        scheduler overlap the concurrent version bought."""
         s = self.settings
         docs = self.spark.read.parquet(self.path("docs"))
         # avgdl derived from an EXACT integer total: the incremental
@@ -544,9 +517,6 @@ class IndexBuilder:
         avgdl = total_dl / n_docs if n_docs else 0.0
         report.n_docs = int(n_docs)
         report.avgdl = avgdl
-        n_post_hint = sum(c["n_postings"] for c in report.per_shard) or 0
-
-        flat = self.spark.read.parquet(self.path("segments"))
         # an emptied index (every document deleted) still needs readable
         # (empty) term_stats/blocks; observations are skipped because a
         # zero-task dynamic-partition write never fires them (toPyRow
@@ -685,24 +655,25 @@ class IndexBuilder:
             report.n_blocks = 0 if empty else int(blk_obs.get["n"])
             report.phases["finalize_blocks"] = round(time.time() - t_blk, 3)
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            # term_stats needs neither head_terms nor blocks: submit it
-            # FIRST so the head-term sampling scan (a prerequisite only
-            # of the blocks job) overlaps it instead of running alone
-            # while every core but its own sits idle
-            f1 = pool.submit(build_term_stats)
-            if not empty:
-                t_head = time.time()
-                head_terms.extend(self._head_terms(flat, n_post_hint))
-                report.phases["finalize_head_terms"] = round(
-                    time.time() - t_head, 3
-                )
-            report.n_salted_terms = len(head_terms)
-            f2 = pool.submit(build_blocks)
-            f1.result()
-            f2.result()
+        build_term_stats()
+        if not empty:
+            # terms to salt: df >= salt_df_threshold, read EXACTLY from
+            # the term_stats just written (vocab-sized, no corpus scan;
+            # df there is countDistinct(doc_id), the reference's df
+            # semantics). Deterministic -- no sampling noise in the set.
+            t_head = time.time()
+            rows = (
+                self.spark.read.parquet(self.path("term_stats"))
+                .filter(F.col("df") >= s.salt_df_threshold)
+                .select("term")
+                .collect()
+            )
+            head_terms.extend(r["term"] for r in rows)
+            report.phases["finalize_head_terms"] = round(
+                time.time() - t_head, 3
+            )
+        report.n_salted_terms = len(head_terms)
+        build_blocks()
 
         # monotonically increasing index generation: every finalize (build,
         # delete, upsert, compact, reindex) bumps it, so a LIVE SearchEngine
