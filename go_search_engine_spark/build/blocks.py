@@ -42,8 +42,9 @@ from ..functions.codec import decode_positions, delta_decode, varint_decode
 # block-max metadata is (max_tf, min_dl): since BM25 is increasing in tf
 # and decreasing in dl, score(tf, dl) <= score(max_tf, min_dl) for every
 # entry in the block -- a valid (slightly looser) WAND upper bound that
-# does NOT require idf at build time, which lets the blocks job run
-# concurrently with the term-stats job (see builder._finalize).
+# does NOT require idf at build time, so the blocks job never joins
+# against term_stats (it only reads its df column for the salt set;
+# see builder._finalize).
 BLOCKS_SCHEMA = (
     "bucket int, term string, field string, salt int, block_id int, n int, "
     "first_doc long, last_doc long, doc_ids binary, tfs binary, dls binary, "

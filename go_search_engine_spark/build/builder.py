@@ -642,9 +642,7 @@ class IndexBuilder:
             # per-batch IPC/framing, not compute (measured ~20% of the
             # stage at 128k rows/batch vs 10k). Raised ONLY for this job:
             # the doc-flatmap's rows are KBs each and must keep the small
-            # default. Restored in `finally` -- the conf is session-wide,
-            # but the only concurrent finalize job (term_stats) is pure
-            # JVM aggregation and never reads it.
+            # default. Restored in `finally` (the conf is session-wide).
             arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
             prev_mrb = self.spark.conf.get(arrow_key)
             self.spark.conf.set(arrow_key, "131072")
