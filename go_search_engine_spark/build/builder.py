@@ -522,7 +522,6 @@ class IndexBuilder:
         # zero-task dynamic-partition write never fires them (toPyRow
         # asserts on the empty metric row)
         empty = int(n_docs) == 0
-        head_terms: list[str] = []
 
         def build_term_stats() -> None:
             t_ts = time.time()
@@ -613,22 +612,66 @@ class IndexBuilder:
 
         def build_blocks() -> None:
             t_blk = time.time()
-            f = self.spark.read.parquet(self.path("segments"))
+            # The block encoder wants 128k-row Arrow batches (posting rows
+            # are tens of bytes; the 10k default makes the stage IPC-
+            # framing bound, ~20% measured), but
+            # arrow.maxRecordsPerBatch is a SESSION conf: flipping it on
+            # self.spark would leak to every job sharing the session --
+            # a concurrent build's doc-flatMap (API server: one session,
+            # per-index jobs on threads) reading 131072 would balloon its
+            # KB-sized rows into ~0.25 GB batches per task. So this job
+            # runs on a cloned session (same SparkContext, independent
+            # SQLConf): the override is visible ONLY to this plan.
+            # Work-shape confs are copied explicitly -- newSession()
+            # inherits context-conf defaults but not runtime overrides,
+            # and the scaling bench's fairness pins must reach this job.
+            s2 = self.spark.newSession()
+            for key in (
+                "spark.sql.shuffle.partitions",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.adaptive.coalescePartitions.enabled",
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "spark.sql.adaptive.skewJoin.enabled",
+                "spark.sql.files.maxPartitionBytes",
+                "spark.sql.session.timeZone",
+            ):
+                try:
+                    s2.conf.set(key, self.spark.conf.get(key))
+                except Exception:
+                    pass  # unset on the source session: keep s2's default
+            s2.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", "131072"
+            )
+            f = s2.read.parquet(self.path("segments"))
             # explicit head-term salting: terms above the df threshold
             # shuffle into salt_buckets sub-lists so no single reducer
-            # owns a hot term
-            if head_terms:
+            # owns a hot term. Membership comes from a BROADCAST join
+            # against the (vocab-sized) term_stats just written -- never
+            # a collected list baked into the plan as an isin literal:
+            # at web scale the head set is thousands of terms, and a
+            # multi-MB In-list in the plan is exactly the driver-memory/
+            # plan-size flaw the warm path's semi-join fix removed.
+            if n_salted:
+                heads = (
+                    s2.read.parquet(self.path("term_stats"))
+                    .filter(F.col("df") >= s.salt_df_threshold)
+                    .select("term", F.lit(True).alias("_is_head"))
+                )
                 salt = F.when(
-                    F.col("term").isin(head_terms),
+                    F.col("_is_head").isNotNull(),
                     F.pmod(F.xxhash64("doc_id"), F.lit(s.salt_buckets)).cast("int"),
                 ).otherwise(F.lit(0))
+                f = f.join(F.broadcast(heads), "term", "left").withColumn(
+                    "salt", salt.cast("int")
+                ).drop("_is_head")
             else:
-                salt = F.lit(0)
-            salted = f.withColumn("salt", salt.cast("int")).withColumn(
+                f = f.withColumn("salt", F.lit(0).cast("int"))
+            salted = f.withColumn(
                 "bucket",
                 F.pmod(F.xxhash64("term"), F.lit(s.term_buckets)).cast("int"),
             )
-            shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            shuffle_n = int(s2.conf.get("spark.sql.shuffle.partitions"))
             blocks = (
                 salted.repartition(shuffle_n, "term", "salt")
                 .sortWithinPartitions("term", "field", "salt", "doc_id")
@@ -637,40 +680,31 @@ class IndexBuilder:
             blk_obs = Observation(f"blk_{uuid.uuid4().hex[:6]}")
             if not empty:
                 blocks = blocks.observe(blk_obs, F.count(F.lit(1)).alias("n"))
-            # posting rows are ~tens of bytes, so the default 10k-row Arrow
-            # batch is ~0.5 MB and the encoder's stage time is dominated by
-            # per-batch IPC/framing, not compute (measured ~20% of the
-            # stage at 128k rows/batch vs 10k). Raised ONLY for this job:
-            # the doc-flatmap's rows are KBs each and must keep the small
-            # default. Restored in `finally` (the conf is session-wide).
-            arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-            prev_mrb = self.spark.conf.get(arrow_key)
-            self.spark.conf.set(arrow_key, "131072")
-            try:
-                self._write(blocks, self.path("blocks"), partition_by=["bucket"])
-            finally:
-                self.spark.conf.set(arrow_key, prev_mrb)
+            self._write(blocks, self.path("blocks"), partition_by=["bucket"])
             report.n_blocks = 0 if empty else int(blk_obs.get["n"])
             report.phases["finalize_blocks"] = round(time.time() - t_blk, 3)
 
         build_term_stats()
+        n_salted = 0
         if not empty:
             # terms to salt: df >= salt_df_threshold, read EXACTLY from
             # the term_stats just written (vocab-sized, no corpus scan;
             # df there is countDistinct(doc_id), the reference's df
             # semantics). Deterministic -- no sampling noise in the set.
+            # Only the COUNT is collected (for metrics + the skip-join
+            # fast path); the terms themselves reach the blocks job via
+            # a broadcast join in build_blocks, so driver state stays
+            # O(1) however many terms cross the threshold.
             t_head = time.time()
-            rows = (
+            n_salted = (
                 self.spark.read.parquet(self.path("term_stats"))
                 .filter(F.col("df") >= s.salt_df_threshold)
-                .select("term")
-                .collect()
+                .count()
             )
-            head_terms.extend(r["term"] for r in rows)
             report.phases["finalize_head_terms"] = round(
                 time.time() - t_head, 3
             )
-        report.n_salted_terms = len(head_terms)
+        report.n_salted_terms = int(n_salted)
         build_blocks()
 
         # monotonically increasing index generation: every finalize (build,

@@ -293,3 +293,40 @@ def test_build_releases_stage_caches(spark, tmp_path):
     after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     leaked = after - before
     assert not leaked, f"build leaked cached RDDs: {leaked}"
+
+
+def test_blocks_arrow_batch_conf_isolated(spark, tmp_path):
+    """The block encoder's 128k-row Arrow batch override must be invisible
+    to the main session: it runs on a cloned session (builder._finalize),
+    because a concurrent job in the shared session (API server: one
+    session, per-index build jobs on threads) reading the raised value
+    would balloon KB-sized doc-flatMap rows into ~0.25 GB Arrow batches.
+    A watcher thread polls the main session's conf through the whole
+    build and must never observe a change."""
+    import threading
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    baseline = spark.conf.get(key)
+    seen: set[str] = set()
+    stop = threading.Event()
+
+    def watch():
+        while not stop.is_set():
+            seen.add(spark.conf.get(key))
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    try:
+        wh = str(tmp_path / "wh_conf")
+        settings = IndexSettings(
+            name="t_conf",
+            searchable_fields=["content"],
+            fields_without_prefix_search=["content"],
+        )
+        corpus = generate_corpus(spark, 40, seed=5, words_per_doc=12)
+        IndexBuilder(spark, settings, wh).build(corpus, num_shards=2)
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert seen == {baseline}, f"main-session conf changed during build: {seen}"
+    assert spark.conf.get(key) == baseline
