@@ -125,6 +125,27 @@ class _CalSampler:
         }
 
 
+def _bw_gbs() -> float:
+    """Streaming memory-bandwidth probe (GB/s): sum over a 400 MB
+    array that cannot live in cache. The cal kernel (_cal_sec) is
+    cache-resident and blind to the contention class that actually
+    slowed windows 15-16: neighbor guests saturating the shared memory
+    controller (steal 0.5-10%, cal probes quiet, every memory-bound
+    phase 30-50% slow). First samples during that contended window:
+    5.8-7.4 GB/s single-core with cal simultaneously quiet at 0.105 s;
+    compare legs against each other and against quiet-window samples --
+    a leg recording materially lower bw than its pair documents
+    bandwidth contention no other telemetry field sees."""
+    import numpy as np
+
+    a = np.ones(50_000_000, dtype=np.float64)  # 400 MB
+    float(a.sum())  # touch pages
+    t0 = time.time()
+    float(a.sum())
+    dt = time.time() - t0
+    return round(a.nbytes / dt / 1e9, 2)
+
+
 _QUIET_CAL = float(os.environ.get("SPARK_GRAFT_QUIET_CAL", "0.25"))
 _QUIET_WAIT_BUDGET = [
     float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "900"))
@@ -560,6 +581,7 @@ def scaling_run(
         quiet_wait = wait_for_quiet(f"leg_{cpus}cpu")
         load_before = round(os.getloadavg()[0], 2)
         cal = _cal_sec()
+        bw_before = _bw_gbs()
         stat0 = _cpu_stat()
         t0 = time.time()
         with _CalSampler() as sampler:
@@ -597,6 +619,7 @@ def scaling_run(
             "loadavg_before": load_before,
             "steal_pct": steal_pct,
             "cal_sec": cal,
+            "bw_gbs_before": bw_before,
             "quiet_wait": quiet_wait,
             # during-leg samples of the same kernel: the median is the
             # window-quality number that describes the measured wall
@@ -624,7 +647,7 @@ def main() -> None:
     # guest loadavg and mostly to steal). A headline sweep recorded with
     # cal_sec 2x another run's is not comparable to it.
     env_stat0 = _cpu_stat()
-    result["env"] = {"cal_sec_start": _cal_sec()}
+    result["env"] = {"cal_sec_start": _cal_sec(), "bw_gbs_start": _bw_gbs()}
 
     if not ONLY_SCALING:
         spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
