@@ -109,3 +109,44 @@ def test_adaptive_reps_stop_when_quiet_or_passing():
     assert bench.scaling_needs_more_reps(runs, max_reps=5)
     # ... but never past the cap
     assert not bench.scaling_needs_more_reps(runs * 2, max_reps=5)
+
+
+def test_wait_for_quiet_returns_immediately_on_quiet_host(monkeypatch):
+    """Two consecutive quiet probes -> proceed with zero sleep and an
+    untouched wait budget (the gate must cost nothing on a quiet
+    window)."""
+    monkeypatch.setattr(bench, "_cal_sec", lambda: 0.1)
+    monkeypatch.setattr(bench, "_QUIET_WAIT_BUDGET", [900.0])
+    r = bench.wait_for_quiet("t")
+    assert r == {
+        "tag": "t", "waited_sec": 0.0,
+        "samples": [0.1, 0.1], "gave_up": False,
+    }
+    assert bench._QUIET_WAIT_BUDGET[0] == 900.0
+
+
+def test_wait_for_quiet_waits_out_a_burst_then_proceeds(monkeypatch):
+    """Contended probes consume the shared budget in sleep steps; the
+    leg starts as soon as two consecutive probes are quiet."""
+    probes = iter([5.0, 5.0, 0.1, 0.1])
+    monkeypatch.setattr(bench, "_cal_sec", lambda: next(probes))
+    monkeypatch.setattr(bench, "_QUIET_WAIT_BUDGET", [900.0])
+    slept: list[float] = []
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    r = bench.wait_for_quiet("t")
+    assert not r["gave_up"] and r["waited_sec"] == 40.0
+    assert slept == [20.0, 20.0]
+    assert bench._QUIET_WAIT_BUDGET[0] == 860.0
+
+
+def test_wait_for_quiet_gives_up_when_budget_exhausted(monkeypatch):
+    """A fully-contended window must still produce an artifact: once the
+    shared budget is gone the leg proceeds with gave_up recorded (and a
+    single quiet probe whose confirmation fails does NOT count)."""
+    probes = iter([0.1, 5.0] * 50)  # quiet probe, failed confirmation
+    monkeypatch.setattr(bench, "_cal_sec", lambda: next(probes))
+    monkeypatch.setattr(bench, "_QUIET_WAIT_BUDGET", [30.0])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    r = bench.wait_for_quiet("t")
+    assert r["gave_up"] and r["waited_sec"] == 30.0
+    assert bench._QUIET_WAIT_BUDGET[0] == 0.0
