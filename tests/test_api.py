@@ -412,6 +412,8 @@ def test_two_batches_against_new_index_both_survive(api):
     st2, j2 = _call(port, "PUT", "/indexes/fresh2/documents", [
         {"documentID": "b1", "text": "batch two bravo payload"}
     ])
+    assert st1 == 200, (st1, j1)
+    assert st2 == 200, (st2, j2)
     a = _wait_job(port, j1["job_id"])
     b = _wait_job(port, j2["job_id"])
     assert a["status"] == "completed", a
