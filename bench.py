@@ -50,8 +50,12 @@ SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
 # at least this many interleaved N/4N pairs are run (single-shot gating
 # proved environment-fragile in round 3); if the per-leg-min estimator
 # still looks contended, up to SCALING_REPS_MAX pairs run in total
-SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
-SCALING_REPS_MAX = int(os.environ.get("SPARK_GRAFT_SCALING_REPS_MAX", "5"))
+# clamped to >=1: zero pairs would crash the min-estimator on an empty
+# runs list and kill the bench with no artifact at all
+SCALING_REPS = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
+SCALING_REPS_MAX = max(
+    SCALING_REPS, int(os.environ.get("SPARK_GRAFT_SCALING_REPS_MAX", "5"))
+)
 # extra (adaptive) reps are skipped once the scaling phase has consumed
 # this much wall time -- a fully-contended window makes every leg slow,
 # and five slow pairs must not run the whole bench into a driver timeout
@@ -303,6 +307,31 @@ def build_index(spark, sf_dir: str):
     return wh, report
 
 
+def _warm_build(spark, docs, field: str) -> None:
+    """10-doc throwaway build through the IDENTICAL pipeline: absorbs
+    whole-stage-codegen compilation, the Python worker pool + Arrow IPC
+    setup for mapInPandas, and parquet writer/codec init. One helper for
+    both the headline warmup and every scaling leg so the two can never
+    silently warm different plan shapes (which would bias the N/4N
+    ratio)."""
+    import shutil
+
+    from go_search_engine_spark.build.builder import IndexBuilder
+    from go_search_engine_spark.config import IndexSettings
+
+    wh = tempfile.mkdtemp(prefix="gse_bench_warmup_")
+    settings = IndexSettings(
+        name="warmup_idx",
+        searchable_fields=[field],
+        fields_without_prefix_search=[field],
+        term_buckets=4,
+    )
+    try:
+        IndexBuilder(spark, settings, wh).build(docs.limit(10), num_shards=1)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def warmup_session(spark, sf_dir: str) -> float:
     """Absorb one-time session costs BEFORE any timed phase: whole-stage
     codegen compilation, the Python worker pool + Arrow IPC setup for
@@ -313,29 +342,15 @@ def warmup_session(spark, sf_dir: str) -> float:
     per build, so the headline `index_build` should not include it. The
     warmup wall is returned and reported as `build.warmup_sec` so the
     cold number stays inspectable (cold ~= warmup_sec + wall_sec)."""
-    import shutil
-
     from pyspark.sql import functions as F
-
-    from go_search_engine_spark.build.builder import IndexBuilder
-    from go_search_engine_spark.config import IndexSettings
 
     t0 = time.time()
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .limit(10)
         .withColumn("documentID", F.format_string("doc-%08d", F.col("doc_id")))
         .drop("doc_id")
     )
-    wh = tempfile.mkdtemp(prefix="gse_bench_warmup_")
-    settings = IndexSettings(
-        name="warmup_idx",
-        searchable_fields=["text"],
-        fields_without_prefix_search=["text"],
-        term_buckets=4,
-    )
-    IndexBuilder(spark, settings, wh).build(docs, num_shards=1)
-    shutil.rmtree(wh, ignore_errors=True)
+    _warm_build(spark, docs, "text")
     return round(time.time() - t0, 2)
 
 
@@ -552,25 +567,12 @@ def scaling_run(
         # regardless of core count, so leaving it inside the timed
         # window biases the ratio against the fast leg; the same work
         # is excluded from both sides)
-        import shutil as _shutil
-
         spark.range(0, 10000, 1, cpus).mapInPandas(
             lambda it: (pdf.assign(x=pdf["id"]) for pdf in it),
             schema="id long, x long",
         ).count()
         corpus = spark.read.parquet(corpus_path)
-        warm_wh = tempfile.mkdtemp(prefix=f"gse_scale_warm_{cpus}_")
-        IndexBuilder(
-            spark,
-            IndexSettings(
-                name="warmup_idx",
-                searchable_fields=["content"],
-                fields_without_prefix_search=["content"],
-                term_buckets=4,
-            ),
-            warm_wh,
-        ).build(corpus.limit(10), num_shards=1)
-        _shutil.rmtree(warm_wh, ignore_errors=True)
+        _warm_build(spark, corpus, "content")
         settings = IndexSettings(
             name=f"scale_{cpus}",
             searchable_fields=["content"],

@@ -310,18 +310,37 @@ class EngineServer:
         return {"renamed": name, "to": new}
 
     def update_settings(self, name: str, body: dict):
-        old = self._settings(name)
-        new = IndexSettings.from_dict({**old.to_dict(), **(body or {})})
-        new.name = name
+        self._settings(name)  # 404 before anything else
+        body = dict(body or {})
+
+        def merged() -> tuple[IndexSettings, IndexSettings]:
+            """Merge the request body over the CURRENT on-disk settings.
+
+            Called again under the per-index lock before every commit:
+            two concurrent PUTs with disjoint fields must compose (the
+            second merges over the first's committed state), not
+            last-request-wins over a shared pre-lock snapshot -- the
+            same re-read-inside-the-job rule add_documents follows.
+            """
+            old = self._settings(name)
+            new = IndexSettings.from_dict({**old.to_dict(), **body})
+            new.name = name
+            return old, new
+
+        old, new = merged()  # advisory: only picks the sync/async path
         needs_reindex = mnt.requires_full_reindex(old, new)
         if not (needs_reindex and self._built(name)):
-            # manifest-only path -- but the built flag was read OUTSIDE
-            # the index lock, and a first build may commit stats.json
-            # while we wait for it; re-checked under the lock, such a
-            # race falls through to the async-reindex path below instead
-            # of dying inside mnt.update_settings ('corpus required')
+            # manifest-only path -- but the built flag and the merge
+            # base were read OUTSIDE the index lock: a first build may
+            # commit stats.json while we wait, and a concurrent
+            # settings PUT may land. Both are recomputed under the
+            # lock; a reindex-needing race falls through to the async
+            # path below instead of dying inside mnt.update_settings
+            # ('corpus required')
             with self._index_lock(name):
-                if not (needs_reindex and self._built(name)):
+                old, new = merged()
+                if not (mnt.requires_full_reindex(old, new)
+                        and self._built(name)):
                     mnt.update_settings(self.spark, self.warehouse, new)
                     self._drop_engine(name)
                     return {"reindex": False}
@@ -339,6 +358,17 @@ class EngineServer:
             # rebuild's pointer flip (lost update). Inside the lock
             # the snapshot is the full committed state by definition.
             with self._index_lock(name):
+                # re-merge the body over the settings AS OF JOB TIME:
+                # a settings commit that landed while this job was
+                # queued must not be reverted to the request-time
+                # snapshot (and a deleted index must fail the job,
+                # not be resurrected by the rebuild)
+                try:
+                    _, new = merged()
+                except ApiError:
+                    raise RuntimeError(
+                        f"index {name!r} was deleted before the job ran"
+                    )
                 progress(0, 2, "snapshotting corpus")
                 # what a READER sees: base docs plus committed delta
                 # rows minus tombstones (a plain table read would
@@ -658,12 +688,10 @@ def make_handler(server: EngineServer):
         def log_message(self, *args):  # quiet
             pass
 
-        def _respond(self, status: int, payload) -> None:
-            data = json.dumps(payload, default=str).encode()
-            self.send_response(status)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(data)))
-            # CORS (reference api/middleware.go:19-31 CORSMiddleware)
+        def _send_cors(self) -> None:
+            # CORS (reference api/middleware.go:19-31 CORSMiddleware);
+            # one helper so preflight and actual responses can never
+            # drift apart
             self.send_header("Access-Control-Allow-Origin", "*")
             self.send_header(
                 "Access-Control-Allow-Methods",
@@ -672,13 +700,26 @@ def make_handler(server: EngineServer):
             self.send_header(
                 "Access-Control-Allow-Headers", "Content-Type, Authorization"
             )
+
+        def _respond(self, status: int, payload) -> None:
+            data = json.dumps(payload, default=str).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self._send_cors()
             self.end_headers()
             self.wfile.write(data)
 
         def _handle(self, method: str) -> None:
             parsed = urlparse(self.path)
             body = None
-            n = int(self.headers.get("Content-Length") or 0)
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                # a malformed header must get a 400, not an uncaught
+                # ValueError that drops the connection with no response
+                self._respond(400, {"error": "invalid Content-Length"})
+                return
             if n > MAX_BODY_BYTES:
                 # reject BEFORE reading: an unbounded body would be
                 # buffered into driver memory (api/middleware.go:10-16)
@@ -717,14 +758,7 @@ def make_handler(server: EngineServer):
 
         def do_OPTIONS(self):  # CORS preflight (middleware.go:25-28)
             self.send_response(204)
-            self.send_header("Access-Control-Allow-Origin", "*")
-            self.send_header(
-                "Access-Control-Allow-Methods",
-                "GET, POST, PUT, DELETE, OPTIONS",
-            )
-            self.send_header(
-                "Access-Control-Allow-Headers", "Content-Type, Authorization"
-            )
+            self._send_cors()
             self.end_headers()
 
     return Handler

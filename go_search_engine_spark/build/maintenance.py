@@ -599,8 +599,21 @@ class IndexMaintenance:
             ).write.mode("overwrite").parquet(
                 delta_path(self.base, "docs", f"gen={gen}")
             )
-            new_post = int(obs_nf.get["n"])
-            new_n, new_dl = int(obs_nd.get["n"]), int(obs_nd.get["dl"])
+            # zero-task writes (an empty upsert batch, or an
+            # AQE-coalesced empty side) never post observed metrics --
+            # same fallback rule as obs_ts/obs_of below
+            try:
+                new_post = int(obs_nf.get["n"])
+            except Exception:
+                new_post = new_flat.count()
+            try:
+                new_n, new_dl = int(obs_nd.get["n"]), int(obs_nd.get["dl"])
+            except Exception:
+                row = new_docs.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
+                ).collect()[0]
+                new_n, new_dl = int(row["n"]), int(row["dl"])
         else:
             new_flat.write.mode("overwrite").parquet(
                 delta_path(self.base, "postings", f"gen={gen}")
@@ -620,7 +633,15 @@ class IndexMaintenance:
             ).select("doc_id").write.mode("overwrite").parquet(
                 delta_path(self.base, "tombstones", f"gen={gen}")
             )
-            old_n, old_dl = int(obs_tomb.get["n"]), int(obs_tomb.get["dl"])
+            try:
+                old_n, old_dl = int(obs_tomb.get["n"]), int(obs_tomb.get["dl"])
+            except Exception:
+                # zero-task tombstone write: same fallback as above
+                row = old_rows.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
+                ).collect()[0]
+                old_n, old_dl = int(row["n"]), int(row["dl"])
 
         n2 = int(stats["N"]) + new_n - old_n
         total_dl = int(

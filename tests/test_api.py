@@ -522,3 +522,67 @@ def test_rename_onto_existing_index_conflicts(api):
     assert {"ren_a", "ren_b"} <= set(names)
     for n in ("ren_a", "ren_b"):
         _call(port, "DELETE", f"/indexes/{n}")
+
+
+def test_settings_reindex_merges_at_job_time(spark, tmp_path_factory):
+    """Regression (round-4 review): the async settings-reindex job must
+    merge its body over the settings AS OF JOB TIME, under the index
+    lock -- a manifest-only settings commit landing while the reindex is
+    queued would otherwise be silently reverted to the request-time
+    snapshot by the rebuild's settings write (lost update)."""
+    import os
+
+    from go_search_engine_spark.api.http import EngineServer
+    from go_search_engine_spark.build.builder import load_settings
+
+    wh = str(tmp_path_factory.mktemp("wh_settings_merge"))
+    srv = EngineServer(spark, wh)
+    deferred = []
+    srv.jobs.submit = lambda job_type, index_name, fn: (
+        deferred.append(fn) or f"job-{len(deferred)}"
+    )
+    noop_progress = lambda *a, **k: None  # noqa: E731
+
+    srv.create_index({
+        "name": "mrg", "searchable_fields": ["text"],
+        "fields_without_prefix_search": ["text"],
+    })
+    srv.add_documents("mrg", [{"documentID": "d1", "text": "alpha beta"}])
+    deferred.pop()(noop_progress)  # run the initial build now
+
+    out = srv.update_settings("mrg", {"min_word_size_for_1_typo": 6})
+    assert out.get("reindex") is True
+    reindex_job = deferred.pop()
+
+    # a second PUT lands (and commits, manifest-only) while the reindex
+    # job is still queued
+    out2 = srv.update_settings(
+        "mrg", {"ranking_criteria": [{"field": "year", "order": "desc"}]}
+    )
+    assert out2 == {"reindex": False}
+
+    reindex_job(noop_progress)  # the queued reindex finally runs
+
+    final = load_settings(os.path.join(wh, "mrg"))
+    assert final.min_word_size_for_1_typo == 6  # the reindex body
+    assert [(c.field, c.order) for c in final.ranking_criteria] == [
+        ("year", "desc")
+    ]  # the interleaved commit SURVIVES the reindex
+
+
+def test_malformed_content_length_gets_400(api):
+    """A non-integer Content-Length must get a 400 response, not an
+    uncaught ValueError that drops the connection with no reply."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", api, timeout=30)
+    try:
+        conn.putrequest("PUT", "/indexes/whatever/documents")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"Content-Length" in resp.read()
+    finally:
+        conn.close()
