@@ -9,6 +9,8 @@ Endpoint parity with the reference's gin router (citations per handler):
   DELETE /indexes/{n}                   delete index
   POST   /indexes/{n}/rename            rename
   PUT    /indexes/{n}/settings          update; core diff => async reindex job
+  PATCH  /indexes/{n}/settings          alias (the reference's verb,
+                                        api/handlers.go:52)
   PUT    /indexes/{n}/documents         async add/upsert job
                                         (api/document_handlers.go:17
                                          AddDocumentsHandler; async jobs
@@ -19,8 +21,13 @@ Endpoint parity with the reference's gin router (citations per handler):
   DELETE /indexes/{n}/documents/{id}    async delete one
   DELETE /indexes/{n}/documents         async delete all
   POST   /indexes/{n}/search            search (api/search_handlers.go:49-114)
+  POST   /indexes/{n}/_search           alias (the reference's path,
+                                        api/handlers.go:68)
   POST   /multi-search                  named queries -> envelopes
                                         (internal/search/multi_search.go:12-81)
+  POST   /indexes/{n}/_multi_search     per-index alias (api/handlers.go:69)
+  GET    /indexes/{n}/jobs              per-index job listing
+                                        (api/handlers.go:55)
   GET    /indexes/{n}/documents/{id}    single doc fetch
                                         (api/document_handlers.go:236)
   GET    /indexes/{n}/stats             index statistics
@@ -127,6 +134,20 @@ def check_index_name(name: str) -> str:
     return name
 
 
+def check_settings(settings: IndexSettings) -> IndexSettings:
+    """API-boundary settings validation (reference api/validation.go
+    ValidateIndexSettings): every no-prefix field must be searchable --
+    an unknown field there would silently change nothing."""
+    for f in settings.fields_without_prefix_search:
+        if f not in settings.searchable_fields:
+            raise ApiError(
+                400,
+                f"Field {f!r} in fields_without_prefix_search is not in "
+                "searchable_fields",
+            )
+    return settings
+
+
 class _DecodedMatch:
     """Percent-decode captured path segments before they reach handlers.
 
@@ -216,17 +237,29 @@ class EngineServer:
         if not docs:
             raise ApiError(400, "empty document batch")
         for d in docs:
-            if not str(d.get("documentID", "")):
+            did = str(d.get("documentID", ""))
+            if not did:
                 # reference validation: documentID non-empty
                 # (internal/indexing/service.go:126-140)
                 raise ApiError(400, "every document needs a non-empty documentID")
+            if did != did.strip():
+                # api/validation.go ValidateDocumentID: surrounding
+                # whitespace rejected ('doc ' and 'doc' must not be two
+                # distinct documents to a client that trims)
+                raise ApiError(
+                    400,
+                    "documentID cannot have leading or trailing whitespace",
+                )
         return self.spark.createDataFrame(docs)
 
     # -- dispatch ----------------------------------------------------------
     def dispatch(self, method: str, path: str, body, query: dict):
         routes = [
             ("GET", r"^/health$", lambda m: {"status": "ok"}),
-            ("GET", r"^/indexes$", lambda m: mnt.list_indexes(self.warehouse)),
+            # reference response envelope (api/index_handlers.go:68)
+            ("GET", r"^/indexes$", lambda m: (
+                lambda names: {"indexes": names, "count": len(names)}
+            )(mnt.list_indexes(self.warehouse))),
             ("POST", r"^/indexes$", lambda m: self.create_index(body)),
             ("GET", r"^/indexes/([^/]+)$",
              lambda m: self._settings(m.group(1)).to_dict()),
@@ -234,7 +267,11 @@ class EngineServer:
              lambda m: self.delete_index(m.group(1))),
             ("POST", r"^/indexes/([^/]+)/rename$",
              lambda m: self.rename_index(m.group(1), body)),
+            # the reference mounts settings updates as PATCH
+            # (api/handlers.go:52); PUT is kept as an alias
             ("PUT", r"^/indexes/([^/]+)/settings$",
+             lambda m: self.update_settings(m.group(1), body)),
+            ("PATCH", r"^/indexes/([^/]+)/settings$",
              lambda m: self.update_settings(m.group(1), body)),
             ("PUT", r"^/indexes/([^/]+)/documents$",
              lambda m: self.add_documents(m.group(1), body)),
@@ -250,8 +287,18 @@ class EngineServer:
              lambda m: self.delete_documents(m.group(1), [m.group(2)])),
             ("DELETE", r"^/indexes/([^/]+)/documents$",
              lambda m: self.delete_all(m.group(1))),
+            # reference path parity (api/handlers.go:68-69): a client of
+            # the reference calls _search/_multi_search; both spellings
+            # are served
             ("POST", r"^/indexes/([^/]+)/search$",
              lambda m: self.search(m.group(1), body)),
+            ("POST", r"^/indexes/([^/]+)/_search$",
+             lambda m: self.search(m.group(1), body)),
+            ("POST", r"^/indexes/([^/]+)/_multi_search$",
+             lambda m: self.multi_search(
+                 {**(body or {}), "index": m.group(1)})),
+            ("GET", r"^/indexes/([^/]+)/jobs$",
+             lambda m: self.list_jobs({**query, "index": [m.group(1)]})),
             ("POST", r"^/indexes/([^/]+)/warm$",
              lambda m: self.warm(m.group(1), body)),
             ("POST", r"^/indexes/([^/]+)/compact$",
@@ -273,7 +320,7 @@ class EngineServer:
         if not body or not body.get("name"):
             raise ApiError(400, "settings body with 'name' required")
         check_index_name(body["name"])
-        settings = IndexSettings.from_dict(body)
+        settings = check_settings(IndexSettings.from_dict(body))
         with self._index_lock(settings.name):
             if body["name"] in mnt.list_indexes(self.warehouse):
                 raise ApiError(409, f"index {body['name']!r} exists")
@@ -323,7 +370,9 @@ class EngineServer:
             same re-read-inside-the-job rule add_documents follows.
             """
             old = self._settings(name)
-            new = IndexSettings.from_dict({**old.to_dict(), **body})
+            new = check_settings(
+                IndexSettings.from_dict({**old.to_dict(), **body})
+            )
             new.name = name
             return old, new
 
@@ -365,10 +414,12 @@ class EngineServer:
                 # not be resurrected by the rebuild)
                 try:
                     _, new = merged()
-                except ApiError:
-                    raise RuntimeError(
-                        f"index {name!r} was deleted before the job ran"
-                    )
+                except ApiError as e:
+                    # 404: the index was deleted while the job was
+                    # queued; 400: an interleaved settings commit made
+                    # this body invalid. Either way the job fails loud
+                    # instead of resurrecting / committing bad state.
+                    raise RuntimeError(f"settings reindex aborted: {e}")
                 progress(0, 2, "snapshotting corpus")
                 # what a READER sees: base docs plus committed delta
                 # rows minus tombstones (a plain table read would
@@ -611,8 +662,34 @@ class EngineServer:
         }
 
     def multi_search(self, body: dict):
-        name = (body or {}).get("index", "")
-        queries = (body or {}).get("queries", {})
+        body = body or {}
+        name = body.get("index", "")
+        queries = body.get("queries", {})
+        if isinstance(queries, list):
+            # the reference's MultiSearchRequest shape
+            # (api/search_handlers.go:30-44): a LIST of named queries,
+            # names validated non-empty + unique, request-level
+            # page/page_size applied to every query that does not set
+            # its own
+            named: dict = {}
+            for q in queries:
+                q = dict(q or {})
+                qn = str(q.pop("name", ""))
+                if not qn:
+                    raise ApiError(
+                        400, "All queries must have a non-empty name"
+                    )
+                if qn in named:
+                    raise ApiError(
+                        400,
+                        f"Query names must be unique: {qn!r} appears "
+                        "multiple times",
+                    )
+                for k in ("page", "page_size"):
+                    if k in body and k not in q:
+                        q[k] = body[k]
+                named[qn] = q
+            queries = named
         if not name or not queries:
             raise ApiError(400, "body needs 'index' and 'queries'")
         svc = SearchService(self._engine(name))
@@ -755,6 +832,9 @@ def make_handler(server: EngineServer):
 
         def do_DELETE(self):
             self._handle("DELETE")
+
+        def do_PATCH(self):
+            self._handle("PATCH")
 
         def do_OPTIONS(self):  # CORS preflight (middleware.go:25-28)
             self.send_response(204)

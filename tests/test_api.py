@@ -73,7 +73,7 @@ def test_full_http_lifecycle(api):
     st, out = _call(port, "POST", "/indexes", {"name": "films"})
     assert st == 409  # duplicate
     st, out = _call(port, "GET", "/indexes")
-    assert out == ["films"]
+    assert out == {"indexes": ["films"], "count": 1}
 
     # async initial build with live progress
     st, out = _call(port, "PUT", "/indexes/films/documents", DOCS)
@@ -166,7 +166,7 @@ def test_full_http_lifecycle(api):
     st, out = _call(port, "DELETE", "/indexes/movies2")
     assert out == {"deleted": "movies2"}
     st, out = _call(port, "GET", "/indexes")
-    assert out == []
+    assert out == {"indexes": [], "count": 0}
     st, out = _call(port, "GET", "/indexes/movies2")
     assert st == 404
 
@@ -519,7 +519,7 @@ def test_rename_onto_existing_index_conflicts(api):
     assert st == 409, out
     # both indexes still intact
     st, names = _call(port, "GET", "/indexes")
-    assert {"ren_a", "ren_b"} <= set(names)
+    assert {"ren_a", "ren_b"} <= set(names["indexes"])
     for n in ("ren_a", "ren_b"):
         _call(port, "DELETE", f"/indexes/{n}")
 
@@ -570,6 +570,39 @@ def test_settings_reindex_merges_at_job_time(spark, tmp_path_factory):
     ]  # the interleaved commit SURVIVES the reindex
 
 
+def test_no_prefix_field_must_be_searchable(api):
+    """Reference ValidateIndexSettings: a fields_without_prefix_search
+    entry not present in searchable_fields is a 400 (at create AND at
+    settings update)."""
+    port = api
+    st, out = _call(port, "POST", "/indexes", {
+        "name": "valnp", "searchable_fields": ["title"],
+        "fields_without_prefix_search": ["content"],
+    })
+    assert st == 400 and "fields_without_prefix_search" in out["error"]
+    _call(port, "POST", "/indexes", {
+        "name": "valnp", "searchable_fields": ["title"],
+    })
+    st, out = _call(port, "PATCH", "/indexes/valnp/settings",
+                    {"fields_without_prefix_search": ["content"]})
+    assert st == 400 and "fields_without_prefix_search" in out["error"]
+    _call(port, "DELETE", "/indexes/valnp")
+
+
+def test_document_id_whitespace_rejected(api):
+    """Reference api/validation.go ValidateDocumentID: surrounding
+    whitespace is a 400, not a silently distinct document."""
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "wsid", "searchable_fields": ["text"],
+    })
+    st, out = _call(port, "PUT", "/indexes/wsid/documents", [
+        {"documentID": " padded ", "text": "x"}
+    ])
+    assert st == 400 and "whitespace" in out["error"]
+    _call(port, "DELETE", "/indexes/wsid")
+
+
 def test_malformed_content_length_gets_400(api):
     """A non-integer Content-Length must get a 400 response, not an
     uncaught ValueError that drops the connection with no reply."""
@@ -586,3 +619,69 @@ def test_malformed_content_length_gets_400(api):
         assert b"Content-Length" in resp.read()
     finally:
         conn.close()
+
+
+def test_reference_path_aliases(api):
+    """A client of the reference must be able to switch without editing
+    its URLs: PATCH settings (api/handlers.go:52), POST _search (:68),
+    POST _multi_search (:69), GET /indexes/{n}/jobs (:55)."""
+    port = api
+    _call(port, "POST", "/indexes", {
+        "name": "alias", "searchable_fields": ["text"],
+        "fields_without_prefix_search": ["text"],
+    })
+    st, out = _call(port, "PUT", "/indexes/alias/documents", [
+        {"documentID": "a1", "text": "neo fights agents"},
+        {"documentID": "a2", "text": "dreams within dreams"},
+    ])
+    assert _wait_job(port, out["job_id"])["status"] == "completed"
+
+    st, res = _call(port, "POST", "/indexes/alias/_search",
+                    {"query": "neo", "typo_tolerance": False})
+    assert st == 200 and {h["documentID"] for h in res["hits"]} == {"a1"}
+
+    st, res = _call(port, "POST", "/indexes/alias/_multi_search", {
+        "queries": {
+            "q1": {"query": "neo", "typo_tolerance": False},
+            "q2": {"query": "dreams", "typo_tolerance": False},
+        }
+    })
+    assert st == 200, res
+    assert {h["documentID"] for h in res["q1"]["hits"]} == {"a1"}
+    assert {h["documentID"] for h in res["q2"]["hits"]} == {"a2"}
+
+    # the reference's NAMED-LIST multi-search body shape, with a
+    # request-level page_size and a duplicate-name rejection
+    st, res = _call(port, "POST", "/indexes/alias/_multi_search", {
+        "page_size": 1,
+        "queries": [
+            {"name": "q1", "query": "neo", "typo_tolerance": False},
+            {"name": "q2", "query": "dreams", "typo_tolerance": False},
+        ],
+    })
+    assert st == 200, res
+    assert res["q1"]["page_size"] == 1 and res["q2"]["page_size"] == 1
+    st, res = _call(port, "POST", "/indexes/alias/_multi_search", {
+        "queries": [{"name": "dup", "query": "neo"},
+                    {"name": "dup", "query": "neo"}],
+    })
+    assert st == 400 and "unique" in res["error"]
+    st, res = _call(port, "POST", "/indexes/alias/_multi_search", {
+        "queries": [{"query": "neo"}],
+    })
+    assert st == 400 and "name" in res["error"]
+
+    # PATCH is the reference's settings verb; non-core field commits
+    # synchronously
+    st, out = _call(port, "PATCH", "/indexes/alias/settings",
+                    {"ranking_criteria": [{"field": "year", "order": "desc"}]})
+    assert st == 200 and out == {"reindex": False}
+    st, settings = _call(port, "GET", "/indexes/alias")
+    assert settings["ranking_criteria"] == [
+        {"field": "year", "order": "desc"}]
+
+    # per-index job listing: only this index's jobs, newest included
+    st, jobs = _call(port, "GET", "/indexes/alias/jobs")
+    assert st == 200 and jobs and all(
+        j["index_name"] == "alias" for j in jobs)
+    _call(port, "DELETE", "/indexes/alias")
