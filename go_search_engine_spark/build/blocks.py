@@ -2,8 +2,9 @@
 
 Flat postings -> per-(term, field, salt) docID-ordered blocks of
 ``block_size`` entries: doc_ids delta+varint, tfs/dls varint, positions
-nested-varint, plus block metadata (n, first/last doc, max_tf and the exact
-block-max BM25 score) enabling WAND block skipping without decode.
+nested-varint, plus block metadata (n, first/last doc, and the
+(max_tf, min_dl) upper-bound pair -- see the BLOCKS_SCHEMA note below)
+enabling WAND block skipping without decode.
 
 The reference keeps impact-ordered (tf desc) uncompressed lists
 (/root/reference/internal/indexing/service.go:290-298); docID-ordered
@@ -36,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import BM25_B, BM25_K1, IndexSettings
+from ..config import IndexSettings
 from ..functions.codec import decode_positions, delta_decode, varint_decode
 
 # block-max metadata is (max_tf, min_dl): since BM25 is increasing in tf
@@ -50,16 +51,6 @@ BLOCKS_SCHEMA = (
     "first_doc long, last_doc long, doc_ids binary, tfs binary, dls binary, "
     "positions binary, fws binary, max_tf double, min_dl long"
 )
-
-def bm25_score(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
-    """Exact BM25 per entry (reference bm25.go:59-83; k1=1.2, b=0.75).
-    Also the block upper-bound formula: score(max_tf, min_dl) bounds every
-    entry because BM25 is monotone increasing in tf, decreasing in dl."""
-    tf = np.asarray(tf, dtype=np.float64)
-    dl = np.asarray(dl, dtype=np.float64)
-    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
-    return idf * (tf * (BM25_K1 + 1.0)) / denom
-
 
 def _group_change_mask(batch: pa.RecordBatch) -> np.ndarray:
     """Boolean mask, True where row i starts a new (term, field, salt)

@@ -104,7 +104,6 @@ def _cand_entries(cand: pd.DataFrame) -> str:
     )
 
 
-_WARM_VIEW_SEQ = [0]  # unique temp-view names across engines in a session
 
 
 class SearchEngine:
@@ -350,18 +349,27 @@ class SearchEngine:
             gates[tok] = maxd
         return gates
 
-    def _guard_ok(self, term: str) -> bool:
-        """Candidate guard (service.go:204-228, both case-insensitive;
-        index terms are already lowercase): a candidate EQUAL to a
-        non-typo-tolerant word is rejected at any length
+    def _guard_keep(self, terms: pd.Series) -> pd.Series:
+        """Candidate guard mask (service.go:204-228, both
+        case-insensitive; index terms are already lowercase): a candidate
+        EQUAL to a non-typo-tolerant word is rejected at any length
         (strings.EqualFold), and a >=3-char candidate that is a prefix
-        of one is rejected (strings.HasPrefix over lowered strings)."""
+        of one is rejected (strings.HasPrefix over lowered strings).
+        The settings list is lowered ONCE per call -- the mask runs over
+        every typo candidate of a query, so per-candidate re-lowering
+        was O(candidates x words) of pure waste on the driver fast
+        path."""
         words = [w.lower() for w in self.settings.non_typo_tolerant_words]
-        if term in words:
-            return False
-        if len(term) < 3:
-            return True
-        return not any(w.startswith(term) for w in words)
+        wset = set(words)
+
+        def ok(term: str) -> bool:
+            if term in wset:
+                return False
+            if len(term) < 3:
+                return True
+            return not any(w.startswith(term) for w in words)
+
+        return terms.map(ok)
 
     def typo_scan(self, eligible: list[tuple[str, int]]) -> pd.DataFrame:
         """(token, term, distance) typo candidates for the given
@@ -400,8 +408,7 @@ class SearchEngine:
                 else pd.DataFrame(columns=["token", "term", "distance"])
             )
             if len(cands) and self.settings.non_typo_tolerant_words:
-                keep = cands["term"].map(self._guard_ok)
-                cands = cands[keep]
+                cands = cands[self._guard_keep(cands["term"])]
             # deterministic replacement of the 500/50ms wall-clock cutoff
             cands = (
                 cands.sort_values(["token", "distance", "term"])
@@ -573,7 +580,19 @@ class SearchEngine:
             vocab = self._vocab()
             if vocab is not None:  # driver cache: zero jobs
                 v = vocab.sort_values(["df", "term"], ascending=[False, True])
-                cum = v["df"].cumsum()
+                # budget in POSTING ROWS, the unit of max_postings and of
+                # the full-warm gate above: the decoded frame has one row
+                # per (term, field, doc), so a term's cost is df x the
+                # number of fields it appears in (a conservative upper
+                # bound -- not every doc matches in every field), not df
+                # alone. Single-field indexes are unchanged.
+                if "field_bounds" in v.columns:
+                    rows_est = v["df"] * v["field_bounds"].map(
+                        lambda fb: max(1, len(fb or {}))
+                    )
+                else:
+                    rows_est = v["df"]
+                cum = rows_est.cumsum()
                 k = int((cum <= max_postings).sum())
                 boundary = (
                     (int(v["df"].iloc[k - 1]), str(v["term"].iloc[k - 1]))
@@ -620,14 +639,17 @@ class SearchEngine:
             # CONTAIN doc_id, so a doc_id partitioning satisfies all of
             # them -- the whole score+intersect pipeline becomes
             # partition-local (ZERO query-time exchanges before top-k).
-            # Partition count sized to the warmed data (~100k postings per
+            # Partition count sized to the WARMED data (~100k postings per
             # partition): per-task launch overhead dominates sub-ms task
             # bodies, so defaulting to shuffle.partitions would pay ~32
-            # task launches per stage to scan a few MB of memory
+            # task launches per stage to scan a few MB of memory. On a
+            # partial warm the warmed subset is budget-bounded -- sizing
+            # by the full index's n_post would re-pay the task-launch
+            # overhead the cap exists to avoid
             .repartition(
                 max(4, min(
                     self.spark.sparkContext.defaultParallelism,
-                    n_post // 100_000 + 1,
+                    min(n_post, max_postings) // 100_000 + 1,
                 )),
                 "doc_id",
             )
@@ -676,8 +698,14 @@ class SearchEngine:
         self._drop_warm_views()
         if not self._warm_all or self._docs_slim is None:
             return
-        _WARM_VIEW_SEQ[0] += 1
-        seq = _WARM_VIEW_SEQ[0]
+        # uuid view names: two engines warming concurrently (the API
+        # server runs per-index jobs on threads) must never allocate the
+        # same names -- a shared counter read-then-increment races, and a
+        # collision silently cross-wires one engine's cached SQL onto the
+        # other index's frames
+        import uuid
+
+        seq = uuid.uuid4().hex[:12]
         post_v = f"gse_warm_post_{seq}"
         docs_v = f"gse_warm_docs_{seq}"
         self._warm_decoded.createOrReplaceTempView(post_v)
@@ -832,7 +860,17 @@ FROM topk
         collect ONLY the boundary row. Returns ((df*, term*), n_chosen)."""
         from pyspark.sql import Window
 
-        ts = self.term_stats.select("term", "df")
+        # same posting-row budget unit as the driver path: df x fields
+        # present (see warm()); F.size on a NULL map is -1, greatest
+        # clamps it
+        if "field_bounds" in self.term_stats.columns:
+            rows_col = (
+                F.col("df")
+                * F.greatest(F.lit(1), F.size("field_bounds"))
+            ).alias("rows_est")
+        else:
+            rows_col = F.col("df").alias("rows_est")
+        ts = self.term_stats.select("term", "df", rows_col)
         npart = max(1, self.spark.sparkContext.defaultParallelism)
         parted = ts.repartitionByRange(
             npart, F.col("df").desc(), F.col("term").asc()
@@ -840,7 +878,7 @@ FROM topk
         try:
             psums = (
                 parted.groupBy("_pid")
-                .agg(F.sum("df").alias("s"), F.count("*").alias("c"))
+                .agg(F.sum("rows_est").alias("s"), F.count("*").alias("c"))
                 .orderBy("_pid")
                 .collect()
             )
@@ -859,7 +897,7 @@ FROM topk
             )
             withcum = (
                 parted.join(offs, "_pid")
-                .withColumn("cum", F.sum("df").over(w) + F.col("_off"))
+                .withColumn("cum", F.sum("rows_est").over(w) + F.col("_off"))
                 .withColumn("rk", F.row_number().over(w) + F.col("_coff"))
             )
             hit = (
@@ -969,8 +1007,11 @@ FROM topk
             decoded = apply_visibility(
                 base.unionByName(dp), "gen", self._tomb
             ).drop("gen")
-        if self._warm_decoded is not None:
-            # serving mode: the candidate meta is injected as an ARRAY
+        if self._warm_decoded is not None and len(cand):
+            # serving mode (and at least one candidate: an EMPTY array
+            # literal fails analysis -- the join form below returns the
+            # empty frame the cold path returns for the same input):
+            # the candidate meta is injected as an ARRAY
             # LITERAL + explode(filter(...)) instead of a broadcast join --
             # identical inner-join semantics (a term matching n (token,
             # term) pairs fans out n times, no match -> dropped), but no

@@ -271,3 +271,68 @@ def test_rewarm_releases_previous_warm_state(spark, warm_idx):
     assert eng._docs_slim is None
     rows = eng.search("tokenizer return", k=5, typo_tolerance=False).collect()
     assert len(rows) > 0
+
+
+def test_two_engines_warm_views_isolated(spark, warm_idx, tmp_path_factory):
+    """Two engines warmed on ONE SparkSession must never share temp-view
+    names (round-4 review: a shared counter read-then-increment races
+    under the API server's per-index job threads, and a collision
+    silently serves one index's cached SQL over the other's frames).
+    View names are uuid-based; both engines' cached templates must keep
+    answering from their OWN index."""
+    wh2 = str(tmp_path_factory.mktemp("wh_warm2"))
+    s = IndexSettings(
+        name="w2",
+        searchable_fields=["content"],
+        fields_without_prefix_search=["content"],
+    )
+    # a DIFFERENT corpus: results must diverge if views cross-wire
+    corpus = generate_corpus(spark, 60, seed=99, words_per_doc=12)
+    IndexBuilder(spark, s, wh2).build(corpus, num_shards=1)
+
+    a = SearchEngine(spark, warm_idx, "w")
+    b = SearchEngine(spark, wh2, "w2")
+    cold_a = _key(a.search("tokenizer return", k=10,
+                           typo_tolerance=False).collect())
+    cold_b = _key(b.search("tokenizer return", k=10,
+                           typo_tolerance=False).collect())
+    a.warm()
+    b.warm()
+    assert a._warm_sql is not None and b._warm_sql is not None
+    assert not (set(a._warm_sql["views"]) & set(b._warm_sql["views"]))
+    assert _key(a.search("tokenizer return", k=10,
+                         typo_tolerance=False).collect()) == cold_a
+    assert _key(b.search("tokenizer return", k=10,
+                         typo_tolerance=False).collect()) == cold_b
+
+
+def test_partial_warm_budget_in_posting_rows(spark, tmp_path_factory):
+    """``max_postings`` budgets POSTING ROWS (the decoded frame has one
+    row per term x field x doc), not per-term df: on a multi-field index
+    a term's warm cost is df x fields-present, and the materialized warm
+    frame must respect the budget (round-4 review: budgeting by df alone
+    overshot by up to the searchable-field count)."""
+    wh = str(tmp_path_factory.mktemp("wh_warm_mf"))
+    s = IndexSettings(
+        name="mf",
+        searchable_fields=["title", "body"],
+        fields_without_prefix_search=["title", "body"],
+    )
+    docs = spark.createDataFrame(
+        [(f"d{i}", "alpha beta gamma", f"alpha beta delta word{i}")
+         for i in range(40)],
+        "documentID string, title string, body string",
+    )
+    IndexBuilder(spark, s, wh).build(docs, num_shards=1)
+    eng = SearchEngine(spark, wh, "mf")
+    info = eng.warm(max_postings=100)
+    # alpha: df=40 across BOTH fields -> 80 decoded rows (fits);
+    # adding beta (80 more) would blow the budget -- df-unit budgeting
+    # would have warmed both (cum df 80 <= 100) and materialized 160
+    assert info["warm_terms"] == 1
+    assert info["warm_postings"] <= 100
+    # partial warm still serves rank-identical results
+    cold = SearchEngine(spark, wh, "mf")
+    q = "alpha delta"
+    assert _key(eng.search(q, k=10, typo_tolerance=False).collect()) == \
+        _key(cold.search(q, k=10, typo_tolerance=False).collect())
