@@ -277,8 +277,17 @@ class IndexBuilder:
         fp_rows = (
             docs.select(
                 "shard",
+                # content_sha256 is load-bearing: same documentID set
+                # with edited content must CHANGE the fingerprint, or a
+                # resume build silently keeps the stale postings (the
+                # invariant derive_doc_columns documents)
                 F.xxhash64(
-                    F.concat_ws("\x1f", "documentID", F.col("doc_id").cast("string"))
+                    F.concat_ws(
+                        "\x1f",
+                        "documentID",
+                        F.col("doc_id").cast("string"),
+                        "content_sha256",
+                    )
                 ).cast("decimal(38,0)").alias("h"),
             )
             .groupBy("shard")
@@ -299,11 +308,17 @@ class IndexBuilder:
 
         # docs table: one partitioned write, marker-gated for resume
         marker = self.path("_docs_complete.json")
-        total_fp = ":".join(fps.get(k, ("0:0", 0))[0] for k in sorted(fps))
+        total_fp = ":".join(fps[k][0] for k in sorted(fps))
         docs_ok = False
         if resume and os.path.exists(marker):
-            with open(marker) as f:
-                mk = json.load(f)
+            try:
+                with open(marker) as f:
+                    mk = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # a crash mid-marker-write leaves a truncated file; an
+                # unreadable marker means "docs not verifiably complete",
+                # never a dead resume path
+                mk = {}
             # the marker must describe THIS build's layout: a docs table
             # written into a tables_gen root by a live_rebuild must not
             # satisfy a later plain-layout resume build (or vice versa)
@@ -314,11 +329,15 @@ class IndexBuilder:
 
         def write_docs() -> None:
             self._write(docs, self.path("docs"), partition_by=["shard"])
-            with open(marker, "w") as f:
+            # atomic: the marker asserts a COMPLETE docs table, so it
+            # must never exist half-written itself
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(
                     {"fingerprint": total_fp, "tables_gen": self.tables_gen},
                     f,
                 )
+            os.replace(tmp, marker)
 
         # resume hygiene: a shard that vanished from the new corpus (or a
         # shard id beyond a shrunk num_shards) must not leave stale
@@ -605,9 +624,25 @@ class IndexBuilder:
             if empty:
                 report.n_postings = report.n_terms = report.max_df = 0
             else:
-                report.n_postings = int(flat_obs.get["n"])
-                report.n_terms = int(ts_obs.get["n"])
-                report.max_df = int(ts_obs.get["max_df"] or 0)
+                try:
+                    report.n_postings = int(flat_obs.get["n"])
+                    report.n_terms = int(ts_obs.get["n"])
+                    report.max_df = int(ts_obs.get["max_df"] or 0)
+                except Exception:
+                    # zero-task write: N>0 docs whose searchable fields
+                    # are all empty produce segments with 0 rows, and a
+                    # zero-task job never posts observed metrics (same
+                    # fallback rule as the delta commit's observations)
+                    report.n_postings = 0
+                    row = (
+                        self.spark.read.parquet(self.path("term_stats"))
+                        .agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.max("df").alias("max_df"),
+                        ).collect()[0]
+                    )
+                    report.n_terms = int(row["n"])
+                    report.max_df = int(row["max_df"] or 0)
             report.phases["finalize_term_stats"] = round(time.time() - t_ts, 3)
 
         def build_blocks() -> None:
@@ -681,7 +716,14 @@ class IndexBuilder:
             if not empty:
                 blocks = blocks.observe(blk_obs, F.count(F.lit(1)).alias("n"))
             self._write(blocks, self.path("blocks"), partition_by=["bucket"])
-            report.n_blocks = 0 if empty else int(blk_obs.get["n"])
+            if empty:
+                report.n_blocks = 0
+            else:
+                try:
+                    report.n_blocks = int(blk_obs.get["n"])
+                except Exception:
+                    # zero-task write (no postings): same fallback rule
+                    report.n_blocks = 0
             report.phases["finalize_blocks"] = round(time.time() - t_blk, 3)
 
         build_term_stats()

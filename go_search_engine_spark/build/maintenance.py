@@ -234,15 +234,20 @@ class IndexMaintenance:
         service.go:407-416). ``mode="delta"``: tombstone-only commit --
         O(deleted docs + vocab) work instead of an O(index) refresh
         (build/delta.py)."""
+        if mode not in ("refresh", "delta"):
+            # a typo ('Delta', 'incremental') must not silently run the
+            # O(index) refresh on what the caller meant to be an
+            # O(batch + vocab) commit
+            raise ValueError(f"mode must be 'refresh' or 'delta', got {mode!r}")
         if mode == "delta":
             return self._delete_delta(document_ids)
         self._guard_no_delta()
         from .delta import table_path
 
         docs = self.spark.read.parquet(table_path(self.base, "docs"))
-        victims = docs.filter(F.col("documentID").isin(document_ids)).select(
-            "doc_id"
-        )
+        victims = docs.join(
+            self._ids_frame(document_ids), "documentID", "left_semi"
+        ).select("doc_id")
         n = victims.count()
         if n == 0:
             return 0
@@ -298,6 +303,8 @@ class IndexMaintenance:
         (pinned by tests/test_delta.py); positional operators union the
         delta rows' position records (query/phrase.py positional_rows).
         """
+        if mode not in ("refresh", "delta"):
+            raise ValueError(f"mode must be 'refresh' or 'delta', got {mode!r}")
         if mode == "delta":
             return self._upsert_delta(new_corpus, id_col)
         self._guard_no_delta()
@@ -529,12 +536,23 @@ class IndexMaintenance:
         return {"updated": int(n_upd), "inserted": int(n_ins), "gen": gen,
                 **extra}
 
+    def _ids_frame(self, document_ids: list[str]) -> DataFrame:
+        """Broadcast frame of the target documentIDs for semi/anti joins.
+        An ``isin`` literal embeds one expression per id in the plan --
+        a multi-MB plan and driver-memory pressure on a 10^5-id bulk
+        delete, the exact flaw the warm path's semi-join fix removed."""
+        return F.broadcast(
+            self.spark.createDataFrame(
+                [(str(i),) for i in document_ids], "documentID string"
+            )
+        )
+
     def _delete_delta(self, document_ids: list[str]) -> int:
         from .delta import next_delta_gen, read_visible_docs
 
         docs = read_visible_docs(self.spark, self.base)
-        old_rows = docs.filter(
-            F.col("documentID").isin(document_ids)
+        old_rows = docs.join(
+            self._ids_frame(document_ids), "documentID", "left_semi"
         ).persist()
         try:
             n = old_rows.count()
@@ -584,210 +602,217 @@ class IndexMaintenance:
             new_flat = self._flat_postings(new_docs).persist()
         else:
             new_flat = spark.createDataFrame([], schema=POSTINGS_SCHEMA)
+        # every step below runs under one finally: a failed commit
+        # (disk full mid-write, unreadable prev term_stats) must not
+        # pin two batch-sized cached frames for the app's lifetime --
+        # the NRT path's whole point is MANY commits on a long-lived
+        # server
+        try:
 
-        # --- delta writes; counts ride them as observed metrics ---------
-        if new_docs is not None:
-            obs_nf = Observation(f"nf_{uuid.uuid4().hex[:6]}")
-            new_flat.observe(obs_nf, F.count(F.lit(1)).alias("n")).write.mode(
-                "overwrite"
-            ).parquet(delta_path(self.base, "postings", f"gen={gen}"))
-            obs_nd = Observation(f"nd_{uuid.uuid4().hex[:6]}")
-            new_docs.observe(
-                obs_nd,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
-            ).write.mode("overwrite").parquet(
-                delta_path(self.base, "docs", f"gen={gen}")
-            )
-            # zero-task writes (an empty upsert batch, or an
-            # AQE-coalesced empty side) never post observed metrics --
-            # same fallback rule as obs_ts/obs_of below
-            try:
-                new_post = int(obs_nf.get["n"])
-            except Exception:
-                new_post = new_flat.count()
-            try:
-                new_n, new_dl = int(obs_nd.get["n"]), int(obs_nd.get["dl"])
-            except Exception:
-                row = new_docs.agg(
+            # --- delta writes; counts ride them as observed metrics ---------
+            if new_docs is not None:
+                obs_nf = Observation(f"nf_{uuid.uuid4().hex[:6]}")
+                new_flat.observe(obs_nf, F.count(F.lit(1)).alias("n")).write.mode(
+                    "overwrite"
+                ).parquet(delta_path(self.base, "postings", f"gen={gen}"))
+                obs_nd = Observation(f"nd_{uuid.uuid4().hex[:6]}")
+                new_docs.observe(
+                    obs_nd,
                     F.count(F.lit(1)).alias("n"),
                     F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
-                ).collect()[0]
-                new_n, new_dl = int(row["n"]), int(row["dl"])
-        else:
-            new_flat.write.mode("overwrite").parquet(
-                delta_path(self.base, "postings", f"gen={gen}")
-            )
-            new_post, new_n, new_dl = 0, 0, 0
-        if old_empty:
-            old_rows.select("doc_id").write.mode("overwrite").parquet(
-                delta_path(self.base, "tombstones", f"gen={gen}")
-            )
-            old_n, old_dl = 0, 0
-        else:
-            obs_tomb = Observation(f"tomb_{uuid.uuid4().hex[:6]}")
-            old_rows.observe(
-                obs_tomb,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
-            ).select("doc_id").write.mode("overwrite").parquet(
-                delta_path(self.base, "tombstones", f"gen={gen}")
-            )
-            try:
-                old_n, old_dl = int(obs_tomb.get["n"]), int(obs_tomb.get["dl"])
-            except Exception:
-                # zero-task tombstone write: same fallback as above
-                row = old_rows.agg(
+                ).write.mode("overwrite").parquet(
+                    delta_path(self.base, "docs", f"gen={gen}")
+                )
+                # zero-task writes (an empty upsert batch, or an
+                # AQE-coalesced empty side) never post observed metrics --
+                # same fallback rule as obs_ts/obs_of below
+                try:
+                    new_post = int(obs_nf.get["n"])
+                except Exception:
+                    new_post = new_flat.count()
+                try:
+                    new_n, new_dl = int(obs_nd.get["n"]), int(obs_nd.get["dl"])
+                except Exception:
+                    row = new_docs.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
+                    ).collect()[0]
+                    new_n, new_dl = int(row["n"]), int(row["dl"])
+            else:
+                new_flat.write.mode("overwrite").parquet(
+                    delta_path(self.base, "postings", f"gen={gen}")
+                )
+                new_post, new_n, new_dl = 0, 0, 0
+            if old_empty:
+                old_rows.select("doc_id").write.mode("overwrite").parquet(
+                    delta_path(self.base, "tombstones", f"gen={gen}")
+                )
+                old_n, old_dl = 0, 0
+            else:
+                obs_tomb = Observation(f"tomb_{uuid.uuid4().hex[:6]}")
+                old_rows.observe(
+                    obs_tomb,
                     F.count(F.lit(1)).alias("n"),
                     F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
-                ).collect()[0]
-                old_n, old_dl = int(row["n"]), int(row["dl"])
+                ).select("doc_id").write.mode("overwrite").parquet(
+                    delta_path(self.base, "tombstones", f"gen={gen}")
+                )
+                try:
+                    old_n, old_dl = int(obs_tomb.get["n"]), int(obs_tomb.get["dl"])
+                except Exception:
+                    # zero-task tombstone write: same fallback as above
+                    row = old_rows.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
+                    ).collect()[0]
+                    old_n, old_dl = int(row["n"]), int(row["dl"])
 
-        n2 = int(stats["N"]) + new_n - old_n
-        total_dl = int(
-            stats.get("total_dl", round(stats["avgdl"] * stats["N"]))
-        ) + new_dl - old_dl
+            n2 = int(stats["N"]) + new_n - old_n
+            total_dl = int(
+                stats.get("total_dl", round(stats["avgdl"] * stats["N"]))
+            ) + new_dl - old_dl
 
-        # exact per-term df arithmetic: docs leaving/joining each term.
-        # old_flat's posting count is observed inside the term_stats job
-        # (its only consumer) rather than via a standalone count.
-        obs_of = (
-            Observation(f"of_{uuid.uuid4().hex[:6]}")
-            if old_flat is not None else None
-        )
-        if old_flat is not None:
-            leave = (
-                old_flat.observe(obs_of, F.count(F.lit(1)).alias("n"))
-                .select("term", "doc_id").distinct()
-                .groupBy("term").agg(F.count("*").alias("_leave"))
+            # exact per-term df arithmetic: docs leaving/joining each term.
+            # old_flat's posting count is observed inside the term_stats job
+            # (its only consumer) rather than via a standalone count.
+            obs_of = (
+                Observation(f"of_{uuid.uuid4().hex[:6]}")
+                if old_flat is not None else None
             )
-        else:
-            leave = spark.createDataFrame([], "term string, _leave long")
-        joinc = (
-            new_flat.select("term", "doc_id").distinct()
-            .groupBy("term").agg(F.count("*").alias("_join"))
-        )
-        # per-(term, field) bounds of the NEW postings (monotone merge
-        # below keeps old bounds too: sound, possibly loose after deletes)
-        nb = (
-            new_flat.groupBy("term", "field")
-            .agg(F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl"))
-            .groupBy("term")
-            .agg(
-                F.map_from_entries(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct("field", F.struct("max_tf", "min_dl"))
-                        )
-                    )
-                ).alias("_fb_new")
+            if old_flat is not None:
+                leave = (
+                    old_flat.observe(obs_of, F.count(F.lit(1)).alias("n"))
+                    .select("term", "doc_id").distinct()
+                    .groupBy("term").agg(F.count("*").alias("_leave"))
+                )
+            else:
+                leave = spark.createDataFrame([], "term string, _leave long")
+            joinc = (
+                new_flat.select("term", "doc_id").distinct()
+                .groupBy("term").agg(F.count("*").alias("_join"))
             )
-        )
-        ts = spark.read.parquet(prev_ts_path).withColumnRenamed(
-            "field_bounds", "_fb_old"
-        ).drop("idf", "term_len", "bucket")
-        merged = (
-            ts.join(leave, "term", "full")
-            .join(joinc, "term", "full")
-            .join(nb, "term", "full")
-        )
-        df2 = (
-            F.coalesce(F.col("df"), F.lit(0))
-            - F.coalesce(F.col("_leave"), F.lit(0))
-            + F.coalesce(F.col("_join"), F.lit(0))
-        )
-        fb = (
-            F.when(F.col("_fb_old").isNull(), F.col("_fb_new"))
-            .when(F.col("_fb_new").isNull(), F.col("_fb_old"))
-            .otherwise(
-                F.map_zip_with(
-                    "_fb_old",
-                    "_fb_new",
-                    lambda k, a, b: F.when(a.isNull(), b)
-                    .when(b.isNull(), a)
-                    .otherwise(
-                        F.struct(
-                            F.greatest(a["max_tf"], b["max_tf"]).alias("max_tf"),
-                            F.least(a["min_dl"], b["min_dl"]).alias("min_dl"),
+            # per-(term, field) bounds of the NEW postings (monotone merge
+            # below keeps old bounds too: sound, possibly loose after deletes)
+            nb = (
+                new_flat.groupBy("term", "field")
+                .agg(F.max("tf").alias("max_tf"), F.min("dl").alias("min_dl"))
+                .groupBy("term")
+                .agg(
+                    F.map_from_entries(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("field", F.struct("max_tf", "min_dl"))
+                            )
                         )
-                    ),
+                    ).alias("_fb_new")
                 )
             )
-        )
-        new_ts = (
-            merged.withColumn("df", df2)
-            .filter(F.col("df") > 0)  # empty-term cleanup
-            .withColumn("idf", F.log(F.lit(float(n2)) / F.col("df")))
-            .withColumn("term_len", F.length("term"))
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("term"), F.lit(s.term_buckets)).cast("int"),
+            ts = spark.read.parquet(prev_ts_path).withColumnRenamed(
+                "field_bounds", "_fb_old"
+            ).drop("idf", "term_len", "bucket")
+            merged = (
+                ts.join(leave, "term", "full")
+                .join(joinc, "term", "full")
+                .join(nb, "term", "full")
             )
-            .withColumn("field_bounds", fb)
-            .select("term", "df", "idf", "term_len", "bucket", "field_bounds")
-        )
+            df2 = (
+                F.coalesce(F.col("df"), F.lit(0))
+                - F.coalesce(F.col("_leave"), F.lit(0))
+                + F.coalesce(F.col("_join"), F.lit(0))
+            )
+            fb = (
+                F.when(F.col("_fb_old").isNull(), F.col("_fb_new"))
+                .when(F.col("_fb_new").isNull(), F.col("_fb_old"))
+                .otherwise(
+                    F.map_zip_with(
+                        "_fb_old",
+                        "_fb_new",
+                        lambda k, a, b: F.when(a.isNull(), b)
+                        .when(b.isNull(), a)
+                        .otherwise(
+                            F.struct(
+                                F.greatest(a["max_tf"], b["max_tf"]).alias("max_tf"),
+                                F.least(a["min_dl"], b["min_dl"]).alias("min_dl"),
+                            )
+                        ),
+                    )
+                )
+            )
+            new_ts = (
+                merged.withColumn("df", df2)
+                .filter(F.col("df") > 0)  # empty-term cleanup
+                .withColumn("idf", F.log(F.lit(float(n2)) / F.col("df")))
+                .withColumn("term_len", F.length("term"))
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(s.term_buckets)).cast("int"),
+                )
+                .withColumn("field_bounds", fb)
+                .select("term", "df", "idf", "term_len", "bucket", "field_bounds")
+            )
 
-        # --- term_stats: write the NEW generation dir; the stats.json
-        # pointer flip below is what makes it visible (no rmtree+rename
-        # window in which term_stats is missing or ahead of stats)
-        new_ts_path = os.path.join(self.base, f"term_stats_gen={gen}")
-        obs_ts = Observation(f"ts_{uuid.uuid4().hex[:6]}")
-        new_ts.observe(obs_ts, F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
-        ).parquet(new_ts_path)
-        try:
-            n_terms = int(obs_ts.get["n"])
-        except Exception:
-            # zero-task write (fully emptied vocab) never posts metrics
-            n_terms = spark.read.parquet(new_ts_path).count()
-        if obs_of is not None:
+            # --- term_stats: write the NEW generation dir; the stats.json
+            # pointer flip below is what makes it visible (no rmtree+rename
+            # window in which term_stats is missing or ahead of stats)
+            new_ts_path = os.path.join(self.base, f"term_stats_gen={gen}")
+            obs_ts = Observation(f"ts_{uuid.uuid4().hex[:6]}")
+            new_ts.observe(obs_ts, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(new_ts_path)
             try:
-                old_post = int(obs_of.get["n"])
+                n_terms = int(obs_ts.get["n"])
             except Exception:
-                # obs_of rides the same term_stats write job as obs_ts:
-                # a zero-task write (fully emptied vocab) posts neither
-                # observation, so fall back the same way
-                old_post = old_flat.count()
-        else:
-            old_post = 0
-        stats.update(
-            {
-                "N": n2,
-                "avgdl": total_dl / n2 if n2 else 0.0,
-                "total_dl": total_dl,
-                "n_postings": int(stats.get("n_postings", 0))
-                + new_post - old_post,
-                "n_terms": n_terms,
-                "generation": int(stats.get("generation", 0)) + 1,
-                "delta_gen": gen,
-                "term_stats_gen": gen,
-                # cumulative LIVE delta volume (rows written to _delta,
-                # including rows later shadowed by newer gens): the
-                # signal maybe_compact's ratio policy reads
-                "delta_postings": int(stats.get("delta_postings", 0))
-                + new_post,
-                "tombstoned_docs": int(stats.get("tombstoned_docs", 0))
-                + old_n,
-            }
-        )
-        if new_max_id is not None:
-            stats["max_doc_id"] = max(
-                int(stats.get("max_doc_id", -1)), int(new_max_id)
+                # zero-task write (fully emptied vocab) never posts metrics
+                n_terms = spark.read.parquet(new_ts_path).count()
+            if obs_of is not None:
+                try:
+                    old_post = int(obs_of.get["n"])
+                except Exception:
+                    # obs_of rides the same term_stats write job as obs_ts:
+                    # a zero-task write (fully emptied vocab) posts neither
+                    # observation, so fall back the same way
+                    old_post = old_flat.count()
+            else:
+                old_post = 0
+            stats.update(
+                {
+                    "N": n2,
+                    "avgdl": total_dl / n2 if n2 else 0.0,
+                    "total_dl": total_dl,
+                    "n_postings": int(stats.get("n_postings", 0))
+                    + new_post - old_post,
+                    "n_terms": n_terms,
+                    "generation": int(stats.get("generation", 0)) + 1,
+                    "delta_gen": gen,
+                    "term_stats_gen": gen,
+                    # cumulative LIVE delta volume (rows written to _delta,
+                    # including rows later shadowed by newer gens): the
+                    # signal maybe_compact's ratio policy reads
+                    "delta_postings": int(stats.get("delta_postings", 0))
+                    + new_post,
+                    "tombstoned_docs": int(stats.get("tombstoned_docs", 0))
+                    + old_n,
+                }
             )
-        # atomic replace: this is THE commit point (readers ignore gen
-        # dirs above delta_gen and resolve term_stats via term_stats_gen)
-        tmp_stats = os.path.join(self.base, "stats.json.tmp")
-        with open(tmp_stats, "w") as f:
-            json.dump(stats, f, indent=2)
-        os.replace(tmp_stats, os.path.join(self.base, "stats.json"))
-        # GC AFTER the commit point: keep the new dir plus the previous
-        # one (grace window for readers mid-query on the old pointer)
-        self._gc_term_stats(keep={new_ts_path, prev_ts_path})
-        if old_flat is not None:
-            old_flat.unpersist()
-        if new_docs is not None:
-            new_flat.unpersist()
-        return {"delta_postings": new_post, "tombstoned": old_n}
+            if new_max_id is not None:
+                stats["max_doc_id"] = max(
+                    int(stats.get("max_doc_id", -1)), int(new_max_id)
+                )
+            # atomic replace: this is THE commit point (readers ignore gen
+            # dirs above delta_gen and resolve term_stats via term_stats_gen)
+            tmp_stats = os.path.join(self.base, "stats.json.tmp")
+            with open(tmp_stats, "w") as f:
+                json.dump(stats, f, indent=2)
+            os.replace(tmp_stats, os.path.join(self.base, "stats.json"))
+            # GC AFTER the commit point: keep the new dir plus the previous
+            # one (grace window for readers mid-query on the old pointer)
+            self._gc_term_stats(keep={new_ts_path, prev_ts_path})
+            return {"delta_postings": new_post, "tombstoned": old_n}
+        finally:
+            if old_flat is not None:
+                old_flat.unpersist()
+            if new_docs is not None:
+                new_flat.unpersist()
 
     def _gc_term_stats(self, keep: set[str]) -> None:
         """Remove term_stats directories (legacy + generation-addressed)

@@ -190,3 +190,45 @@ def test_resume_ignores_orphan_live_rebuild_checkpoints(spark, tmp_path):
     eng = SearchEngine(spark, wh, "lro")
     q = eng.docs.select("content").first()["content"].split()[0]
     assert eng.search(q, k=5, typo_tolerance=False).count() > 0
+
+
+def test_content_change_same_ids_invalidates_fingerprint(spark, tmp_path):
+    """Round-4 review regression: editing document CONTENT while keeping
+    the same documentID set must change every touched shard's
+    fingerprint -- the fingerprint hashes content_sha256, not just the
+    id mapping -- so a resume build rebuilds instead of silently serving
+    the stale postings and doc lengths."""
+    docs_v1 = spark.createDataFrame(
+        [(f"d{i}", "alpha beta gamma") for i in range(40)],
+        "documentID string, content string",
+    )
+    b = IndexBuilder(spark, _settings("cfp"), str(tmp_path))
+    b.build(docs_v1, num_shards=2)
+
+    docs_v2 = spark.createDataFrame(
+        [(f"d{i}", "delta epsilon zeta") for i in range(40)],
+        "documentID string, content string",
+    )
+    report = b.build(docs_v2, num_shards=2, resume=True)
+    assert report.shards_skipped == 0
+    assert report.shards_built == 2
+    terms = {
+        r["term"]
+        for r in spark.read.parquet(b.path("term_stats")).collect()
+    }
+    assert "delta" in terms and "alpha" not in terms
+
+
+def test_corrupt_docs_marker_is_tolerated(spark, tmp_path):
+    """A crash mid-marker-write leaves a truncated _docs_complete.json;
+    the next resume build must treat it as 'docs not verifiably
+    complete' and rewrite, never die on JSONDecodeError."""
+    corpus = generate_corpus(spark, 40, seed=3, words_per_doc=10)
+    b = IndexBuilder(spark, _settings("mk"), str(tmp_path))
+    b.build(corpus, num_shards=2)
+    with open(b.path("_docs_complete.json"), "w") as f:
+        f.write('{"fingerprint": "trunc')  # simulated torn write
+    report = b.build(corpus, num_shards=2, resume=True)
+    assert report.shards_skipped == 2  # shards still verify by checkpoint
+    docs = spark.read.parquet(b.path("docs"))
+    assert docs.count() == 40
