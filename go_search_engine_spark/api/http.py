@@ -95,7 +95,12 @@ def parse_filters(d: dict | None) -> Filters | None:
             )
             for c in d.get("filters", [])
         ],
-        groups=[parse_filters(g) for g in d.get("groups", [])],
+        # an empty group dict parses to an empty Filters (which compiles
+        # to "matches, zero score" -- the reference's empty-expression
+        # rule, service.go:719-723), never to None inside the tree
+        groups=[
+            parse_filters(g) or Filters() for g in d.get("groups", [])
+        ],
     )
 
 

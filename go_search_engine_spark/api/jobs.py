@@ -32,6 +32,7 @@ class Job:
     progress_total: int = 0
     progress_message: str = ""
     error: str | None = None
+    traceback: str | None = None
     result: dict | None = None
     created_at: float = field(default_factory=time.time)
     started_at: float | None = None
@@ -49,6 +50,9 @@ class Job:
                 "message": self.progress_message,
             },
             "error": self.error,
+            # full stack for failed jobs: 'Py4JJavaError: ...' alone is
+            # useless to the operator polling GET /jobs/{id}
+            "traceback": self.traceback,
             "result": self.result,
             "created_at": self.created_at,
             "started_at": self.started_at,
@@ -88,9 +92,12 @@ class JobManager:
                 job.result = fn(progress)
                 job.status = "completed"
             except Exception as e:  # surfaced to the poller, never lost
-                job.status = "failed"
+                # status LAST: it is the poller's readiness flag, and a
+                # poll landing between the flip and the error/traceback
+                # assignments would see a failed job with no diagnostics
                 job.error = f"{type(e).__name__}: {e}"
                 job.traceback = traceback.format_exc()
+                job.status = "failed"
             finally:
                 job.completed_at = time.time()
 

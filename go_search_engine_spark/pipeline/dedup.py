@@ -188,6 +188,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """(a, b): candidate near-dup pairs agreeing on at least one LSH band
     (signature split into ``bands`` bands of num_hashes/bands rows)."""
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would give 0-row bands whose key is the
+        # same constant for EVERY doc -- the O(n^2) cross join this
+        # module exists to avoid; a non-divisible split would silently
+        # ignore the trailing hashes
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     band_cols = []

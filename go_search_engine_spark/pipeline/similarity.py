@@ -113,11 +113,16 @@ def lsh_topk(
     path, materialize buckets once with ``build_lsh_index`` and probe with
     ``lsh_topk_indexed`` (partition pruning reads ~1/2^n_planes of input)."""
     qb = query_bucket(query_vec, planes)
-    buckets = hyperplane_lsh_buckets(df, planes, vec_col, id_col)
+    # the bucket side's id is aliased to a reserved name: a caller whose
+    # id_col is itself named 'id' would otherwise make F.col("id")
+    # ambiguous across the join (AMBIGUOUS_REFERENCE at plan time)
+    buckets = hyperplane_lsh_buckets(
+        df, planes, vec_col, id_col
+    ).withColumnRenamed("id", "_lsh_id")
     cand = df.join(
         buckets.filter(F.col("bucket") == qb),
-        df[id_col] == F.col("id"),
-    ).drop("id", "bucket")
+        df[id_col] == buckets["_lsh_id"],
+    ).drop("_lsh_id", "bucket")
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
@@ -132,10 +137,10 @@ def build_lsh_index(
     over the vectors at build time; afterwards a query probes only its
     bucket directory -- at 100 TB this is the difference between scanning
     everything per query (lsh_topk) and reading ~1/2^n_planes of it."""
-    with_b = df.join(
-        hyperplane_lsh_buckets(df, planes, vec_col, id_col),
-        df[id_col] == F.col("id"),
-    ).drop("id")
+    bk = hyperplane_lsh_buckets(
+        df, planes, vec_col, id_col
+    ).withColumnRenamed("id", "_lsh_id")  # see lsh_topk: id_col == 'id'
+    with_b = df.join(bk, df[id_col] == bk["_lsh_id"]).drop("_lsh_id")
     with_b.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
@@ -180,7 +185,10 @@ def ivf_centroids(
     cents = np.array([list(r["v"]) for r in seeds], dtype=np.float64)
     for _ in range(iters):
         assigned = ivf_assign(df, cents, vec_col, id_col)
-        with_v = df.join(assigned, df[id_col] == assigned["id"]).drop("id")
+        assigned = assigned.withColumnRenamed("id", "_ivf_id")
+        with_v = df.join(
+            assigned, df[id_col] == assigned["_ivf_id"]
+        ).drop("_ivf_id")
         means = (
             with_v.select("cell", F.posexplode(F.col(vec_col)))
             .groupBy("cell", "pos")
@@ -232,10 +240,10 @@ def build_ivf_index(
     """Materialize the IVF cell as a parquet PARTITION column (the
     inverted-file layout): queries probe n_probe cell directories via
     partition pruning instead of scanning every vector."""
-    with_c = df.join(
-        ivf_assign(df, centroids, vec_col, id_col),
-        df[id_col] == F.col("id"),
-    ).drop("id")
+    asg = ivf_assign(
+        df, centroids, vec_col, id_col
+    ).withColumnRenamed("id", "_ivf_id")  # see lsh_topk: id_col == 'id'
+    with_c = df.join(asg, df[id_col] == asg["_ivf_id"]).drop("_ivf_id")
     with_c.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
@@ -298,10 +306,10 @@ def embedding_cosine_pairs(
     default cap never triggers below ~10k same-bucket vectors, so
     small-scale results are bit-identical to the unguarded operator.
     """
-    with_b = df.join(
-        hyperplane_lsh_buckets(df, planes, vec_col, id_col),
-        df[id_col] == F.col("id"),
-    ).drop("id")
+    bk = hyperplane_lsh_buckets(
+        df, planes, vec_col, id_col
+    ).withColumnRenamed("id", "_lsh_id")  # see lsh_topk: id_col == 'id'
+    with_b = df.join(bk, df[id_col] == bk["_lsh_id"]).drop("_lsh_id")
     # string bucket keys: split refinements append "/bits", which can
     # never collide with an unsplit sibling bucket's key
     with_b = with_b.withColumn("bucket", F.col("bucket").cast("string"))
@@ -311,6 +319,7 @@ def embedding_cosine_pairs(
         log = logging.getLogger(__name__)
         dim = planes.shape[1]
         prev_max: int | None = None
+        prev_wb = None
         for rnd in range(max_split_rounds):
             counts = with_b.groupBy("bucket").count().persist()
             # ONE action per round: histogram + hot-bucket count together
@@ -374,7 +383,7 @@ def embedding_cosine_pairs(
                     ).otherwise(F.lit(0))
                 refine = bits.cast("string")
                 sep = "/"
-            with_b = (
+            new_wb = (
                 with_b.join(F.broadcast(hot), "bucket", "left")
                 .withColumn(
                     "bucket",
@@ -384,8 +393,28 @@ def embedding_cosine_pairs(
                     ).otherwise(F.col("bucket")),
                 )
                 .drop("count")
+                .persist()
             )
+            # materialize BEFORE releasing the caches this round's plan
+            # reads: unpersisting counts first would re-derive every
+            # prior round's counts on each later evaluation of with_b
+            # (~2^rounds recomputations of the base bucket scan -- and
+            # the final pair join evaluates with_b twice). One extra
+            # count() per SPLIT round only; the no-skew path never
+            # enters this branch.
+            new_wb.count()
             counts.unpersist()
+            if prev_wb is not None:
+                prev_wb.unpersist()
+            with_b, prev_wb = new_wb, new_wb
+        if prev_wb is not None:
+            # cut lineage executor-side so the returned plan neither
+            # pins the cached frame for the session's lifetime nor
+            # re-derives the split rounds (ContextCleaner reclaims the
+            # checkpoint blocks when the frame is GC'd -- the WAND
+            # finalizer's pattern)
+            with_b = with_b.localCheckpoint(eager=True)
+            prev_wb.unpersist()
     a = with_b.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
     )

@@ -134,6 +134,14 @@ def chunk_documents(
     token lands in >= 1 chunk and no fully-duplicate tail chunk is
     emitted. Short docs (< min_tokens) produce nothing.
     """
+    if stride < 1 or stride > chunk_tokens:
+        # stride=0 divides by zero (NULL n_chunks -> long docs silently
+        # VANISH); stride > chunk_tokens skips tokens between windows --
+        # both violate the every-token-covered guarantee above
+        raise ValueError(
+            f"stride must be in [1, chunk_tokens={chunk_tokens}], "
+            f"got {stride}"
+        )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     toks = F.when(F.trim(F.col(text_col)) == "", F.array()).otherwise(toks)
     base = df.select(

@@ -126,13 +126,25 @@ def _condition(df: DataFrame, c: FilterCondition) -> Column:
             return ~F.exists(col, lambda x: F.contains(F.lower(x), needle))
         return ~F.contains(F.lower(col), needle)
     # op == "_contains_any_of" (every other value was normalized above)
+    if isinstance(c.value, (str, bytes)) or not isinstance(
+        c.value, (list, tuple, set)
+    ):
+        # list('news') would silently match per-CHARACTER and a number
+        # would crash the query mid-plan; fail loud at the boundary
+        # (ValueError maps to HTTP 400)
+        raise ValueError(
+            f"_contains_any_of value for field {c.field!r} must be a "
+            f"list of values, got {type(c.value).__name__}"
+        )
     vals = list(c.value)
     if arr:
         return F.arrays_overlap(col, F.array([F.lit(v) for v in vals]))
     return col.isin(vals)
 
 
-def _tree_fields(f: Filters) -> list[str]:
+def _tree_fields(f: Filters | None) -> list[str]:
+    if f is None:
+        return []
     out = [c.field for c in f.filters]
     for g in f.groups:
         out.extend(_tree_fields(g))
@@ -172,6 +184,11 @@ def compile_filters(
         cond = _condition(df, c)
         parts.append((cond, F.when(cond, F.lit(float(c.score))).otherwise(F.lit(0.0))))
     for g in f.groups:
+        if g is None:
+            # a None group from a library caller: same semantics as an
+            # empty expression (matches, zero score -- service.go:719-723)
+            parts.append((F.lit(True), F.lit(0.0)))
+            continue
         parts.append(compile_filters(df, g))
 
     conds = [p[0] for p in parts]

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import time
 import uuid
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -55,7 +55,7 @@ class SearchResult:
     query_id: str
 
 
-def _ranking_order(settings, df: DataFrame) -> list[Column]:
+def _ranking_order(settings) -> list[Column]:
     """Ranking criteria -> orderBy columns (service.go:520-644).
 
     Missing-field rule (service.go:561-566): ascending sorts missing
@@ -133,7 +133,7 @@ class SearchService:
         )
         hits = hits.withColumn("filter_score", fscore.cast("double")).filter(matches)
 
-        order = _ranking_order(s, hits)
+        order = _ranking_order(s)
         # DistinctField dedup keeps the best-ranked hit per distinct value;
         # docs missing the field are always kept (service.go:678-715).
         # The reference compares fmt.Sprintf("%v") of the dynamic value
@@ -277,9 +277,18 @@ class SearchService:
         eng._ensure_fresh()
         frames = []
         for name, (tokens, cand) in self._batched_cands(requests).items():
+            req = requests[name]
+            # validate BEFORE the empty-token skip: a bad field
+            # restriction must 400 like a lone search() would, not be
+            # hidden by a query that happens to tokenize to nothing
+            fields = req.restrict_searchable_fields or (
+                self.settings.searchable_fields
+            )
+            bad = set(fields) - set(self.settings.searchable_fields)
+            if bad:
+                raise ValueError(f"non-searchable fields: {sorted(bad)}")
             if not tokens:
                 continue
-            req = requests[name]
             f = (
                 self._ranked_frame(req, cand=cand)
                 .limit(k)
@@ -327,13 +336,15 @@ class SearchService:
 
         frames = []
         for name, (tokens, cand) in cands.items():
-            if not tokens:
-                continue
             req = requests[name]
+            # same ordering rule as multi_search: validate before the
+            # empty-token skip
             fields = req.restrict_searchable_fields or s.searchable_fields
             bad = set(fields) - set(s.searchable_fields)
             if bad:
                 raise ValueError(f"non-searchable fields: {sorted(bad)}")
+            if not tokens:
+                continue
             f = self._ranked_frame(
                 req, prep=(fields, tokens, cand), ordered=False
             ).withColumn("query_name", F.lit(name))
@@ -345,7 +356,7 @@ class SearchService:
             union = frames[0]
             for f in frames[1:]:
                 union = union.unionByName(f)
-            order = _ranking_order(s, union)
+            order = _ranking_order(s)
             w = Window.partitionBy("query_name").orderBy(*order)
             ranked = union.withColumn("_rn", F.row_number().over(w)).persist()
             try:

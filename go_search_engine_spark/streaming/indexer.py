@@ -38,21 +38,16 @@ class StreamingIndexer:
         self.batches_seen = 0
 
     def _prep(self, batch: DataFrame) -> DataFrame:
-        """Identical normalization to the batch builder: array<string>
-        searchable fields join with a space (builder._norm_field,
-        reference indexing/service.go:233-241) BEFORE doc_len and the
-        flatMap -- required for the 'identical segments to batch'
-        guarantee."""
-        from ..build.builder import _norm_field
+        """Identical normalization to the batch builder, BY CONSTRUCTION:
+        doc_len comes from the builder's own derive_doc_columns (whose
+        docstring mandates byte-identical derivation across paths) --
+        re-implementing the loop here would silently diverge streamed
+        segments' BM25 |d| from batch-built ones on any future builder
+        tweak. content_sha256 is derived too and simply unused by the
+        segment write."""
+        from ..build.builder import derive_doc_columns
 
-        s = self.settings
-        dl = None
-        for f_name in s.searchable_fields:
-            c = whitespace_word_count_col(
-                F.coalesce(_norm_field(batch, f_name), F.lit(""))
-            )
-            dl = c if dl is None else dl + c
-        return batch.withColumn("doc_len", dl.cast("long"))
+        return derive_doc_columns(batch, self.settings)
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         from ..build.builder import _norm_field

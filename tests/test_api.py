@@ -198,6 +198,10 @@ def test_job_manager_failure_and_progress():
     job = jm.wait(jid)
     assert job.status == "failed"
     assert "kaput" in job.error
+    # the full stack reaches the poller (to_dict is what GET /jobs/{id}
+    # serializes); 'RuntimeError: kaput' alone is useless for a failure
+    # deep inside a Spark job
+    assert "boom" in job.to_dict()["traceback"]
     assert job.progress_current == 1 and job.progress_total == 3
 
     def ok(progress):

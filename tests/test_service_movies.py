@@ -640,3 +640,59 @@ def test_non_typo_tolerant_words_case_insensitive(spark, tmp_path_factory):
     # only exact matches, never typo expansion
     rows = eng.search("spud", k=10).collect()
     assert rows and all(r["num_typos"] == 0 for r in rows)
+
+
+def test_filter_edge_inputs(service):
+    """Round-4 review edges: an empty filter GROUP matches-all with zero
+    score (the reference's empty-expression rule applied to a nested
+    group); a STRING _contains_any_of value is a loud ValueError, never
+    per-character matching."""
+    import pytest
+
+    from go_search_engine_spark.query.filters import (
+        FilterCondition,
+        Filters,
+        compile_filters,
+    )
+
+    docs = service.engine.docs
+    # empty nested group inside an AND: behaves as a matching, 0-score leg
+    f = Filters(operator="AND", filters=[
+        FilterCondition(field="year", operator="_gte", value=1999, score=2.0)
+    ], groups=[Filters()])
+    m, sc = compile_filters(docs, f)
+    rows = docs.filter(m).count()
+    assert rows == docs.filter(F.col("year") >= 1999).count()
+    # None group from a library caller: same, never an AttributeError
+    f2 = Filters(operator="OR", filters=[
+        FilterCondition(field="year", operator="_gte", value=1999)
+    ], groups=[None])
+    m2, _ = compile_filters(docs, f2)
+    docs.filter(m2).count()
+    # string value for _contains_any_of -> ValueError (HTTP 400), not
+    # silent per-character isin
+    f3 = Filters(filters=[FilterCondition(
+        field="title", operator="_contains_any_of", value="neo")])
+    with pytest.raises(ValueError, match="_contains_any_of"):
+        compile_filters(docs, f3)
+
+
+def test_multi_search_validates_fields_on_empty_query(service):
+    """A bad restrict_searchable_fields must raise even when the query
+    tokenizes to nothing -- same contract as a lone search()."""
+    import pytest
+
+    from go_search_engine_spark.query.service import SearchRequest
+
+    with pytest.raises(ValueError, match="non-searchable"):
+        service.multi_search_envelopes({
+            "bad": SearchRequest(
+                query="", restrict_searchable_fields=["nope"]
+            ),
+        })
+    with pytest.raises(ValueError, match="non-searchable"):
+        service.multi_search({
+            "bad": SearchRequest(
+                query="", restrict_searchable_fields=["nope"]
+            ),
+        })

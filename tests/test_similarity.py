@@ -349,3 +349,25 @@ def test_embedding_pairs_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     planes = hyperplanes(dim=8, n_planes=4, seed=7)
     assert embedding_cosine_pairs(df, planes).count() == 0
+
+
+def test_parameter_validation_raises(spark):
+    """Round-4 review: degenerate parameters fail loud at the boundary
+    instead of silently cross-joining (bands > num_hashes), dropping
+    long docs (stride=0), or skipping tokens (stride > chunk)."""
+    import pytest
+
+    from go_search_engine_spark.pipeline.dedup import minhash_lsh_pairs
+    from go_search_engine_spark.pipeline.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_pairs(df, num_hashes=4, bands=8)
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_pairs(df, num_hashes=5, bands=2)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=64, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=64, stride=100)
