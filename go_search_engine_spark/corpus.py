@@ -24,7 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 LANGS = ["go", "py", "java", "ts", "rs", "c", "md"]
-EXT = {"go": "go", "py": "py", "java": "java", "ts": "ts", "rs": "rs", "c": "c", "md": "md"}
 
 # vocabulary: identifiers chosen to hit every tokenizer rule + typo pairs
 IDENTIFIERS = [
@@ -79,7 +78,7 @@ def _batch(
     repos = [f"org{a}/repo{b}" for a, b in zip(repo_i, repo_j)]
     langs = [LANGS[i] for i in lang_i]
     paths = [
-        f"src/pkg{p}/File{f}.{EXT[lg]}" for p, f, lg in zip(pkg, fno, langs)
+        f"src/pkg{p}/File{f}.{lg}" for p, f, lg in zip(pkg, fno, langs)
     ]
     commits = [
         hashlib.sha1(f"{r}/{p}".encode()).hexdigest() for r, p in zip(repos, paths)

@@ -59,6 +59,15 @@ def varint_decode(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    if b[-1] & 0x80:
+        # a valid LEB128 stream always ends on a terminator byte; a
+        # trailing continuation bit means a torn/corrupt buffer --
+        # fail loud here instead of silently dropping the last value
+        # (or crashing with a misaligned IndexError far downstream in
+        # decode_positions)
+        raise ValueError(
+            "truncated varint stream: buffer ends mid-value"
+        )
     is_last = (b & 0x80) == 0
     ends = np.nonzero(is_last)[0]
     n = ends.size

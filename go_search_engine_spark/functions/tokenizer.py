@@ -106,8 +106,10 @@ def tokenize_ngrams_col(c: Column) -> Column:
 
 def whitespace_word_count_col(c: Column) -> Column:
     """BM25 document length |d|: whitespace-separated word count, matching
-    the reference's getFieldLength (bm25.go:123-158) -- NOT token count."""
-    arr = F.split(c, r"[ \t\n\r]+")
+    the reference's getFieldLength (bm25.go:123-158) -- NOT token count.
+    NULL-safe in the helper itself (a NULL column would make F.size
+    return -1, silently corrupting every downstream sum/avg)."""
+    arr = F.split(F.coalesce(c, F.lit("")), r"[ \t\n\r]+")
     return F.size(F.filter(arr, lambda x: x != F.lit("")))
 
 

@@ -53,6 +53,7 @@ from ..config import (
 )
 from ..functions.edit_distance import damerau_levenshtein
 from ..functions.tokenizer import (
+    prefix_ngrams,
     tokenize,
     tokenize_with_prefix_ngrams,
     whitespace_word_count,
@@ -78,8 +79,6 @@ def _prefix_tokens(text: str, max_ngram_len: int | None) -> list[str]:
         if t not in seen:
             out.append(t)
             seen.add(t)
-        from ..functions.tokenizer import prefix_ngrams
-
         for g in prefix_ngrams(t)[:max_ngram_len]:
             if g not in seen:
                 out.append(g)
@@ -88,11 +87,16 @@ def _prefix_tokens(text: str, max_ngram_len: int | None) -> list[str]:
 
 
 def _norm(v) -> str:
-    """Array fields join with a space (indexing/service.go:233-241)."""
+    """Array fields join with a space (indexing/service.go:233-241).
+    Null/non-string elements are DROPPED, matching both the reference
+    (its type switch keeps only string items) and the engine
+    (array_join skips nulls) -- stringifying them would index the token
+    'none' and inflate BM25 |d|, breaking oracle<->engine rank
+    identity."""
     if v is None:
         return ""
     if isinstance(v, (list, tuple)):
-        return " ".join(str(x) for x in v)
+        return " ".join(x for x in v if isinstance(x, str))
     return str(v)
 
 
@@ -215,13 +219,19 @@ class OracleIndex:
                 maxd = 0
                 min1 = s.min_word_size_for_1_typo
                 min2 = s.min_word_size_for_2_typos
+                t1 = min1 > 0 and len(tok) >= min1
                 if min2 > 0 and len(tok) >= min2:
                     maxd = 2
-                elif min1 > 0 and len(tok) >= min1:
+                elif t1:
                     maxd = 1
+                # tier-based penalty (engine._token_gates has the full
+                # citation): a distance-1 term found only because the
+                # 2-typo pass ran (1-typo pass gated off) gets x0.6 in
+                # the reference, not x0.8
+                pen1 = TYPO_PENALTY_1 if t1 else TYPO_PENALTY_2
                 if maxd:
                     for t, d in self.typo_candidates(tok, maxd):
-                        pen = TYPO_PENALTY_1 if d == 1 else TYPO_PENALTY_2
+                        pen = pen1 if d == 1 else TYPO_PENALTY_2
                         cands.append((t, d, pen))
             per_token[tok] = cands
 
@@ -268,8 +278,10 @@ class OracleIndex:
                 1
                 for tok in tokens
                 if any(
-                    doc in self.postings.get((tok, f), {})
-                    and tok in self.full_words.get((doc, f), ())
+                    # full-word membership implies the posting exists
+                    # (every full token of a field is emitted into that
+                    # field's postings)
+                    tok in self.full_words.get((doc, f), ())
                     for f in fields
                 )
             )

@@ -341,12 +341,23 @@ class SearchEngine:
         ntw = {w.lower() for w in s.non_typo_tolerant_words}
         for tok in tokens:
             maxd = 0
+            t1 = min1 > 0 and len(tok) >= min1
+            t2 = min2 > 0 and len(tok) >= min2
             if typo_tolerance and tok not in ntw:
-                if min2 > 0 and len(tok) >= min2:
+                if t2:
                     maxd = 2
-                elif min1 > 0 and len(tok) >= min1:
+                elif t1:
                     maxd = 1
-            gates[tok] = maxd
+            # the reference penalizes by SCAN TIER, not true distance:
+            # its 1-typo pass applies x0.8 and its 2-typo pass x0.6 to
+            # everything it finds (service.go:246 / :316), and the
+            # best-distance dedup only protects terms the 1-typo pass
+            # actually found -- so when that pass is gated off (min1=0,
+            # or min2 <= len < min1) a distance-1 term is found by the
+            # 2-typo pass and penalized x0.6. ``pen1`` is the penalty a
+            # distance-1 candidate gets for this token.
+            pen1 = TYPO_PENALTY_1 if t1 else TYPO_PENALTY_2
+            gates[tok] = (maxd, pen1)
         return gates
 
     def _guard_keep(self, terms: pd.Series) -> pd.Series:
@@ -497,11 +508,13 @@ class SearchEngine:
             min_word_size_for_1_typo,
             min_word_size_for_2_typos,
         )
-        eligible = [(t, d) for t, d in gates.items() if d > 0]
+        eligible = [(t, d) for t, (d, _) in gates.items() if d > 0]
         rows = [(t, t, 0, 1.0) for t in tokens]
         typos = self.typo_scan(eligible)
         for r in typos.itertuples():
-            pen = TYPO_PENALTY_1 if r.distance == 1 else TYPO_PENALTY_2
+            pen = (
+                gates[r.token][1] if r.distance == 1 else TYPO_PENALTY_2
+            )
             rows.append((r.token, r.term, int(r.distance), pen))
         cand = pd.DataFrame(rows, columns=["token", "term", "distance", "penalty"])
         return self._with_stats(cand)

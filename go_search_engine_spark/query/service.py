@@ -237,7 +237,7 @@ class SearchService:
                 req.min_word_size_for_2_typos,
             )
             toks_per[name] = (tokens, gates)
-            for t, d in gates.items():
+            for t, (d, _) in gates.items():
                 merged[t] = max(merged.get(t, 0), d)
         eligible = sorted((t, d) for t, d in merged.items() if d > 0)
         scan = eng.typo_scan(eligible)  # ONE vocab pass for all requests
@@ -251,8 +251,10 @@ class SearchService:
             rows = [(t, t, 0, 1.0) for t in tokens]
             sub = scan[scan["token"].isin(tokens)] if len(scan) else scan
             for r in sub.itertuples():
-                if r.distance <= gates.get(r.token, 0):
-                    pen = TYPO_PENALTY_1 if r.distance == 1 else TYPO_PENALTY_2
+                maxd, pen1 = gates.get(r.token, (0, TYPO_PENALTY_1))
+                if r.distance <= maxd:
+                    # tier-based penalty: see engine._token_gates
+                    pen = pen1 if r.distance == 1 else TYPO_PENALTY_2
                     rows.append((r.token, r.term, int(r.distance), pen))
             out[name] = (
                 tokens,

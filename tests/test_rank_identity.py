@@ -129,3 +129,50 @@ def test_zero_min_word_size_disables_typos(engine_and_oracle):
     assert [r["doc_id"] for r in loose] == [h.doc_id for h in want]
     for g, w in zip(loose, want):
         assert _math.isclose(g["score"], w.score, rel_tol=1e-9)
+
+
+def test_tier_based_typo_penalty(engine_and_oracle):
+    """Reference semantics (service.go:246 vs :316): penalties attach to
+    the SCAN TIER, not the true edit distance. When the 1-typo pass is
+    gated off (min_word_size_for_1_typo=0) but the 2-typo pass runs, a
+    distance-1 term is found by the 2-typo scan and penalized x0.6, not
+    x0.8. Engine and oracle must agree with each other AND score exactly
+    0.75x the both-tiers score (0.6/0.8)."""
+    import math as _math
+
+    engine, oracle = engine_and_oracle
+    q = "tokenzier"  # distance-1 neighbour of the indexed 'tokenizer'
+
+    both = engine.search(
+        q, k=120, min_word_size_for_1_typo=4, min_word_size_for_2_typos=7
+    ).collect()
+    only2 = engine.search(
+        q, k=120, min_word_size_for_1_typo=0, min_word_size_for_2_typos=7
+    ).collect()
+    typo_both = [r for r in both if r["num_typos"] == 1]
+    typo_only2 = [r for r in only2 if r["num_typos"] == 1]
+    assert typo_both and typo_only2
+    # a best-distance-1 doc is penalized x0.8 in the both-tiers config
+    # and x0.6 in the 2-typo-only config; the per-doc score is the MAX
+    # over penalized candidate contributions, so the ratio is exactly
+    # 0.75 when the d1 term stays the max and in (0.75, 1) when a d2
+    # term takes over -- never higher, never below 0.75
+    by_id = {r["doc_id"]: r["score"] for r in typo_both}
+    checked = 0
+    for r in typo_only2:
+        b = by_id.get(r["doc_id"], 0)
+        if b > 0:
+            assert b * 0.75 - 1e-9 <= r["score"] <= b + 1e-9
+            checked += 1
+    assert checked > 0
+
+    o = oracle.settings
+    saved = (o.min_word_size_for_1_typo, o.min_word_size_for_2_typos)
+    o.min_word_size_for_1_typo, o.min_word_size_for_2_typos = 0, 7
+    try:
+        want = oracle.search(q, k=120)
+    finally:
+        o.min_word_size_for_1_typo, o.min_word_size_for_2_typos = saved
+    assert [r["doc_id"] for r in only2] == [h.doc_id for h in want]
+    for g, w in zip(only2, want):
+        assert _math.isclose(g["score"], w.score, rel_tol=1e-9)
