@@ -275,6 +275,50 @@ def summarize_scaling(runs: list, ratio: int = 4) -> dict:
     return out
 
 
+def point_contaminated(
+    point: dict, quiet_cal: float = 0.5, max_steal_pct: float = 2.0
+) -> bool:
+    """True when a single throughput leg's own telemetry says it ran
+    through host contention (pure; pinned by tests/test_benchstat.py).
+    Two independent signals, either one disqualifies: the during-leg
+    calibration median (quiet 32-thread legs measure ~0.11 s even with
+    every bench thread busy; contaminated legs recorded 1.06-2.56 s) and
+    hypervisor steal% over the leg (quiet <=0.1; the bandwidth-contended
+    window 16 read 4.67 with cal still quiet -- steal is the only
+    standard field that sees that class). A leg too short to collect a
+    during-sample falls back to its start-of-leg cal read."""
+    cal = point.get("cal_during") or {}
+    med = cal.get("median")
+    if med is None:
+        med = point.get("cal_sec")
+    if med is not None and med > quiet_cal:
+        return True
+    steal = point.get("steal_pct")
+    return steal is not None and steal > max_steal_pct
+
+
+def best_throughput_point(attempts: list) -> dict:
+    """Fold repeated max-thread throughput attempts into the official
+    point (pure; pinned by tests/test_benchstat.py): contention noise is
+    strictly additive, so the min-wall attempt is the consistent
+    estimator -- same methodology as the scaling legs. Every attempt's
+    wall + window-quality summary stays in the artifact."""
+    best = min(attempts, key=lambda p: p["wall_sec"])
+    out = dict(best)
+    out["attempts"] = [
+        {
+            "wall_sec": p["wall_sec"],
+            "postings_per_sec": p["postings_per_sec"],
+            "cal_during_median": (p.get("cal_during") or {}).get("median"),
+            "cal_sec": p.get("cal_sec"),
+            "steal_pct": p.get("steal_pct"),
+            "contaminated": point_contaminated(p),
+        }
+        for p in attempts
+    ]
+    return out
+
+
 def build_index(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -752,9 +796,24 @@ def main() -> None:
 
         result["scaling"] = summarize_scaling(runs)
         if CPUS > 4 * SCALING_N:
-            result["scaling"]["max_threads"] = scaling_run(
-                corpus_path, SCALING_DOCS, CPUS
-            )
+            # The max-thread throughput point is the artifact's
+            # baseline-comparison number, and single-shot it inherits
+            # exactly the contamination risk the scaling legs had:
+            # window 19 recorded a mid-leg burst (cal_during median
+            # 2.56 s vs the quiet ~0.11 s, 156 s wall vs the quiet
+            # 25-29 s band) into an otherwise-green artifact. Same
+            # medicine as the legs: retry while the leg's own telemetry
+            # says contended (bounded attempts + wall budget), publish
+            # the min-wall attempt, keep every attempt recorded.
+            attempts = []
+            t_point = time.time()
+            for _ in range(3):
+                attempts.append(scaling_run(corpus_path, SCALING_DOCS, CPUS))
+                if not point_contaminated(attempts[-1]):
+                    break
+                if time.time() - t_point > 420:
+                    break
+            result["scaling"]["max_threads"] = best_throughput_point(attempts)
 
     if ONLY_SCALING:
         # a probe artifact must not be confusable with a real headline

@@ -150,3 +150,49 @@ def test_wait_for_quiet_gives_up_when_budget_exhausted(monkeypatch):
     r = bench.wait_for_quiet("t")
     assert r["gave_up"] and r["waited_sec"] == 30.0
     assert bench._QUIET_WAIT_BUDGET[0] == 0.0
+
+
+def _point(wall, pps, cal_med=None, cal_sec=0.1, steal=0.0):
+    p = {
+        "wall_sec": wall, "postings_per_sec": pps,
+        "cal_sec": cal_sec, "steal_pct": steal,
+        "cal_during": {"n": 1, "median": cal_med} if cal_med is not None
+        else {"n": 0},
+    }
+    return p
+
+
+def test_point_contamination_matches_recorded_windows():
+    """The thresholds replay the round-4 archive: quiet 32-thread legs
+    (windows 14/16/17: cal_during 0.106-0.112, steal 0.03-4.67) vs the
+    contaminated ones (window 18: cal 1.058; window 19: cal 2.564)."""
+    assert not bench.point_contaminated(_point(28.2, 7e5, cal_med=0.106))
+    # window 17: leg too short for a during-sample -> start-of-leg cal
+    assert not bench.point_contaminated(_point(24.98, 7.9e5, cal_sec=0.094))
+    # window 18/19 bursts: cal_during says contended
+    assert bench.point_contaminated(_point(87.0, 2.3e5, cal_med=1.058))
+    assert bench.point_contaminated(_point(156.5, 1.3e5, cal_med=2.564))
+    # window 16's bandwidth-contention class: cal quiet, steal 4.67
+    assert bench.point_contaminated(_point(35.7, 5.6e5, cal_med=0.112,
+                                           steal=4.67))
+
+
+def test_best_throughput_point_publishes_min_wall_with_audit_trail():
+    """A contaminated first attempt followed by a quiet retry publishes
+    the quiet number; every attempt stays in the artifact with its own
+    contamination verdict."""
+    a = _point(156.5, 126657.3, cal_med=2.564)
+    b = _point(25.0, 793200.0, cal_med=0.105)
+    out = bench.best_throughput_point([a, b])
+    assert out["wall_sec"] == 25.0
+    assert out["postings_per_sec"] == 793200.0
+    assert [x["contaminated"] for x in out["attempts"]] == [True, False]
+    assert [x["wall_sec"] for x in out["attempts"]] == [156.5, 25.0]
+
+
+def test_best_throughput_point_single_quiet_attempt_passes_through():
+    a = _point(28.2, 702800.0, cal_med=0.106)
+    out = bench.best_throughput_point([a])
+    assert out["wall_sec"] == 28.2
+    assert len(out["attempts"]) == 1
+    assert not out["attempts"][0]["contaminated"]
