@@ -176,3 +176,79 @@ def test_tier_based_typo_penalty(engine_and_oracle):
     assert [r["doc_id"] for r in only2] == [h.doc_id for h in want]
     for g, w in zip(only2, want):
         assert _math.isclose(g["score"], w.score, rel_tol=1e-9)
+
+
+# --- property-based sweep: rank identity over random query x settings ---
+
+from hypothesis import HealthCheck, given  # noqa: E402
+from hypothesis import settings as hsettings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from go_search_engine_spark.corpus import IDENTIFIERS  # noqa: E402
+from go_search_engine_spark.functions.tokenizer import tokenize  # noqa: E402
+
+
+def _word_pool() -> list[str]:
+    """Deterministic query-word pool: every subtoken the corpus
+    identifiers produce, the raw identifiers (multi-token camelCase),
+    1-edit mutations of the longer words (deletion + transposition --
+    typo-scan bait), short typo-ineligible words, and no-match noise."""
+    pool: set[str] = set()
+    for ident in IDENTIFIERS:
+        pool.update(tokenize(ident))
+        pool.add(ident)
+    for w in sorted(pool):
+        if len(w) >= 5:
+            m = len(w) // 2
+            pool.add(w[:m] + w[m + 1:])  # deletion
+            pool.add(w[:m] + w[m + 1] + w[m] + w[m + 2:])  # transposition
+    pool.update({"err", "zz", "zzzqqqxxx"})
+    return sorted(pool)
+
+
+_POOL = _word_pool()
+
+
+@hsettings(
+    max_examples=18,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    words=st.lists(
+        st.sampled_from(_POOL), min_size=1, max_size=3, unique=True
+    ),
+    min1=st.sampled_from([None, 0, 1, 4, 6]),
+    min2=st.sampled_from([None, 0, 5, 8]),
+    typo=st.booleans(),
+    k=st.sampled_from([5, 20]),
+)
+def test_property_rank_identity(engine_and_oracle, words, min1, min2, typo, k):
+    """Any pool query x any typo-gate override x typo toggle x k: the
+    Spark engine and the pure-Python oracle must return the identical
+    ranked list -- ids, BM25 scores to 1e-9, and num_typos. Sweeps the
+    scan-tier penalty interaction (min1=0 with min2 on), zero-disables
+    semantics, per-query overrides, and no-match/short-word edges that
+    the fixed-query suite samples only pointwise."""
+    engine, oracle = engine_and_oracle
+    q = " ".join(words)
+    got = engine.search(
+        q, k=k, typo_tolerance=typo,
+        min_word_size_for_1_typo=min1,
+        min_word_size_for_2_typos=min2,
+    ).collect()
+    o = oracle.settings
+    saved = (o.min_word_size_for_1_typo, o.min_word_size_for_2_typos)
+    if min1 is not None:
+        o.min_word_size_for_1_typo = min1
+    if min2 is not None:
+        o.min_word_size_for_2_typos = min2
+    try:
+        want = oracle.search(q, k=k, typo_tolerance=typo)
+    finally:
+        o.min_word_size_for_1_typo, o.min_word_size_for_2_typos = saved
+    assert [r["doc_id"] for r in got] == [h.doc_id for h in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g["score"], w.score, rel_tol=1e-9, abs_tol=1e-12)
+        assert g["num_typos"] == w.num_typos
