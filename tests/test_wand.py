@@ -201,3 +201,41 @@ def test_wand_block_metadata_fallback_rank_identical(spark, engine, tmp_path):
             legacy, query, k=k, typo_tolerance=typos, prune=True
         ).collect()
         _same(pruned, exhaustive)
+
+
+# --- property-based sweep: forced 2-phase WAND vs exhaustive ---
+
+from hypothesis import HealthCheck, given  # noqa: E402
+from hypothesis import settings as hsettings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from test_rank_identity import _word_pool  # noqa: E402
+
+_POOL = _word_pool()
+
+
+@hsettings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    words=st.lists(
+        st.sampled_from(_POOL), min_size=1, max_size=3, unique=True
+    ),
+    typos=st.booleans(),
+    k=st.sampled_from([3, 10, 50]),
+)
+def test_property_wand_rank_identical(engine, words, typos, k):
+    """Any pool query x typo toggle x k: the forced 2-phase block-max
+    tier must return the identical ranked list (ids, scores, typo
+    accounting) as the exhaustive scorer. Block-max pruning bugs are
+    query-shape-dependent (theta trajectories, ties at the threshold,
+    single-block terms), which fixed query lists sample only pointwise."""
+    q = " ".join(words)
+    exhaustive = engine.search(q, k=k, typo_tolerance=typos).collect()
+    pruned = wand_topk(
+        engine, q, k=k, typo_tolerance=typos, prune=True
+    ).collect()
+    _same(pruned, exhaustive)
