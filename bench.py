@@ -559,6 +559,7 @@ def scaling_run(
     n_docs: int,
     cpus: int,
     shuffle_partitions: int | None = None,
+    store_positions: bool = True,
 ) -> dict:
     """Build throughput at a given parallelism in a fresh SparkSession
     over the same materialized input.
@@ -622,6 +623,7 @@ def scaling_run(
             searchable_fields=["content"],
             fields_without_prefix_search=["content"],
             salt_df_threshold=n_docs // 4,
+            store_positions=store_positions,
         )
         wh = tempfile.mkdtemp(prefix=f"gse_scale_{cpus}_")
         quiet_wait = wait_for_quiet(f"leg_{cpus}cpu")
@@ -650,6 +652,7 @@ def scaling_run(
         return {
             "cpus": cpus,
             "docs": n_docs,
+            "store_positions": store_positions,
             "heap_gb": heap_gb,
             "shuffle_partitions": int(
                 spark.conf.get("spark.sql.shuffle.partitions")
@@ -805,15 +808,32 @@ def main() -> None:
             # medicine as the legs: retry while the leg's own telemetry
             # says contended (bounded attempts + wall budget), publish
             # the min-wall attempt, keep every attempt recorded.
-            attempts = []
-            t_point = time.time()
-            for _ in range(3):
-                attempts.append(scaling_run(corpus_path, SCALING_DOCS, CPUS))
-                if not point_contaminated(attempts[-1]):
-                    break
-                if time.time() - t_point > 420:
-                    break
-            result["scaling"]["max_threads"] = best_throughput_point(attempts)
+            def measured_point(**kw) -> dict:
+                attempts: list = []
+                t_point = time.time()
+                for _ in range(3):
+                    attempts.append(
+                        scaling_run(corpus_path, SCALING_DOCS, CPUS, **kw)
+                    )
+                    if not point_contaminated(attempts[-1]):
+                        break
+                    if time.time() - t_point > 420:
+                        break
+                return best_throughput_point(attempts)
+
+            result["scaling"]["max_threads"] = measured_point()
+            # Feature-parity point vs BASELINE.md: the reference's only
+            # throughput figure (61.5k docs/sec ~= 1.2M postings/sec,
+            # benchmark_test.go) is in-memory hash-map inserts storing
+            # NO positions (its posting positions field is dead). This
+            # point builds with store_positions=False -- what the
+            # reference actually stores, still writing compressed
+            # durable block-max parquet + stats -- so the artifact
+            # carries the apples-to-apples ratio next to the
+            # full-feature one.
+            result["scaling"]["max_threads_noposition"] = measured_point(
+                store_positions=False
+            )
 
     if ONLY_SCALING:
         # a probe artifact must not be confusable with a real headline
