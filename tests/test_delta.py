@@ -560,3 +560,79 @@ def _search_all_live(eng):
     (its generation check is the thing under test)."""
     return {q: _key(eng.search(q, k=100, typo_tolerance=t).collect())
             for q, t in QUERIES}
+
+
+# --- randomized maintenance sequences: refresh and delta twins must ---
+# --- agree op-by-op, whatever the op mix -----------------------------
+
+_WORDS = ["tokenizer", "func", "return", "zzzfresh", "zzzwords", "buffer",
+          "merge", "delta", "varint", "retrun", "index", "scanner"]
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_random_sequence_delta_matches_refresh(spark, tmp_path, seed):
+    """Seeded random op sequences (upserts mixing updates, inserts,
+    delta-over-delta rows; deletes hitting live, just-inserted, and
+    nonexistent ids) applied to twin indexes -- refresh mode on one,
+    delta mode on the other. The per-op (updated, inserted)/deleted
+    accounting and the post-sequence search results + term stats must
+    be identical, and must stay identical after compaction folds the
+    deltas. The fixed `twin` fixture covers one handwritten sequence;
+    this covers op interleavings nobody thought to write down."""
+    import random
+
+    rng = random.Random(seed)
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 40, seed=seed, words_per_doc=10)
+    for name in ("ref", "dlt"):
+        IndexBuilder(spark, _settings(name), wh).build(corpus, num_shards=1)
+    live = sorted(r["documentID"] for r in corpus.select("documentID").collect())
+    dead: list[str] = []
+    mr = IndexMaintenance(spark, wh, "ref")
+    md = IndexMaintenance(spark, wh, "dlt")
+    n_new = 0
+
+    for _ in range(5):
+        if rng.random() < 0.6 or not live:
+            rows = []
+            for _ in range(rng.randint(2, 4)):
+                text = " ".join(rng.sample(_WORDS, rng.randint(3, 6)))
+                roll = rng.random()
+                if roll < 0.5 and live:
+                    rows.append((rng.choice(live), text))  # update
+                elif roll < 0.7 and dead:
+                    rows.append((rng.choice(dead), text))  # resurrect
+                else:
+                    n_new += 1
+                    rows.append((f"rnd-{seed}-{n_new}", text))  # insert
+            # dedup ids within the batch (upsert rejects duplicates)
+            rows = list({d: t for d, t in rows}.items())
+            b = _batch(spark, rows)
+            rr = mr.upsert_documents(b)
+            dd = md.upsert_documents(b, mode="delta")
+            assert (rr["updated"], rr["inserted"]) == (
+                dd["updated"], dd["inserted"]
+            ), f"seed={seed} upsert accounting diverged"
+            for d, _t in rows:
+                if d in dead:
+                    dead.remove(d)
+                if d not in live:
+                    live.append(d)
+        else:
+            k = min(len(live), rng.randint(1, 2))
+            targets = rng.sample(live, k)
+            if rng.random() < 0.4:
+                targets.append(f"ghost-{seed}")  # nonexistent id
+            nr = mr.delete_documents(targets)
+            nd = md.delete_documents(targets, mode="delta")
+            assert nr == nd == k, f"seed={seed} delete accounting diverged"
+            for d in targets[:k]:
+                live.remove(d)
+                dead.append(d)
+
+    assert _search_all(spark, wh, "ref") == _search_all(spark, wh, "dlt")
+    assert _term_stats_map(spark, wh, "ref") == _term_stats_map(
+        spark, wh, "dlt"
+    )
+    md.compact_segments()
+    assert _search_all(spark, wh, "ref") == _search_all(spark, wh, "dlt")
