@@ -82,6 +82,23 @@ def parse_filters(d: dict | None) -> Filters | None:
     """JSON filter tree -> Filters (services/interfaces.go:70-83 shape)."""
     if not d:
         return None
+    if not isinstance(d, dict):
+        raise ApiError(400, "'filters' must be a JSON object")
+    conds = d.get("filters", [])
+    groups = d.get("groups", [])
+    if not isinstance(conds, list) or any(
+        not isinstance(c, dict) for c in conds
+    ):
+        raise ApiError(400, "'filters.filters' must be a list of objects")
+    if not isinstance(groups, list):
+        raise ApiError(400, "'filters.groups' must be a list")
+    for c in conds:
+        if "field" not in c:
+            raise ApiError(400, "every filter condition needs a 'field'")
+        try:
+            float(c.get("score", 0.0))
+        except (TypeError, ValueError):
+            raise ApiError(400, "filter condition 'score' must be a number")
     return Filters(
         # reference: a missing/empty expression operator means OR
         # (service.go:749-750)
@@ -104,17 +121,54 @@ def parse_filters(d: dict | None) -> Filters | None:
     )
 
 
+def _opt_str_list(v, field: str):
+    if v is None:
+        return None
+    if not isinstance(v, list) or any(not isinstance(x, str) for x in v):
+        raise ApiError(400, f"{field!r} must be a list of strings")
+    return v
+
+
+def _opt_int(v, field: str):
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, int):
+        raise ApiError(400, f"{field!r} must be an integer")
+    return v
+
+
 def parse_search_request(body: dict) -> SearchRequest:
+    """Field-typed request binding: valid JSON with wrong-typed fields
+    (``{"query": 5}``, ``{"page": "x"}``) must be a 400 at the boundary,
+    the reference's gin ShouldBindJSON behavior -- never a TypeError 500
+    from tokenize()/int() deep in the query path."""
+    q = body.get("query", "")
+    if not isinstance(q, str):
+        raise ApiError(400, "'query' must be a string")
+    try:
+        page = int(body.get("page", 1))
+        page_size = int(body.get("page_size", 10))
+    except (TypeError, ValueError):
+        raise ApiError(400, "page and page_size must be integers")
     return SearchRequest(
-        query=body.get("query", ""),
-        page=int(body.get("page", 1)),
-        page_size=int(body.get("page_size", 10)),
+        query=q,
+        page=page,
+        page_size=page_size,
         filters=parse_filters(body.get("filters")),
-        restrict_searchable_fields=body.get("restrict_searchable_fields"),
-        retrievable_fields=body.get("retrievable_fields"),
+        restrict_searchable_fields=_opt_str_list(
+            body.get("restrict_searchable_fields"),
+            "restrict_searchable_fields",
+        ),
+        retrievable_fields=_opt_str_list(
+            body.get("retrievable_fields"), "retrievable_fields"
+        ),
         typo_tolerance=bool(body.get("typo_tolerance", True)),
-        min_word_size_for_1_typo=body.get("min_word_size_for_1_typo"),
-        min_word_size_for_2_typos=body.get("min_word_size_for_2_typos"),
+        min_word_size_for_1_typo=_opt_int(
+            body.get("min_word_size_for_1_typo"), "min_word_size_for_1_typo"
+        ),
+        min_word_size_for_2_typos=_opt_int(
+            body.get("min_word_size_for_2_typos"), "min_word_size_for_2_typos"
+        ),
         include_field_matches=bool(body.get("include_field_matches", False)),
     )
 
@@ -123,6 +177,20 @@ class ApiError(Exception):
     def __init__(self, status: int, message: str):
         super().__init__(message)
         self.status = status
+
+
+def _obj(body) -> dict:
+    """Body-shape gate for endpoints expecting a JSON object. Valid
+    JSON of the wrong top-level type (``123``, ``"x"``, ``[]``) parses
+    fine and then crashes ``body.get``/``in body`` deep inside a handler
+    as a 500 TypeError; the reference's gin ``ShouldBindJSON`` maps the
+    same mistake to 400 at the boundary. ``None`` (no body) maps to
+    ``{}`` for endpoints whose fields are all optional."""
+    if body is None:
+        return {}
+    if not isinstance(body, dict):
+        raise ApiError(400, "request body must be a JSON object")
+    return body
 
 
 # Index names become filesystem path components under the warehouse, so
@@ -134,9 +202,25 @@ _SAFE_NAME_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9._-]*$")
 
 
 def check_index_name(name: str) -> str:
-    if not name or not _SAFE_NAME_RE.match(name):
+    if not isinstance(name, str) or not name or not _SAFE_NAME_RE.match(name):
         raise ApiError(400, f"invalid index name {name!r}")
     return name
+
+
+def settings_from_body(d: dict) -> IndexSettings:
+    """IndexSettings.from_dict with API-boundary typing: unknown keys
+    and wrong-shaped values (gin would reject both at bind time) map to
+    400, not a dataclass TypeError 500."""
+    import dataclasses
+
+    allowed = {f.name for f in dataclasses.fields(IndexSettings)}
+    unknown = sorted(set(d) - allowed)
+    if unknown:
+        raise ApiError(400, f"unknown settings: {unknown}")
+    try:
+        return IndexSettings.from_dict(d)
+    except (TypeError, ValueError, AttributeError) as e:
+        raise ApiError(400, f"invalid settings body: {e}")
 
 
 def check_settings(settings: IndexSettings) -> IndexSettings:
@@ -239,6 +323,15 @@ class EngineServer:
         )
 
     def _docs_df(self, docs: list[dict], name: str):
+        if not isinstance(docs, list) or any(
+            not isinstance(d, dict) for d in docs
+        ):
+            # same boundary rule as _obj: valid-JSON-wrong-shape (an
+            # object, a string, a list of scalars) must be a 400, not a
+            # TypeError 500 from d.get below or a crashed Spark job
+            raise ApiError(
+                400, "request body must be a JSON array of document objects"
+            )
         if not docs:
             raise ApiError(400, "empty document batch")
         for d in docs:
@@ -265,19 +358,19 @@ class EngineServer:
             ("GET", r"^/indexes$", lambda m: (
                 lambda names: {"indexes": names, "count": len(names)}
             )(mnt.list_indexes(self.warehouse))),
-            ("POST", r"^/indexes$", lambda m: self.create_index(body)),
+            ("POST", r"^/indexes$", lambda m: self.create_index(_obj(body))),
             ("GET", r"^/indexes/([^/]+)$",
              lambda m: self._settings(m.group(1)).to_dict()),
             ("DELETE", r"^/indexes/([^/]+)$",
              lambda m: self.delete_index(m.group(1))),
             ("POST", r"^/indexes/([^/]+)/rename$",
-             lambda m: self.rename_index(m.group(1), body)),
+             lambda m: self.rename_index(m.group(1), _obj(body))),
             # the reference mounts settings updates as PATCH
             # (api/handlers.go:52); PUT is kept as an alias
             ("PUT", r"^/indexes/([^/]+)/settings$",
-             lambda m: self.update_settings(m.group(1), body)),
+             lambda m: self.update_settings(m.group(1), _obj(body))),
             ("PATCH", r"^/indexes/([^/]+)/settings$",
-             lambda m: self.update_settings(m.group(1), body)),
+             lambda m: self.update_settings(m.group(1), _obj(body))),
             ("PUT", r"^/indexes/([^/]+)/documents$",
              lambda m: self.add_documents(m.group(1), body)),
             ("GET", r"^/indexes/([^/]+)/documents$",
@@ -296,19 +389,20 @@ class EngineServer:
             # the reference calls _search/_multi_search; both spellings
             # are served
             ("POST", r"^/indexes/([^/]+)/search$",
-             lambda m: self.search(m.group(1), body)),
+             lambda m: self.search(m.group(1), _obj(body))),
             ("POST", r"^/indexes/([^/]+)/_search$",
-             lambda m: self.search(m.group(1), body)),
+             lambda m: self.search(m.group(1), _obj(body))),
             ("POST", r"^/indexes/([^/]+)/_multi_search$",
              lambda m: self.multi_search(
-                 {**(body or {}), "index": m.group(1)})),
+                 {**_obj(body), "index": m.group(1)})),
             ("GET", r"^/indexes/([^/]+)/jobs$",
              lambda m: self.list_jobs({**query, "index": [m.group(1)]})),
             ("POST", r"^/indexes/([^/]+)/warm$",
-             lambda m: self.warm(m.group(1), body)),
+             lambda m: self.warm(m.group(1), _obj(body))),
             ("POST", r"^/indexes/([^/]+)/compact$",
-             lambda m: self.compact(m.group(1), body)),
-            ("POST", r"^/multi-search$", lambda m: self.multi_search(body)),
+             lambda m: self.compact(m.group(1), _obj(body))),
+            ("POST", r"^/multi-search$",
+             lambda m: self.multi_search(_obj(body))),
             ("GET", r"^/jobs/([^/]+)$", lambda m: self.get_job(m.group(1))),
             ("GET", r"^/jobs$", lambda m: self.list_jobs(query)),
         ]
@@ -325,7 +419,7 @@ class EngineServer:
         if not body or not body.get("name"):
             raise ApiError(400, "settings body with 'name' required")
         check_index_name(body["name"])
-        settings = check_settings(IndexSettings.from_dict(body))
+        settings = check_settings(settings_from_body(body))
         with self._index_lock(settings.name):
             if body["name"] in mnt.list_indexes(self.warehouse):
                 raise ApiError(409, f"index {body['name']!r} exists")
@@ -376,7 +470,7 @@ class EngineServer:
             """
             old = self._settings(name)
             new = check_settings(
-                IndexSettings.from_dict({**old.to_dict(), **body})
+                settings_from_body({**old.to_dict(), **body})
             )
             new.name = name
             return old, new
@@ -670,6 +764,10 @@ class EngineServer:
         body = body or {}
         name = body.get("index", "")
         queries = body.get("queries", {})
+        if not isinstance(queries, (dict, list)):
+            raise ApiError(
+                400, "'queries' must be a list or object of named queries"
+            )
         if isinstance(queries, list):
             # the reference's MultiSearchRequest shape
             # (api/search_handlers.go:30-44): a LIST of named queries,
@@ -678,6 +776,8 @@ class EngineServer:
             # its own
             named: dict = {}
             for q in queries:
+                if q is not None and not isinstance(q, dict):
+                    raise ApiError(400, "every query must be a JSON object")
                 q = dict(q or {})
                 qn = str(q.pop("name", ""))
                 if not qn:
@@ -698,6 +798,9 @@ class EngineServer:
         if not name or not queries:
             raise ApiError(400, "body needs 'index' and 'queries'")
         svc = SearchService(self._engine(name))
+        for qn, q in queries.items():
+            if not isinstance(q, dict):
+                raise ApiError(400, f"query {qn!r} must be a JSON object")
         reqs = {qn: parse_search_request(q) for qn, q in queries.items()}
         try:
             envs = svc.multi_search_envelopes(reqs)
