@@ -139,3 +139,45 @@ def test_whitespace_word_count(spark):
         .collect()
     )
     assert [r.n for r in rows] == want
+
+
+def test_three_impls_agree_on_random_text(spark):
+    """The pure-Python, pandas, and Spark-Column tokenizers are three
+    independent transcriptions of tokenizer.go:9-78; the golden cases
+    above sample the spec pointwise, this compares all three on 300
+    seeded-random strings over an adversarial alphabet (case flips,
+    acronym runs, digits, unicode letters, CJK, emoji, control chars,
+    repeated separators) in ONE Spark job. Divergence between the
+    regex-in-SQL and regex-in-Python translations is exactly the bug
+    class golden cases miss."""
+    import random
+
+    rng = random.Random(4242)
+    alphabet = (
+        "abcdefgh" "ABCDEFGH" "0123456789" "_-. \t\n" "!@#$%^&*()[]{}+/"
+        "ÜéßΣσ中文\U0001f680\x00\x1f"
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(300)
+    ]
+    want = [tokenize(t) for t in texts]
+    want_ng = [tokenize_with_prefix_ngrams(t) for t in texts]
+
+    got_pd = [tokenize_series(pd.Series([t]))[0] for t in texts]
+    assert got_pd == want
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+    )
+    rows = (
+        df.select(
+            "i",
+            tokenize_col(F.col("text")).alias("toks"),
+            tokenize_ngrams_col(F.col("text")).alias("ng"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [list(r.toks) for r in rows] == want
+    assert [list(r.ng) for r in rows] == want_ng
