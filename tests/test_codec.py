@@ -56,3 +56,25 @@ def test_compression_ratio():
     ids = np.arange(0, 100_000, 3, dtype=np.uint64)
     buf = delta_encode(ids)
     assert len(buf) < ids.size * 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63), min_size=1,
+                max_size=50))
+def test_truncated_varint_fails_loud(vals):
+    """A torn buffer (any strict prefix cut mid-value, i.e. ending on a
+    continuation byte) must raise, never silently drop the last value
+    or misalign downstream decode_positions."""
+    import pytest as _pytest
+
+    buf = varint_encode(np.array(vals, dtype=np.uint64))
+    # cut right after every continuation byte: buf[:i] then ends mid-value
+    cut_points = [i + 1 for i in range(len(buf) - 1) if buf[i] & 0x80]
+    for i in cut_points[:20]:
+        with _pytest.raises(ValueError, match="truncated varint"):
+            varint_decode(buf[:i])
+    # every terminator-aligned prefix still decodes to a value prefix
+    ends = [i + 1 for i in range(len(buf)) if not buf[i] & 0x80]
+    for i in ends[-3:]:
+        got = varint_decode(buf[:i]).tolist()
+        assert got == vals[: len(got)]
