@@ -634,5 +634,18 @@ def test_random_sequence_delta_matches_refresh(spark, tmp_path, seed):
     assert _term_stats_map(spark, wh, "ref") == _term_stats_map(
         spark, wh, "dlt"
     )
+    # positional operators stay live on the random delta state too
+    from go_search_engine_spark.query.phrase import phrase_search
+
+    for q in ("zzzfresh zzzwords", "varint index"):
+        assert [
+            tuple(r) for r in phrase_search(
+                SearchEngine(spark, wh, "dlt"), q, k=50
+            ).collect()
+        ] == [
+            tuple(r) for r in phrase_search(
+                SearchEngine(spark, wh, "ref"), q, k=50
+            ).collect()
+        ], f"seed={seed} phrase {q!r}"
     md.compact_segments()
     assert _search_all(spark, wh, "ref") == _search_all(spark, wh, "dlt")
