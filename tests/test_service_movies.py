@@ -696,3 +696,39 @@ def test_multi_search_validates_fields_on_empty_query(service):
                 query="", restrict_searchable_fields=["nope"]
             ),
         })
+
+
+def test_multi_search_envelopes_random_batches(service):
+    """Randomized batches through the shared-vocab-scan multi-search:
+    every envelope must equal the lone search() for the same request.
+    The batch path merges typo gates across requests and slices one
+    scan's candidates back out per request (service.py multi_search) --
+    cross-request contamination (one query's looser gate leaking
+    another's typo candidates, or a stricter one suppressing them)
+    is exactly what handwritten batches undersample."""
+    import random
+
+    rng = random.Random(1312)
+    pool = ["matrix", "matrx", "neo", "spede", "spud", "sped", "comedy",
+            "dreams", "space", "agents", "paper", "zzz", "the", "sci"]
+    for batch_no in range(6):
+        reqs = {}
+        for i in range(rng.randint(2, 5)):
+            words = rng.sample(pool, rng.randint(1, 2))
+            reqs[f"q{batch_no}_{i}"] = SearchRequest(
+                query=" ".join(words),
+                page=rng.choice([1, 1, 2]),
+                page_size=rng.choice([3, 5, 10]),
+                typo_tolerance=rng.random() < 0.8,
+                min_word_size_for_1_typo=rng.choice([None, 0, 1, 4]),
+                min_word_size_for_2_typos=rng.choice([None, 0, 5]),
+            )
+        multi = service.multi_search_envelopes(reqs)
+        assert set(multi) == set(reqs)
+        for name, req in reqs.items():
+            single = service.search(req)
+            m = multi[name]
+            assert m.total == single.total, name
+            assert [dict(h) for h in m.hits] == [
+                dict(h) for h in single.hits
+            ], name
