@@ -52,7 +52,13 @@ def word_shingles(
         F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
         lambda i: F.array_join(F.slice("toks", i, k), " "),
     )
-    return with_toks.select("id", F.explode(sh).alias("shingle")).distinct()
+    # per-doc array_distinct == global distinct over (id, shingle) -- a
+    # doc's repeats collapse inside its own row, so the dedup is a
+    # narrow map, not a full shuffle of the exploded stream (which at
+    # 100 TB is the largest frame in the whole operator)
+    return with_toks.select(
+        "id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -82,17 +88,21 @@ def ngram_jaccard_pairs(
         # full id array (the r3 one-pass layout built the list first and
         # filtered after: unbounded per-row memory in exactly the
         # degenerate-skew case the guard exists for). The shingle stream
-        # is NOT persisted: it is larger than the corpus, and a
-        # long-lived session (server, bench loop) would accumulate one
-        # pinned copy per call with no safe point to unpersist a frame
-        # the returned plan still references -- recomputing the
-        # tokenizer/explode (pure JVM codegen) per pass is the trade
-        # that survives both 100 TB and a long-lived driver. The
-        # surviving id lists are bounded by max_shingle_df; pair
-        # generation is a JVM-side slice/transform (emits only a < b),
-        # never a self-join. No broadcast hint on the anti-join: the hot
-        # set is usually tiny but CAN be huge on a degenerate corpus --
-        # AQE picks broadcast when it fits.
+        # IS persisted -- its three consumers (hot pre-pass, per-doc
+        # sizes, kept-groupBy) would otherwise each re-run the
+        # tokenize/explode/distinct (a 3x recompute, round-4's one bench
+        # regression). The long-lived-driver leak this used to risk is
+        # closed the same way dedup_clusters closes it: the result is
+        # localCheckpoint(eager=True)-materialized BEFORE the cache is
+        # released, so the returned plan no longer references sh and the
+        # unpersist below is safe; checkpoint blocks are GC'd with the
+        # RDD once the caller drops the result. The surviving id lists
+        # are bounded by max_shingle_df; pair generation is a JVM-side
+        # slice/transform (emits only a < b), never a self-join. No
+        # broadcast hint on the anti-join: the hot set is usually tiny
+        # but CAN be huge on a degenerate corpus -- AQE picks broadcast
+        # when it fits.
+        sh = sh.persist()
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -111,8 +121,7 @@ def ngram_jaccard_pairs(
             sh_kept = sh
         # per-doc sizes from the flat kept stream (word_shingles is
         # distinct per (id, shingle), so this equals exploding the kept
-        # id lists) -- avoids a second consumer of the grouped frame,
-        # which would otherwise need its own persist to not recompute
+        # id lists) -- avoids a second consumer of the grouped frame
         sizes = sh_kept.groupBy("id").agg(F.count("*").alias("sz"))
         kept = sh_kept.groupBy("shingle").agg(
             F.sort_array(F.collect_list("id")).alias("ids"),
@@ -132,6 +141,14 @@ def ngram_jaccard_pairs(
             .groupBy("a", "b")
             .agg(F.count("*").alias("inter"))
         )
+        out = _jaccard_filter(inter, sizes, threshold)
+        # eager checkpoint materializes the (threshold-bounded) pair set
+        # executor-side and cuts lineage off the cached shingle stream,
+        # so the persist can be released NOW instead of leaking one
+        # pinned copy per call in a long-lived session
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist(blocking=True)
+        return out
     else:
         # exact inverted-join semantics (caller asserts no stop-shingles):
         # no per-shingle id list is materialized, so a degenerate shingle
@@ -145,6 +162,11 @@ def ngram_jaccard_pairs(
             .groupBy("a", "b")
             .agg(F.count("*").alias("inter"))
         )
+    return _jaccard_filter(inter, sizes, threshold)
+
+
+def _jaccard_filter(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(a, b, jaccard) from pair intersection counts + per-doc sizes."""
     return (
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")

@@ -108,12 +108,50 @@ def test_ngram_guard_leaves_no_cached_frames(spark):
     call with no safe unpersist point."""
     from go_search_engine_spark.pipeline.dedup import ngram_jaccard_pairs
 
+    import gc
+    import time
+
     docs = [(i, f"red green blue token{i} extra words here") for i in range(8)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=5)
+    out.collect()
+    # the shingle-stream cache must be gone the moment the call returns
+    # (unpersist(blocking=True) inside); only the small eager-checkpoint
+    # result RDD may remain, and it is ContextCleaner-released once the
+    # caller drops the frame -- poll for that
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before + 1
+    del out
+    gc.collect()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if spark.sparkContext._jsc.getPersistentRDDs().size() <= before:
+            break
+        spark._jvm.System.gc()
+        time.sleep(0.5)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
+def test_ngram_shingle_stream_computed_once(spark):
+    """The guarded path's three consumers (hot pre-pass, sizes,
+    kept-groupBy) must read ONE cached shingle stream, not recompute
+    tokenize/explode/distinct per consumer (round-4's +22% bench
+    regression). An accumulator on the RDD source counts source scans:
+    exactly n_rows iff the stream is computed once."""
+    from go_search_engine_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+    rows = [(i, f"red green blue token{i} extra words here") for i in range(8)]
+
+    def tag(r):
+        acc.add(1)
+        return r
+
+    rdd = sc.parallelize(rows, 2).map(tag)
+    df = spark.createDataFrame(rdd, "doc_id long, text string")
     ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=5).collect()
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before
+    assert acc.value == len(rows)
 
 
 def test_bpe_ish_and_rolling_hash_edges(spark):
