@@ -4,10 +4,16 @@
 throughput and the two-parallelism scaling-efficiency run the north rule
 requires (local[N] vs local[4N] stand-in for N vs 4N executors).
 
-Prints ONE JSON line:
+Prints the FULL artifact JSON line (also written to
+BENCH/full_latest.json), then a guaranteed-< 1,900-char compact summary
+line LAST:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "build": {...}, "scaling": {...}}
+   "queries": {name: sec, ...}, "sf": ..., "compact": true,
+   "summary": {efficiency..., p32 throughput..., warm p50, build wall,
+   latency_150k...}}
+so a tail-truncating consumer always captures one complete, parseable
+record with the round's headline numbers (round 4's single >10 KB line
+was cut mid-JSON by the driver's 2,000-char tail).
 
 Set SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling phase.
 """
@@ -316,6 +322,12 @@ def best_throughput_point(attempts: list) -> dict:
         }
         for p in attempts
     ]
+    # self-describing window quality: a point whose EVERY attempt ran
+    # through contention (round-4's no-positions point: 3/3 with steal
+    # 4-8%) is published -- hiding it would be worse -- but flagged
+    # non-representative so nothing downstream quotes it as a clean
+    # measurement
+    out["all_contaminated"] = all(a["contaminated"] for a in out["attempts"])
     return out
 
 
@@ -488,26 +500,33 @@ def run_queries(
     return times, cold
 
 
-def query_latency_profile(engine, wand, n: int = 15) -> dict:
+def _pcts(xs: list) -> dict:
+    xs = sorted(xs)
+    return {
+        "p50_ms": round(1000 * xs[len(xs) // 2], 1),
+        "p95_ms": round(1000 * xs[min(len(xs) - 1, int(len(xs) * 0.95))], 1),
+    }
+
+
+def _latency_sweep(engine, wand, queries: list, n: int) -> dict:
     """p50/p95 of repeated top-k queries (exhaustive vs WAND)."""
     lats = {"exhaustive": [], "wand": []}
-    queries = ["data value table", "spark query", "key value", "batch window",
-               "customer order"]
     for i in range(n):
         qq = queries[i % len(queries)]
         sec, _ = timed(lambda: engine.search(qq, k=10, typo_tolerance=False).collect())
         lats["exhaustive"].append(sec)
         sec, _ = timed(lambda: wand(engine, qq, k=10, typo_tolerance=False).collect())
         lats["wand"].append(sec)
+    return {k: _pcts(v) for k, v in lats.items()}
 
-    def pcts(xs):
-        xs = sorted(xs)
-        return {
-            "p50_ms": round(1000 * xs[len(xs) // 2], 1),
-            "p95_ms": round(1000 * xs[min(len(xs) - 1, int(len(xs) * 0.95))], 1),
-        }
 
-    return {k: pcts(v) for k, v in lats.items()}
+def query_latency_profile(engine, wand, n: int = 15) -> dict:
+    return _latency_sweep(
+        engine, wand,
+        ["data value table", "spark query", "key value", "batch window",
+         "customer order"],
+        n,
+    )
 
 
 def warm_latency_profile(engine, wand, n: int = 15) -> dict:
@@ -524,6 +543,173 @@ def warm_latency_profile(engine, wand, n: int = 15) -> dict:
     prof = query_latency_profile(engine, wand, n)
     prof["warm_info"] = info
     return prof
+
+
+def latency_150k(corpus_path: str, n_docs: int) -> dict:
+    """Query latency against the SCALING corpus index (150k docs, ~30x
+    the sf0.1 headline index): the scale where the vocab cache, typo
+    candidate caps, WAND block-max tiers and partial-warm machinery
+    actually bind. Round 4's latency claims were only ever measured at
+    the 5k-doc index -- this closes that evidence gap. The warehouse is
+    cached across runs (builder resume makes the rebuild a no-op), so
+    repeated benches pay the build once."""
+    from go_search_engine_spark.build.builder import IndexBuilder
+    from go_search_engine_spark.config import IndexSettings
+    from go_search_engine_spark.query.engine import SearchEngine
+    from go_search_engine_spark.query.phrase import phrase_search
+    from go_search_engine_spark.query.wand import wand_topk
+    from go_search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="latency150k", cpus=CPUS,
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"n_docs": n_docs}
+    try:
+        corpus = spark.read.parquet(corpus_path)
+        _warm_build(spark, corpus, "content")
+        wh = os.path.join(
+            tempfile.gettempdir(), f"gse_latency_wh_v1_{n_docs}"
+        )
+        settings = IndexSettings(
+            name="lat150k",
+            searchable_fields=["content"],
+            fields_without_prefix_search=["content"],
+            salt_df_threshold=n_docs // 4,
+            term_buckets=CPUS,
+        )
+        t0 = time.time()
+        report = IndexBuilder(spark, settings, wh).build(
+            corpus, num_shards=max(1, min(8, n_docs // 20000))
+        )
+        out["build_or_resume_sec"] = round(time.time() - t0, 2)
+        out["n_postings"] = report.n_postings
+        engine = SearchEngine(spark, wh, "lat150k")
+        # corpus-vocabulary queries (corpus.py IDENTIFIERS/TAIL_WORDS);
+        # each timed twice, steady-state published (same policy as
+        # run_queries, cold sums alongside)
+        qs: dict = {}
+        cold: dict = {}
+
+        def q(name, fn):
+            c0, _ = timed(fn)
+            c1, _ = timed(fn)
+            cold[name] = round(c0, 4)
+            qs[name] = round(c1, 4)
+
+        q("bm25_exhaustive", lambda: engine.search(
+            "tokenizer buffer stream", k=10, typo_tolerance=False).collect())
+        q("bm25_wand_auto", lambda: wand_topk(
+            engine, "tokenizer buffer stream", k=10,
+            typo_tolerance=False).collect())
+        q("bm25_wand_forced", lambda: wand_topk(
+            engine, "tokenizer buffer stream", k=10, typo_tolerance=False,
+            prune=True).collect())
+        q("bm25_typo", lambda: engine.search(
+            "tokenzer bufer", k=10, typo_tolerance=True).collect())
+        q("phrase", lambda: phrase_search(
+            engine, "posting list", k=10).collect())
+        out["queries"] = qs
+        out["queries_cold"] = cold
+        # the claim that block-max pruning earns its keep at scale is
+        # checkable from the artifact itself
+        out["wand_auto_beats_exhaustive"] = (
+            qs["bm25_wand_auto"] < qs["bm25_exhaustive"]
+        )
+        sweep = [
+            "tokenizer buffer stream", "func return err",
+            "posting list merge", "index builder", "var channel mutex",
+        ]
+        out["latency"] = _latency_sweep(engine, wand_topk, sweep, n=10)
+        cold_rank = engine.search(
+            "tokenizer buffer stream", k=10, typo_tolerance=False).collect()
+        info = engine.warm()
+        warm_rank = engine.search(
+            "tokenizer buffer stream", k=10, typo_tolerance=False).collect()
+        assert [(r["doc_id"], r["score"]) for r in cold_rank] == [
+            (r["doc_id"], r["score"]) for r in warm_rank
+        ], "warm mode broke rank identity at 150k docs"
+        out["latency_warm"] = _latency_sweep(engine, wand_topk, sweep, n=10)
+        out["warm_info"] = {
+            k: info[k]
+            for k in ("warm_terms", "warm_postings", "bytes_in_memory",
+                      "fraction_in_memory")
+            if k in info
+        }
+    finally:
+        spark.stop()
+    return out
+
+
+def compact_summary(result: dict) -> dict:
+    """The LAST stdout line's payload (pure; pinned by
+    tests/test_benchstat.py). The driver archives only the final ~2,000
+    characters of bench stdout, and round 4's single full-artifact line
+    (>10 KB with scaling telemetry) was truncated mid-JSON -- the
+    round's headline scaling number survived only in archived window
+    files. This line is guaranteed < 1,900 chars and carries every
+    headline number: total, per-query seconds, scaling efficiency
+    (median + min-est + reps), 32-thread postings/sec with and without
+    positions (+ window-clean flags), warm p50, build wall, and the
+    150k-doc latency block. The full artifact is printed on the line
+    before it and written to BENCH/full_latest.json."""
+    c: dict = {
+        "metric": result.get("metric"),
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        "sf": result.get("sf"),
+        "compact": True,
+        "full_artifact": "BENCH/full_latest.json",
+    }
+    if "queries" in result:
+        c["queries"] = result["queries"]
+    s: dict = {}
+    build = result.get("build") or {}
+    if build:
+        s["build_wall_sec"] = build.get("wall_sec")
+        s["build_postings_per_sec"] = build.get("postings_per_sec")
+    lw = result.get("latency_warm") or {}
+    if lw:
+        s["warm_p50_ms"] = (lw.get("exhaustive") or {}).get("p50_ms")
+        s["warm_wand_p50_ms"] = (lw.get("wand") or {}).get("p50_ms")
+    sc = result.get("scaling") or {}
+    if sc:
+        s["efficiency"] = sc.get("efficiency")
+        s["efficiency_median"] = sc.get("efficiency_median")
+        s["efficiency_runs"] = sc.get("efficiency_runs")
+        for key, tag in (
+            ("max_threads", "p32"),
+            ("max_threads_noposition", "p32_nopos"),
+        ):
+            pt = sc.get(key) or {}
+            if pt:
+                s[f"{tag}_wall_sec"] = pt.get("wall_sec")
+                s[f"{tag}_postings_per_sec"] = pt.get("postings_per_sec")
+                s[f"{tag}_clean"] = not pt.get("all_contaminated", False)
+    l150 = result.get("latency_150k") or {}
+    if l150:
+        s["latency_150k"] = {
+            "queries": l150.get("queries"),
+            "warm_p50_ms": ((l150.get("latency_warm") or {})
+                            .get("exhaustive") or {}).get("p50_ms"),
+            "warm_wand_p50_ms": ((l150.get("latency_warm") or {})
+                                 .get("wand") or {}).get("p50_ms"),
+            "wand_auto_beats_exhaustive": l150.get(
+                "wand_auto_beats_exhaustive"
+            ),
+        }
+    c["summary"] = s
+    # hard size guarantee: the whole point of this line is surviving a
+    # 2,000-char tail, so shed detail (never the headline scalars) until
+    # it fits
+    for drop in (
+        lambda: s.pop("efficiency_runs", None),
+        lambda: s.get("latency_150k", {}).pop("queries", None),
+        lambda: c.pop("queries", None),
+    ):
+        if len(json.dumps(c)) <= 1900:
+            break
+        drop()
+    return c
 
 
 def materialize_scaling_corpus(n_docs: int, words: int) -> str:
@@ -823,9 +1009,13 @@ def main() -> None:
                 # additive, so min-wall over >=2 attempts is cheap
                 # insurance; a third attempt only when the last one's
                 # own telemetry says contended.
+                # round 4's no-positions point published 3/3 contaminated
+                # attempts (steal 4-8%) -- one more bounded retry chance
+                # (4 attempts / 560 s) buys a quiet sub-window cheaply,
+                # and all_contaminated still marks the point if none lands
                 attempts: list = []
                 t_point = time.time()
-                for _ in range(3):
+                for _ in range(4):
                     attempts.append(
                         scaling_run(corpus_path, SCALING_DOCS, CPUS, **kw)
                     )
@@ -833,7 +1023,7 @@ def main() -> None:
                         attempts[-1]
                     ):
                         break
-                    if time.time() - t_point > 420:
+                    if time.time() - t_point > 560:
                         break
                 return best_throughput_point(attempts)
 
@@ -851,6 +1041,11 @@ def main() -> None:
                 store_positions=False
             )
 
+        if not ONLY_SCALING and os.environ.get(
+            "SPARK_GRAFT_BENCH_LATENCY150K", "1"
+        ) != "0":
+            result["latency_150k"] = latency_150k(corpus_path, SCALING_DOCS)
+
     if ONLY_SCALING:
         # a probe artifact must not be confusable with a real headline
         # sweep (metric=headline_queries_total value=0.0 reads as a
@@ -861,7 +1056,17 @@ def main() -> None:
         result["queries"] = times
         result["metric"] = "headline_queries_total"
         result["value"] = round(sum(times.values()), 4)
-    print(json.dumps(result))
+    full_line = json.dumps(result)
+    try:
+        with open(os.path.join(REPO, "BENCH", "full_latest.json"), "w") as f:
+            f.write(full_line + "\n")
+    except OSError:
+        pass
+    print(full_line)
+    # the compact summary goes LAST: the driver archives only the final
+    # ~2,000 stdout chars, and this line is guaranteed to fit (and
+    # parse) inside that tail with every headline number aboard
+    print(json.dumps(compact_summary(result)))
 
 
 if __name__ == "__main__":

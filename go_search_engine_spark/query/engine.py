@@ -52,34 +52,80 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_blocks_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas: block rows -> flat (term, field, doc_id, tf, dl, fw)."""
-    for pdf in batches:
-        if len(pdf) == 0:
+def decode_blocks_arrow(
+    batches: Iterator["pa.RecordBatch"],
+) -> Iterator["pa.RecordBatch"]:
+    """mapInArrow: block rows -> flat (term, field, doc_id, tf, dl, fw).
+
+    Mirror of the build-side whole-batch Arrow encoder
+    (build/blocks.py:_encode_batch). Each binary cell is a
+    self-terminating varint stream, so a column's concatenated Arrow
+    data buffer decodes in ONE vectorized varint_decode call per batch;
+    per-block segmentation falls out of the ``n`` column with numpy
+    boundary arithmetic, and the term/field strings are replicated with
+    Arrow ``take`` (no Python string objects). Replaces the round-4
+    itertuples loop (per-block-row bytes() copies + pandas concat) that
+    dominated cold query latency.
+    """
+    import pyarrow as pa
+
+    from ..build.blocks import _binary_parts
+
+    for batch in batches:
+        nb = batch.num_rows
+        if nb == 0:
             continue
-        terms, fields, dids, tfs, dls, fws = [], [], [], [], [], []
-        for rec in pdf.itertuples():
-            ids = delta_decode(bytes(rec.doc_ids)).astype(np.int64)
-            terms.append(np.repeat(rec.term, len(ids)))
-            fields.append(np.repeat(rec.field, len(ids)))
-            dids.append(ids)
-            tfs.append(varint_decode(bytes(rec.tfs)).astype(np.float64))
-            dls.append(varint_decode(bytes(rec.dls)).astype(np.int64))
-            fws.append(
-                np.unpackbits(np.frombuffer(bytes(rec.fws), dtype=np.uint8))[
-                    : len(ids)
-                ].astype(bool)
-            )
-        yield pd.DataFrame(
-            {
-                "term": np.concatenate(terms),
-                "field": np.concatenate(fields),
-                "doc_id": np.concatenate(dids),
-                "tf": np.concatenate(tfs),
-                "dl": np.concatenate(dls),
-                "fw": np.concatenate(fws),
-            }
+        col = lambda name: batch.column(batch.schema.get_field_index(name))
+        counts = col("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(counts.sum())
+        vstart = np.zeros(nb, dtype=np.int64)
+        np.cumsum(counts[:-1], out=vstart[1:])
+        row_in_block = (
+            np.arange(total, dtype=np.int64) - np.repeat(vstart, counts)
         )
+
+        def stream(name: str) -> np.ndarray:
+            offs, data = _binary_parts(col(name))
+            return varint_decode(data[offs[0]:offs[-1]])
+
+        deltas = stream("doc_ids")
+        # segmented cumsum: each block's delta chain restarts at vstart.
+        # Stays uint64 throughout -- the global cumsum may wrap, but the
+        # (cs - base) difference is exact under mod-2^64 arithmetic.
+        cs = np.cumsum(deltas, dtype=np.uint64)
+        base = np.repeat(cs[vstart] - deltas[vstart], counts)
+        doc_ids = (cs - base).astype(np.int64)
+        tfs = stream("tfs").astype(np.float64)
+        dls = stream("dls").astype(np.int64)
+        fw_offs, fw_data = _binary_parts(col("fws"))
+        bits = np.unpackbits(fw_data[fw_offs[0]:fw_offs[-1]])
+        fw_idx = (
+            np.repeat((fw_offs[:-1] - fw_offs[0]) * 8, counts) + row_in_block
+        )
+        fws = bits[fw_idx].astype(bool)
+        rep = pa.array(np.repeat(np.arange(nb, dtype=np.int64), counts))
+        yield pa.RecordBatch.from_arrays(
+            [
+                col("term").take(rep),
+                col("field").take(rep),
+                pa.array(doc_ids, type=pa.int64()),
+                pa.array(tfs, type=pa.float64()),
+                pa.array(dls, type=pa.int64()),
+                pa.array(fws, type=pa.bool_()),
+            ],
+            names=["term", "field", "doc_id", "tf", "dl", "fw"],
+        )
+
+
+def decode_blocks(blk: DataFrame) -> DataFrame:
+    """Block rows -> flat decoded postings via the module-level Arrow
+    decoder (module attribute lookup at call time keeps the decode UDF
+    monkeypatchable for the decode-count tests)."""
+    import go_search_engine_spark.query.engine as _self
+
+    return blk.select(
+        "term", "field", "n", "doc_ids", "tfs", "dls", "fws"
+    ).mapInArrow(_self.decode_blocks_arrow, schema=DECODED_SCHEMA)
 
 
 def _esc(s: str) -> str:
@@ -627,9 +673,7 @@ class SearchEngine:
                 self._warm_chosen_terms(), "term", "left_semi"
             )
             info["warm_terms"] = n_chosen
-        decoded = blk.select(
-            "term", "field", "doc_ids", "tfs", "dls", "fws"
-        ).mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+        decoded = decode_blocks(blk)
         if self._delta:
             # fold pending deltas INTO the warm frame (visibility applied
             # once, at warm time); the generation check re-warms after the
@@ -699,17 +743,23 @@ class SearchEngine:
 
     def _build_warm_sql_template(self) -> None:
         """Cache a single SQL string for the whole warm top-k pipeline
-        (full warm + persisted docs_slim only). The DataFrame path costs
-        ~30 py4j round trips of plan construction PER QUERY (~45% of
-        warm p50 -- measured plan-build 320ms of 749ms total on a
+        (any warm mode with a persisted docs_slim). The DataFrame path
+        costs ~30 py4j round trips of plan construction PER QUERY (~45%
+        of warm p50 -- measured plan-build 320ms of 749ms total on a
         degraded-window profile, same ratio idle); the template needs
         ONE spark.sql() call. The logical plan is identical -- same
         cached InMemoryRelations via temp views, same expression trees
         (see score_and_intersect for the semantics and reference
         citations) -- so Catalyst produces the same one-job physical
-        plan, which tests/test_warm.py pins for both paths."""
+        plan, which tests/test_warm.py pins for both paths. Under a
+        PARTIAL warm (the realistic big-index serving mode) the warm
+        frame holds only the hot-set terms, so search_from_cand routes a
+        query here only when every candidate term is warm (boundary
+        membership is a driver-side O(1) check); queries touching cold
+        terms keep the union path, which needs the decode UDF SQL cannot
+        express."""
         self._drop_warm_views()
-        if not self._warm_all or self._docs_slim is None:
+        if self._warm_decoded is None or self._docs_slim is None:
             return
         # uuid view names: two engines warming concurrently (the API
         # server runs per-index jobs on threads) must never allocate the
@@ -995,11 +1045,10 @@ FROM topk
             blk = self.candidate_blocks(
                 cand[cand["term"].isin(cold)], fields
             )
-            # project BEFORE the decode UDF: column pruning cannot reach
-            # through mapInPandas, and the unused ``positions`` stream is
-            # the bulk of a block row's bytes
-            blk = blk.select("term", "field", "doc_ids", "tfs", "dls", "fws")
-            cold_dec = blk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+            # decode_blocks projects BEFORE the decode UDF: column
+            # pruning cannot reach through mapInArrow, and the unused
+            # ``positions`` stream is the bulk of a block row's bytes
+            cold_dec = decode_blocks(blk)
             decoded = cold_dec if decoded is None else decoded.unionByName(cold_dec)
         if decoded is None:  # no candidate terms at all
             decoded = self.spark.createDataFrame([], schema=DECODED_SCHEMA)
@@ -1092,7 +1141,17 @@ FROM topk
         whole pipeline is one cached-SQL call (_warm_sql_topk) instead
         of ~30 py4j plan-construction round trips -- same logical plan,
         same single job, rank-identical (tests/test_warm.py)."""
-        if self._warm_sql is not None and len(cand):
+        if (
+            self._warm_sql is not None
+            and len(cand)
+            and (
+                self._warm_all
+                or all(
+                    self._is_warm_term(str(t), int(d))
+                    for t, d in zip(cand["term"], cand["df"])
+                )
+            )
+        ):
             return self._warm_sql_topk(cand, fields, k, n_tokens)
         matched = self.scan_candidates(cand, fields)
         scored = self.score_and_intersect(matched, n_tokens=n_tokens)

@@ -66,7 +66,7 @@ from ..config import (
     WAND_SINGLE_PHASE_MAX_RARE,
 )
 from ..functions.tokenizer import tokenize
-from .engine import DECODED_SCHEMA, decode_blocks_fn
+from .engine import decode_blocks
 
 CHUNK_SHIFT = 16  # doc-space chunk = 65536 ids
 
@@ -196,11 +196,10 @@ def wand_topk(
     cand_other = cand_meta.filter(F.col("token") != rare)
 
     # ---- decode ALL rare-token candidate blocks (cheap by construction);
-    # project before the decode UDF (column pruning cannot reach through
-    # mapInPandas, and ``positions`` is the bulk of a block row)
-    _DEC_COLS = ["term", "field", "doc_ids", "tfs", "dls", "fws"]
-    rare_blk = blk.filter(F.col("term").isin(rare_terms)).select(*_DEC_COLS)
-    rare_decoded = rare_blk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+    # decode_blocks projects before the decode UDF (column pruning cannot
+    # reach through mapInArrow, and ``positions`` is the bulk of a block
+    # row)
+    rare_decoded = decode_blocks(blk.filter(F.col("term").isin(rare_terms)))
     # join ONLY the rare token's candidate rows: a term shared with
     # another token must not smuggle that token into the anchor set
     rare_matched = rare_decoded.join(cand_rare, "term")
@@ -238,9 +237,8 @@ def wand_topk(
             other_alive.join(F.broadcast(doc_chunks), "chunk", "left_semi")
             .drop("chunk")
             .dropDuplicates(["term", "field", "salt", "block_id"])
-            .select(*_DEC_COLS)
         )
-        other_decoded = oblk.mapInPandas(decode_blocks_fn, schema=DECODED_SCHEMA)
+        other_decoded = decode_blocks(oblk)
         other_matched = other_decoded.join(cand_other, "term").join(
             F.broadcast(rare_docs.select("doc_id")), "doc_id", "left_semi"
         )
@@ -335,20 +333,41 @@ def wand_topk(
     ).limit(4 * k)
     phase1 = exact_scores(seed).persist()
     persisted.append(phase1)
-    top = phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-    theta = float(top[-1]["score"]) if len(top) >= k else None
 
-    # ---- phase 2: threshold-prune the remaining rare docs
-    rest = rare_contrib.join(seed.select("doc_id"), "doc_id", "left_anti")
-    if theta is not None:
-        rest = rest.filter(F.col("rare_score") + F.lit(others_ub) >= F.lit(theta))
+    # ---- phase 2: threshold-prune the remaining rare docs. Theta (the
+    # running k-th score after phase 1) is a broadcast 1-row frame, NOT
+    # a driver collect: phase 2's pruning predicate references it inside
+    # the same DAG, so the whole two-phase plan is ONE action chain --
+    # the round-4 layout paid two sequential actions plus a theta
+    # round-trip before phase 2 could even launch, which at the scale
+    # where two_phase is auto-chosen was the plan's latency floor.
+    # Fewer than k phase-1 rows -> theta = -inf (prune nothing), the
+    # same semantics the collect path had for theta=None.
+    theta_df = (
+        phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        .agg(F.min("score").alias("th"), F.count("*").alias("cnt"))
+        .select(
+            F.when(F.col("cnt") >= k, F.col("th"))
+            .otherwise(F.lit(float("-inf")))
+            .alias("theta")
+        )
+    )
+    rest = (
+        rare_contrib.join(seed.select("doc_id"), "doc_id", "left_anti")
+        .crossJoin(F.broadcast(theta_df))
+        .filter(F.col("rare_score") + F.lit(others_ub) >= F.col("theta"))
+        .drop("theta")
+    )
     phase2 = exact_scores(rest)
 
     if report is not None:  # extra jobs only when stats were asked for
+        top = phase1.orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(k).collect()
         report.update(
             {
                 "rare_token": rare,
-                "theta": theta,
+                "theta": float(top[-1]["score"]) if len(top) >= k else None,
                 "others_ub": others_ub,
                 "n_rare_docs": rare_contrib.count(),
                 "n_phase2_docs": rest.count(),

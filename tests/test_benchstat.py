@@ -196,3 +196,115 @@ def test_best_throughput_point_single_quiet_attempt_passes_through():
     assert out["wall_sec"] == 28.2
     assert len(out["attempts"]) == 1
     assert not out["attempts"][0]["contaminated"]
+    assert out["all_contaminated"] is False
+
+
+def test_best_throughput_point_flags_all_contaminated():
+    """Round 4's no-positions point published 3/3 contaminated attempts
+    with no machine-readable marker; the point must now carry
+    all_contaminated=true so nothing downstream quotes it as clean."""
+    attempts = [
+        _point(64.9, 305397.6, cal_med=2.658),
+        _point(60.8, 326163.2, cal_med=0.306, steal=4.92),
+        _point(36.8, 538414.4, cal_med=0.148, steal=4.32),
+    ]
+    out = bench.best_throughput_point(attempts)
+    assert out["wall_sec"] == 36.8
+    assert out["all_contaminated"] is True
+
+
+def _full_result() -> dict:
+    """A synthetic full artifact of the round-4 shape (scaling attempts,
+    phases, latency blocks) whose JSON line is far over the driver's
+    2,000-char stdout tail."""
+    queries = {f"query_name_{i:02d}": round(0.1 * i + 0.123456, 4)
+               for i in range(20)}
+    attempts = [
+        {"wall_sec": 30.0 + i, "postings_per_sec": 6e5 - i,
+         "cal_during_median": 0.1, "cal_sec": 0.09, "steal_pct": 0.1,
+         "contaminated": False}
+        for i in range(3)
+    ]
+    point = {"cpus": 32, "docs": 150000, "wall_sec": 29.8,
+             "postings_per_sec": 664701.3, "attempts": attempts,
+             "all_contaminated": False,
+             "phases": {f"phase_{i}": 1.0 for i in range(6)}}
+    runs = [
+        {"low": {"wall_sec": 260.0 + i, "cpus": 1,
+                 "phases": {f"phase_{j}": 9.9 for j in range(6)},
+                 "cal_during": {"n": 5, "median": 0.1, "max": 0.2}},
+         "high": {"wall_sec": 78.0 + i, "cpus": 4,
+                  "phases": {f"phase_{j}": 9.9 for j in range(6)},
+                  "cal_during": {"n": 5, "median": 0.1, "max": 0.2}},
+         "speedup": 3.3, "efficiency": 0.82}
+        for i in range(3)
+    ]
+    return {
+        "sf": "/root/testdata/sf0.1", "unit": "sec",
+        "metric": "headline_queries_total", "value": 33.28,
+        "queries": queries,
+        "queries_cold": {k: v + 1 for k, v in queries.items()},
+        "build": {"wall_sec": 7.23, "postings_per_sec": 261000.0,
+                  "phases": {f"phase_{i}": 1.0 for i in range(6)}},
+        "latency": {"exhaustive": {"p50_ms": 845.0, "p95_ms": 1063.0},
+                    "wand": {"p50_ms": 846.0, "p95_ms": 914.0}},
+        "latency_warm": {"exhaustive": {"p50_ms": 247.8, "p95_ms": 339.0},
+                         "wand": {"p50_ms": 225.0, "p95_ms": 267.0}},
+        "scaling": {
+            "efficiency": 0.82, "efficiency_median": 0.82,
+            "efficiency_runs": [0.855, 0.789, 0.82], "reps": 3,
+            "runs": runs, "max_threads": point,
+            "max_threads_noposition": dict(point, all_contaminated=True),
+        },
+        "latency_150k": {
+            "n_docs": 150000,
+            "queries": {"bm25_exhaustive": 1.5, "bm25_wand_auto": 0.9,
+                        "bm25_wand_forced": 2.1, "bm25_typo": 1.8,
+                        "phrase": 1.2},
+            "wand_auto_beats_exhaustive": True,
+            "latency_warm": {"exhaustive": {"p50_ms": 410.0,
+                                            "p95_ms": 600.0},
+                             "wand": {"p50_ms": 380.0, "p95_ms": 550.0}},
+        },
+    }
+
+
+def test_compact_summary_fits_driver_tail_and_keeps_headlines():
+    """The final stdout line must survive a 2,000-char tail INTACT
+    (round 4's full line was cut mid-JSON, parsed: null) and still carry
+    every headline number the round is judged on."""
+    import json
+
+    full = _full_result()
+    assert len(json.dumps(full)) > 2000  # the problem being solved
+    c = bench.compact_summary(full)
+    line = json.dumps(c)
+    assert len(line) <= 1900
+    assert json.loads(line) == c  # round-trips
+    assert c["metric"] == "headline_queries_total"
+    assert c["value"] == 33.28
+    assert c["queries"]  # driver's per-query record survives
+    s = c["summary"]
+    assert s["efficiency"] == 0.82
+    assert s["efficiency_median"] == 0.82
+    assert s["p32_postings_per_sec"] == 664701.3
+    assert s["p32_clean"] is True
+    assert s["p32_nopos_clean"] is False
+    assert s["warm_p50_ms"] == 247.8
+    assert s["build_wall_sec"] == 7.23
+    assert s["latency_150k"]["wand_auto_beats_exhaustive"] is True
+
+
+def test_compact_summary_sheds_detail_never_headlines():
+    """With an absurdly wide queries dict the line still fits by
+    shedding detail blocks (efficiency_runs, 150k query dict, finally
+    the queries dict) -- never the headline scalars."""
+    import json
+
+    full = _full_result()
+    full["queries"] = {f"very_long_query_name_padding_{i:04d}": 1.0
+                      for i in range(200)}
+    c = bench.compact_summary(full)
+    assert len(json.dumps(c)) <= 1900
+    assert c["summary"]["efficiency"] == 0.82
+    assert c["value"] == 33.28

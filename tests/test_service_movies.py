@@ -481,17 +481,17 @@ def test_search_single_pass_scan(service, monkeypatch):
 
     eng = service.engine
     acc = eng.spark.sparkContext.accumulator(0)
-    orig = eng_mod.decode_blocks_fn
+    orig = eng_mod.decode_blocks_arrow
 
     def counting(batches):
         def metered():
-            for pdf in batches:
-                acc.add(len(pdf))
-                yield pdf
+            for rb in batches:
+                acc.add(rb.num_rows)
+                yield rb
 
         return orig(metered())
 
-    monkeypatch.setattr(eng_mod, "decode_blocks_fn", counting)
+    monkeypatch.setattr(eng_mod, "decode_blocks_arrow", counting)
     eng.search("matrix neo", k=10, typo_tolerance=False).collect()
     one_pass = acc.value
     assert one_pass > 0

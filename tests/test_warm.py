@@ -100,6 +100,42 @@ def test_warm_partial_budget_unions_cold_terms(spark, warm_idx):
     assert not re.search(r"term#\d+ IN \(", plan)
 
 
+def test_warm_partial_sql_template_one_job(spark, warm_idx):
+    """Partial warm (the realistic big-index serving mode): a query whose
+    candidate terms are ALL inside the warm hot-set is served by the
+    cached SQL template -- ONE spark.sql call, one Spark job,
+    rank-identical to cold. (Round 4 left partial warm on the
+    ~30-round-trip per-query DataFrame plan-construction path.)"""
+    cold = SearchEngine(spark, warm_idx, "w")
+    eng = SearchEngine(spark, warm_idx, "w")
+    info = eng.warm(max_postings=200)
+    assert info["warm_terms"] != "all"
+    assert info["sql_template"] is True
+    v = eng._vocab().sort_values(["df", "term"], ascending=[False, True])
+    hot = str(v["term"].iloc[0])
+    assert eng._is_warm_term(hot, int(v["df"].iloc[0]))
+    colds = cold.search(hot, k=20, typo_tolerance=False).collect()
+    eng.search(hot, k=20, typo_tolerance=False).collect()  # compile
+    sc = spark.sparkContext
+    df = eng.search(hot, k=20, typo_tolerance=False)
+    sc.setJobGroup("pwarm_one_job", "partial warm single-job probe")
+    try:
+        got = df.collect()
+        ids = sc.statusTracker().getJobIdsForGroup("pwarm_one_job") or []
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(ids) == 1
+    assert _key(got) == _key(colds)
+    # a query touching a COLD term must keep the union path (the decode
+    # UDF is not SQL-expressible) and stay correct
+    tail = str(v["term"].iloc[-1])
+    assert not eng._is_warm_term(tail, int(v["df"].iloc[-1]))
+    q = f"{hot} {tail}"
+    assert _key(eng.search(q, k=20, typo_tolerance=False).collect()) == _key(
+        cold.search(q, k=20, typo_tolerance=False).collect()
+    )
+
+
 def test_warm_single_job_per_query(spark, warm_idx):
     eng = SearchEngine(spark, warm_idx, "w")
     eng.warm()
@@ -210,11 +246,13 @@ def test_warm_sql_template_ntf_and_field_restriction(spark, tmp_path):
         b = [tuple(r) for r in eng.search(q, k=50, **kw).collect()]
         eng._warm_sql = tpl
         assert a == b, (q, kw)
-    # a partial warm must NOT build the template (cold-union path)
+    # a partial warm builds the template too (round-5); it serves only
+    # queries whose candidates are all warm -- cold-term queries keep the
+    # union path (test_warm_partial_sql_template_one_job pins both)
     eng2 = SearchEngine(spark, wh, "wsql")
     info2 = eng2.warm(max_postings=200)
-    assert info2["sql_template"] is False
-    assert eng2._warm_sql is None
+    assert info2["sql_template"] is True
+    assert eng2._warm_sql is not None
 
 
 def test_warm_sql_views_dropped_on_rewarm_and_reload(spark, tmp_path):
