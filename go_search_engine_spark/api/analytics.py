@@ -59,10 +59,12 @@ class AnalyticsService:
 
     # -- dashboard ---------------------------------------------------------
     @staticmethod
-    def _avg_ms(events: list[SearchEvent]) -> float:
+    def _avg_ms(events: list[SearchEvent]) -> int:
+        """Integer milliseconds (model/analytics.go:55 AvgResponseTime
+        int64, Go Duration.Milliseconds truncates)."""
         if not events:
-            return 0.0
-        return round(sum(e.took_ms for e in events) / len(events), 3)
+            return 0
+        return int(sum(e.took_ms for e in events) / len(events))
 
     @staticmethod
     def _change_pct(current: int, previous: int) -> float:
@@ -71,10 +73,30 @@ class AnalyticsService:
             return 100.0 if current > 0 else 0.0
         return round((current - previous) / previous * 100.0, 2)
 
+    @classmethod
+    def _rt_change(cls, current: list, previous: list) -> str:
+        # service.go:158-173 calculateResponseTimeChange: trend string,
+        # 10% band around stable
+        cur, prev = cls._avg_ms(current), cls._avg_ms(previous)
+        if prev == 0:
+            return "stable"
+        change = (cur - prev) / prev
+        if change > 0.1:
+            return "up"
+        if change < -0.1:
+            return "down"
+        return "stable"
+
     def dashboard(self, index_stats: list[dict] | None = None) -> dict:
-        """AnalyticsDashboard shape (service.go:88-104): 24h totals +
-        deltas vs the prior week, popular searches, per-index usage,
-        latency distribution, search-type mix, hourly performance."""
+        """AnalyticsDashboard, field-for-field the reference's shape
+        (model/analytics.go:67-88 json tags; service.go:76-105
+        GetDashboardData; pinned against api-spec.yaml /analytics by
+        tests/test_api.py). Deviations, all value-level and deliberate:
+        the reference hardcodes documents_change_count=156,
+        indexes_change_count=2, cpu=23.0 and disk=45.0 as placeholders
+        (service.go:192-206, :367-380) -- here the change counts are 0
+        (no fake history) and cpu/disk/memory are real process/host
+        readings."""
         now = time.time()
         with self._lock:
             events = list(self._events)
@@ -85,48 +107,131 @@ class AnalyticsService:
             if now - 14 * 24 * 3600 < e.ts <= now - 7 * 24 * 3600
         ]
 
-        popular = Counter(e.query for e in week if e.query).most_common(10)
-        usage = Counter(e.index_name for e in week).most_common()
-        buckets = {"lt_10ms": 0, "10_50ms": 0, "50_200ms": 0, "gte_200ms": 0}
+        # top 5 over the last week, trend "stable" (service.go:243-274:
+        # the reference computes no real trend either)
+        popular = Counter(e.query for e in week if e.query).most_common(5)
+        search_counts = Counter(e.index_name for e in week)
+        # buckets <=25 / <=50 / <=100 / 100+ ms (service.go:315-345)
+        b = [0, 0, 0, 0]
         for e in last24:
-            if e.took_ms < 10:
-                buckets["lt_10ms"] += 1
-            elif e.took_ms < 50:
-                buckets["10_50ms"] += 1
-            elif e.took_ms < 200:
-                buckets["50_200ms"] += 1
-            else:
-                buckets["gte_200ms"] += 1
+            ms = e.took_ms
+            b[0 if ms <= 25 else 1 if ms <= 50 else 2 if ms <= 100 else 3] += 1
+        n24 = len(last24)
+        pct = [round(x / n24 * 100, 2) if n24 else 0.0 for x in b]
+        # wall-clock-hour grouping, ALWAYS 24 entries (service.go:209-231)
         hourly: dict[int, list[SearchEvent]] = {}
         for e in last24:
-            hourly.setdefault(int((now - e.ts) // 3600), []).append(e)
+            hourly.setdefault(time.localtime(e.ts).tm_hour, []).append(e)
+        type_counts = Counter(e.search_type for e in last24)
 
         index_stats = index_stats or []
         return {
-            "total_searches": len(last24),
+            "total_searches": n24,
             "searches_change_percent": self._change_pct(
-                len(last24), len(prev_week)
+                n24, len(prev_week)
             ),
-            "avg_response_time_ms": self._avg_ms(last24),
-            "response_time_change_ms": round(
-                self._avg_ms(last24) - self._avg_ms(prev_week), 3
+            "avg_response_time": self._avg_ms(last24),
+            "response_time_change": self._rt_change(last24, prev_week),
+            "total_documents": sum(
+                s.get("document_count", 0) for s in index_stats
             ),
-            "total_documents": sum(s.get("document_count", 0) for s in index_stats),
+            "documents_change_count": 0,
             "active_indexes": len(index_stats),
+            "indexes_change_count": 0,
             "search_performance_24h": [
                 {
-                    "hours_ago": h,
-                    "searches": len(evs),
-                    "avg_response_time_ms": self._avg_ms(evs),
+                    "hour": h,
+                    "search_count": len(hourly.get(h, [])),
+                    "avg_response_time": self._avg_ms(hourly.get(h, [])),
                 }
-                for h, evs in sorted(hourly.items())
+                for h in range(24)
             ],
             "popular_searches": [
-                {"query": q, "count": c} for q, c in popular
+                {"query": q, "search_count": c, "trend_change": "stable"}
+                for q, c in popular
             ],
             "index_usage": [
-                {"index_name": n, "searches": c} for n, c in usage
+                {
+                    "index_name": s.get("name", s.get("index_name", "")),
+                    "document_count": int(s.get("document_count", 0)),
+                    "search_count": int(
+                        search_counts.get(
+                            s.get("name", s.get("index_name", "")), 0
+                        )
+                    ),
+                    # reference sizes by doc count (service.go:297);
+                    # callers may pass a real size_mb instead
+                    "size_mb": float(
+                        s.get("size_mb", s.get("document_count", 0) * 0.001)
+                    ),
+                }
+                for s in index_stats
             ],
-            "response_time_distribution": buckets,
-            "search_types": dict(Counter(e.search_type for e in last24)),
+            "response_time_distribution": {
+                "bucket_0_25ms": b[0],
+                "bucket_25_50ms": b[1],
+                "bucket_50_100ms": b[2],
+                "bucket_100ms_plus": b[3],
+                "percentage_0_25": pct[0],
+                "percentage_25_50": pct[1],
+                "percentage_50_100": pct[2],
+                "percentage_100_plus": pct[3],
+            },
+            "search_types": {
+                "exact_match": type_counts.get("exact_match", 0),
+                "fuzzy_search": type_counts.get("fuzzy_search", 0),
+                "filtered": type_counts.get("filtered", 0),
+                "wildcard": type_counts.get("wildcard", 0),
+            },
+            "system_health": _system_health(),
         }
+
+
+def determine_search_type(query: str, has_filters: bool) -> str:
+    """Mirror of the reference's determineSearchType
+    (api/search_handlers.go:223-241): filters win, then wildcard chars,
+    then the single-longish-word fuzzy heuristic, else exact_match."""
+    if has_filters:
+        return "filtered"
+    if "*" in query or "?" in query:
+        return "wildcard"
+    if not query:
+        return "filtered"  # empty query with filters
+    if len(query.split()) == 1 and len(query) > 3:
+        return "fuzzy_search"
+    return "exact_match"
+
+
+def _system_health() -> dict:
+    """SystemHealth shape (model/analytics.go:58-64). Real readings where
+    the container exposes them (the reference hardcodes cpu/disk)."""
+    mem = 0.0
+    try:
+        tot = avail = None
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    tot = float(line.split()[1])
+                elif line.startswith("MemAvailable:"):
+                    avail = float(line.split()[1])
+        if tot and avail is not None:
+            mem = round((tot - avail) / tot * 100.0, 1)
+    except OSError:
+        pass
+    try:
+        import os
+        import shutil
+
+        du = shutil.disk_usage("/")
+        disk = round(du.used / du.total * 100.0, 1)
+        cpu = round(
+            min(100.0, os.getloadavg()[0] / (os.cpu_count() or 1) * 100.0), 1
+        )
+    except OSError:
+        disk = cpu = 0.0
+    return {
+        "memory_usage_percent": mem,
+        "cpu_usage_percent": cpu,
+        "disk_space_percent": disk,
+        "index_health_percent": 100.0,
+    }

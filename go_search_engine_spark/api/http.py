@@ -208,15 +208,23 @@ def check_index_name(name: str) -> str:
 
 
 def settings_from_body(d: dict) -> IndexSettings:
-    """IndexSettings.from_dict with API-boundary typing: unknown keys
-    and wrong-shaped values (gin would reject both at bind time) map to
-    400, not a dataclass TypeError 500."""
+    """IndexSettings.from_dict with API-boundary typing: wrong-shaped
+    values map to 400, not a dataclass TypeError 500. Unknown keys are
+    IGNORED (with a server-side warning), matching the reference: gin's
+    ShouldBindJSON silently drops unrecognized JSON fields and
+    UpdateIndexSettingsHandler binds to a raw map, so reference clients
+    sending extra fields must keep working here."""
     import dataclasses
 
     allowed = {f.name for f in dataclasses.fields(IndexSettings)}
     unknown = sorted(set(d) - allowed)
     if unknown:
-        raise ApiError(400, f"unknown settings: {unknown}")
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ignoring unknown settings keys: %s", unknown
+        )
+        d = {k: v for k, v in d.items() if k in allowed}
     try:
         return IndexSettings.from_dict(d)
     except (TypeError, ValueError, AttributeError) as e:
@@ -260,9 +268,14 @@ class EngineServer:
     """Application state + request dispatch (transport-agnostic, so tests
     can call ``dispatch`` directly and the HTTP handler stays thin)."""
 
-    def __init__(self, spark, warehouse: str):
+    def __init__(self, spark, warehouse: str, debug: bool = False):
         self.spark = spark
         self.warehouse = warehouse
+        # debug=True adds failed jobs' full Python tracebacks to the
+        # (unauthenticated, CORS-*) job endpoints; default matches the
+        # reference's error-string-only payloads, with stacks logged
+        # server-side either way
+        self.debug = debug
         self.jobs = JobManager()
         self.analytics = AnalyticsService()
         self._engines: dict[str, SearchEngine] = {}
@@ -748,8 +761,11 @@ class EngineServer:
             res = svc.search(req)
         except ValueError as e:
             raise ApiError(400, str(e))
+        from .analytics import determine_search_type
+
         self.analytics.record(
-            name, req.query, res.took_ms, len(res.hits), "search"
+            name, req.query, res.took_ms, len(res.hits),
+            determine_search_type(req.query, req.filters is not None),
         )
         return {
             "hits": res.hits,
@@ -860,12 +876,15 @@ class EngineServer:
         job = self.jobs.get(job_id)
         if job is None:
             raise ApiError(404, f"job {job_id!r} not found")
-        return job.to_dict()
+        return job.to_dict(debug=self.debug)
 
     def list_jobs(self, query: dict):
         index = query.get("index", [None])[0]
         status = query.get("status", [None])[0]
-        return [j.to_dict() for j in self.jobs.list(index, status)]
+        return [
+            j.to_dict(debug=self.debug)
+            for j in self.jobs.list(index, status)
+        ]
 
 
 def make_handler(server: EngineServer):
@@ -952,10 +971,11 @@ def make_handler(server: EngineServer):
     return Handler
 
 
-def serve(spark, warehouse: str, host: str = "127.0.0.1", port: int = 7700):
+def serve(spark, warehouse: str, host: str = "127.0.0.1", port: int = 7700,
+          debug: bool = False):
     """Start the REST server (blocking). Returns never; for embedded use
     call ``start_server`` which runs it on a daemon thread."""
-    state = EngineServer(spark, warehouse)
+    state = EngineServer(spark, warehouse, debug=debug)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.serve_forever()
 

@@ -38,8 +38,8 @@ class Job:
     started_at: float | None = None
     completed_at: float | None = None
 
-    def to_dict(self) -> dict:
-        return {
+    def to_dict(self, debug: bool = False) -> dict:
+        out = {
             "id": self.id,
             "type": self.type,
             "index_name": self.index_name,
@@ -50,14 +50,19 @@ class Job:
                 "message": self.progress_message,
             },
             "error": self.error,
-            # full stack for failed jobs: 'Py4JJavaError: ...' alone is
-            # useless to the operator polling GET /jobs/{id}
-            "traceback": self.traceback,
             "result": self.result,
             "created_at": self.created_at,
             "started_at": self.started_at,
             "completed_at": self.completed_at,
         }
+        if debug:
+            # full stack only when explicitly enabled: the job endpoints
+            # are unauthenticated/CORS-*, and the reference exposes only
+            # the error string (model/job.go:33-51) -- server file paths
+            # and frame internals stay out of the default payload (the
+            # stack is always logged server-side at failure time)
+            out["traceback"] = self.traceback
+        return out
 
 
 class JobManager:
@@ -97,6 +102,12 @@ class JobManager:
                 # assignments would see a failed job with no diagnostics
                 job.error = f"{type(e).__name__}: {e}"
                 job.traceback = traceback.format_exc()
+                import logging
+
+                logging.getLogger(__name__).error(
+                    "job %s (%s/%s) failed:\n%s",
+                    job.id, job.type, job.index_name, job.traceback,
+                )
                 job.status = "failed"
             finally:
                 job.completed_at = time.time()

@@ -632,8 +632,18 @@ class IndexBuilder:
                     # zero-task write: N>0 docs whose searchable fields
                     # are all empty produce segments with 0 rows, and a
                     # zero-task job never posts observed metrics (same
-                    # fallback rule as the delta commit's observations)
-                    report.n_postings = 0
+                    # fallback rule as the delta commit's observations).
+                    # n_postings is RECOUNTED from the written segments,
+                    # never hardcoded 0: it lands in stats.json and feeds
+                    # maybe_compact's ratio and warm sizing, so an
+                    # observation lost for any other reason (the
+                    # AQE-coalesce class maintenance.py recounts for)
+                    # must not record 0 for a non-empty index
+                    report.n_postings = int(
+                        self.spark.read.parquet(
+                            self.path("segments")
+                        ).count()
+                    )
                     row = (
                         self.spark.read.parquet(self.path("term_stats"))
                         .agg(

@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=7700)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--debug", action="store_true",
+        help="include failed jobs' full tracebacks in job payloads",
+    )
     args = ap.parse_args()
 
     from go_search_engine_spark.api.http import serve
@@ -35,7 +39,7 @@ def main() -> None:
     spark = get_spark(app_name="gse_serve", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     print(f"serving {args.warehouse} on http://{args.host}:{args.port}")
-    serve(spark, args.warehouse, args.host, args.port)
+    serve(spark, args.warehouse, args.host, args.port, debug=args.debug)
 
 
 if __name__ == "__main__":

@@ -198,10 +198,11 @@ def test_job_manager_failure_and_progress():
     job = jm.wait(jid)
     assert job.status == "failed"
     assert "kaput" in job.error
-    # the full stack reaches the poller (to_dict is what GET /jobs/{id}
-    # serializes); 'RuntimeError: kaput' alone is useless for a failure
-    # deep inside a Spark job
-    assert "boom" in job.to_dict()["traceback"]
+    # the default payload (unauthenticated endpoints) carries the error
+    # string only, like the reference; the full stack is opt-in via the
+    # server's debug flag
+    assert "traceback" not in job.to_dict()
+    assert "boom" in job.to_dict(debug=True)["traceback"]
     assert job.progress_current == 1 and job.progress_total == 3
 
     def ok(progress):
@@ -287,11 +288,57 @@ def test_ops_endpoints_and_middleware(api):
     st, dash = _call(port, "GET", "/analytics")
     assert st == 200
     assert dash["total_searches"] >= 3
-    assert dash["avg_response_time_ms"] > 0
-    top = {p["query"]: p["count"] for p in dash["popular_searches"]}
+    assert dash["avg_response_time"] > 0
+    top = {p["query"]: p["search_count"] for p in dash["popular_searches"]}
     assert top.get("shared", 0) >= 2
     assert any(u["index_name"] == "ops4" for u in dash["index_usage"])
     assert dash["total_documents"] >= 4 and dash["active_indexes"] >= 1
+
+    # shape parity with the reference's api-spec.yaml AnalyticsDashboard
+    # schema (model/analytics.go:67-88 json tags are the oracle)
+    assert set(dash) == {
+        "total_searches", "searches_change_percent", "avg_response_time",
+        "response_time_change", "total_documents", "documents_change_count",
+        "active_indexes", "indexes_change_count", "search_performance_24h",
+        "popular_searches", "index_usage", "response_time_distribution",
+        "search_types", "system_health",
+    }
+    assert dash["response_time_change"] in ("up", "down", "stable")
+    # hourly performance: ALWAYS 24 wall-clock-hour entries
+    # (service.go:209-231), each with the documented keys
+    assert len(dash["search_performance_24h"]) == 24
+    assert [h["hour"] for h in dash["search_performance_24h"]] == list(
+        range(24)
+    )
+    assert set(dash["search_performance_24h"][0]) == {
+        "hour", "search_count", "avg_response_time",
+    }
+    assert sum(
+        h["search_count"] for h in dash["search_performance_24h"]
+    ) == dash["total_searches"]
+    for p in dash["popular_searches"]:
+        assert set(p) == {"query", "search_count", "trend_change"}
+    for u in dash["index_usage"]:
+        assert set(u) == {
+            "index_name", "document_count", "search_count", "size_mb",
+        }
+    assert set(dash["response_time_distribution"]) == {
+        "bucket_0_25ms", "bucket_25_50ms", "bucket_50_100ms",
+        "bucket_100ms_plus", "percentage_0_25", "percentage_25_50",
+        "percentage_50_100", "percentage_100_plus",
+    }
+    d = dash["response_time_distribution"]
+    assert (
+        d["bucket_0_25ms"] + d["bucket_25_50ms"] + d["bucket_50_100ms"]
+        + d["bucket_100ms_plus"]
+    ) == dash["total_searches"]
+    assert set(dash["search_types"]) == {
+        "exact_match", "fuzzy_search", "filtered", "wildcard",
+    }
+    assert set(dash["system_health"]) == {
+        "memory_usage_percent", "cpu_usage_percent",
+        "disk_space_percent", "index_health_percent",
+    }
 
     # job metrics
     st, jm = _call(port, "GET", "/jobs/metrics")
