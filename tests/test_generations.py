@@ -235,6 +235,102 @@ def test_crashed_live_rebuild_leaves_settings_and_index_intact(
     assert _key(eng.search("tokenizer", k=50).collect()) == before
 
 
+def test_soak_compaction_under_query_and_api_load(spark, tmp_path):
+    """Round-5 soak: a live SearchEngine AND a live API server hammer
+    queries while a loop of delta commits + compactions mutates the
+    index. Asserts (1) zero query errors and exact post-commit
+    visibility, (2) generation monotonicity across the whole run, and
+    (3) no cache / temp-view leak: the session's persisted-RDD count and
+    catalog temp views are the same after the soak as before it (the
+    single-race test above cannot see slow per-commit leaks)."""
+    import json as _json
+    import urllib.request
+
+    from go_search_engine_spark.api.http import start_server
+    from go_search_engine_spark.build.builder import load_stats
+
+    wh = str(tmp_path)
+    corpus = generate_corpus(spark, 100, seed=21, words_per_doc=12)
+    IndexBuilder(spark, _settings("soak"), wh).build(corpus, num_shards=2)
+    base = os.path.join(wh, "soak")
+
+    httpd, _state = start_server(spark, wh)
+    port = httpd.server_address[1]
+    eng = SearchEngine(spark, wh, "soak")
+    eng.search("tokenizer", k=10).collect()  # frames open
+
+    rdds_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    views_before = {t.name for t in spark.catalog.listTables()}
+
+    m = IndexMaintenance(spark, wh, "soak")
+    errs: list[BaseException] = []
+    done = threading.Event()
+    n_http = [0]
+
+    def hammer():
+        url = f"http://127.0.0.1:{port}/indexes/soak/search"
+        while not done.is_set():
+            try:
+                eng.search("tokenizer return", k=10).collect()
+                req = urllib.request.Request(
+                    url, data=b'{"query": "func return"}', method="POST",
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    _json.loads(r.read())
+                n_http[0] += 1
+            except BaseException as e:
+                errs.append(e)
+                return
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    gens = [int(load_stats(base).get("generation", 0))]
+    try:
+        for i in range(4):
+            m.upsert_documents(
+                _batch(
+                    spark,
+                    [(f"soak-{i}", f"zzsoak word{i} extra terms")],
+                ),
+                mode="delta",
+            )
+            gens.append(int(load_stats(base).get("generation", 0)))
+            if i == 2:
+                m.delete_documents(["soak-0"], mode="delta")
+                gens.append(int(load_stats(base).get("generation", 0)))
+            if i % 2 == 1:
+                m.compact_segments()
+                gens.append(int(load_stats(base).get("generation", 0)))
+            else:
+                m.maybe_compact()
+                gens.append(int(load_stats(base).get("generation", 0)))
+    finally:
+        done.set()
+        t.join()
+        httpd.shutdown()
+    assert not errs, errs
+    assert n_http[0] > 0  # the API server actually served during the soak
+
+    # every commit bumped the generation; nothing ever went backwards
+    assert gens == sorted(gens)
+    assert gens[-1] > gens[0]
+
+    # exact post-soak visibility on a FRESH engine and on the LIVE one
+    for e2 in (SearchEngine(spark, wh, "soak"), eng):
+        got = {
+            r["documentID"]
+            for r in e2.search("zzsoak", k=50, typo_tolerance=False).collect()
+        }
+        assert got == {"soak-1", "soak-2", "soak-3"}, got
+
+    # leak assertion: no cached frame or temp view survived the soak
+    rdds_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    views_after = {t.name for t in spark.catalog.listTables()}
+    assert rdds_after == rdds_before
+    assert views_after == views_before
+
+
 def test_stats_snapshot_pins_generation_for_readers(spark, tmp_path):
     """Delta helpers resolve every pointer from ONE stats snapshot when
     given: a reader holding a pre-commit snapshot keeps resolving the
