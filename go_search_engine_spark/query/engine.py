@@ -43,7 +43,7 @@ from ..config import (
     TYPO_PENALTY_1,
     TYPO_PENALTY_2,
 )
-from ..functions.codec import varint_decode, delta_decode
+from ..functions.codec import varint_decode
 from ..functions.edit_distance import damerau_levenshtein_batch
 from ..functions.tokenizer import tokenize
 
