@@ -334,40 +334,59 @@ def wand_topk(
     phase1 = exact_scores(seed).persist()
     persisted.append(phase1)
 
-    # ---- phase 2: threshold-prune the remaining rare docs. Theta (the
-    # running k-th score after phase 1) is a broadcast 1-row frame, NOT
-    # a driver collect: phase 2's pruning predicate references it inside
-    # the same DAG, so the whole two-phase plan is ONE action chain --
-    # the round-4 layout paid two sequential actions plus a theta
-    # round-trip before phase 2 could even launch, which at the scale
-    # where two_phase is auto-chosen was the plan's latency floor.
-    # Fewer than k phase-1 rows -> theta = -inf (prune nothing), the
-    # same semantics the collect path had for theta=None.
-    theta_df = (
-        phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        .agg(F.min("score").alias("th"), F.count("*").alias("cnt"))
-        .select(
-            F.when(F.col("cnt") >= k, F.col("th"))
-            .otherwise(F.lit(float("-inf")))
-            .alias("theta")
-        )
-    )
-    rest = (
-        rare_contrib.join(seed.select("doc_id"), "doc_id", "left_anti")
-        .crossJoin(F.broadcast(theta_df))
-        .filter(F.col("rare_score") + F.lit(others_ub) >= F.col("theta"))
-        .drop("theta")
-    )
-    phase2 = exact_scores(rest)
-
-    if report is not None:  # extra jobs only when stats were asked for
+    # ---- phase 2: threshold-prune the remaining rare docs. Two theta
+    # strategies, chosen by k (both rank-identical, tests/test_wand.py):
+    # - bounded k (the finalize-eager serving case): COLLECT the k
+    #   phase-1 rows. A same-window interleaved A/B adjudicated this
+    #   against the broadcast-1-row-frame design below: the frame's
+    #   extra broadcast-exchange chain cost +13% on bm25_wand_forced at
+    #   sf0.1 (5.22s vs 4.62s per-pair min) while the k-row collect is
+    #   microseconds -- phase 1 must finish before phase 2 either way
+    #   (data dependency), so the round-trip is not the latency floor,
+    #   the exchange count is.
+    # - unbounded k (oracle parity sweeps, no eager checkpoint): theta
+    #   as a broadcast 1-row frame keeps the plan fully lazy with no
+    #   driver materialization of a huge phase 1.
+    # Fewer than k phase-1 rows -> no pruning (theta = None / -inf).
+    theta: float | None = None
+    if k <= 10_000:
         top = phase1.orderBy(
             F.desc("score"), F.asc("doc_id")
         ).limit(k).collect()
+        theta = float(top[-1]["score"]) if len(top) >= k else None
+        rest = rare_contrib.join(seed.select("doc_id"), "doc_id", "left_anti")
+        if theta is not None:
+            rest = rest.filter(
+                F.col("rare_score") + F.lit(others_ub) >= F.lit(theta)
+            )
+    else:
+        theta_df = (
+            phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .agg(F.min("score").alias("th"), F.count("*").alias("cnt"))
+            .select(
+                F.when(F.col("cnt") >= k, F.col("th"))
+                .otherwise(F.lit(float("-inf")))
+                .alias("theta")
+            )
+        )
+        rest = (
+            rare_contrib.join(seed.select("doc_id"), "doc_id", "left_anti")
+            .crossJoin(F.broadcast(theta_df))
+            .filter(F.col("rare_score") + F.lit(others_ub) >= F.col("theta"))
+            .drop("theta")
+        )
+    phase2 = exact_scores(rest)
+
+    if report is not None:  # extra jobs only when stats were asked for
+        if theta is None and k > 10_000:
+            top = phase1.orderBy(
+                F.desc("score"), F.asc("doc_id")
+            ).limit(k).collect()
+            theta = float(top[-1]["score"]) if len(top) >= k else None
         report.update(
             {
                 "rare_token": rare,
-                "theta": float(top[-1]["score"]) if len(top) >= k else None,
+                "theta": theta,
                 "others_ub": others_ub,
                 "n_rare_docs": rare_contrib.count(),
                 "n_phase2_docs": rest.count(),
