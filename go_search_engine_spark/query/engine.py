@@ -1017,6 +1017,34 @@ FROM topk
             )
         )
 
+    # literal candidate-attach cap: the explode(filter(array-literal))
+    # attach is O(len(cand)) PER DECODED ROW (interpreted higher-order
+    # function), so it only beats the broadcast hash join for small
+    # candidate tables -- exactly the non-typo serving case. Typo-heavy
+    # queries (up to 500 candidates/token) keep the O(1)-per-row join.
+    CAND_LITERAL_MAX = 64
+
+    def attach_cand(self, decoded: DataFrame, cand: pd.DataFrame) -> DataFrame:
+        """Attach candidate meta (token, distance, penalty, idf) to decoded
+        postings by term: inner-join semantics (a term matching n (token,
+        term) pairs fans out n times, no match -> dropped). Small candidate
+        tables are injected as an array literal + explode(filter(...)) --
+        no per-query BroadcastExchange sub-job, no driver->JVM
+        createDataFrame (the warm path's trick, shared with the cold and
+        WAND paths); larger ones fall back to the broadcast join."""
+        if not len(cand) or len(cand) > self.CAND_LITERAL_MAX:
+            return decoded.join(self.cand_frame(cand), "term")
+        entries = _cand_entries(cand)
+        matches = F.expr(f"filter(array({entries}), s -> s.cterm = term)")
+        out = decoded.select("*", F.explode(matches).alias("_c"))
+        return out.select(
+            *decoded.columns,
+            F.col("_c.token").alias("token"),
+            F.col("_c.distance").alias("distance"),
+            F.col("_c.penalty").alias("penalty"),
+            F.col("_c.idf").alias("idf"),
+        )
+
     def scan_candidates(
         self, cand: pd.DataFrame, fields: list[str]
     ) -> DataFrame:
@@ -1097,7 +1125,9 @@ FROM topk
                     F.col("_c.idf").alias("idf"),
                 )
             )
-        return decoded.join(self.cand_frame(cand), "term")
+        # cold path: same literal attach for small candidate tables (no
+        # per-query BroadcastExchange), broadcast join above the cap
+        return self.attach_cand(decoded, cand)
 
     # ------------------------------------------------------------------
     def search(
@@ -1154,6 +1184,14 @@ FROM topk
         ):
             return self._warm_sql_topk(cand, fields, k, n_tokens)
         matched = self.scan_candidates(cand, fields)
+        if self._warm_decoded is None:
+            # cold path: one repartition by doc_id up front satisfies every
+            # aggregation/window in score_and_intersect (their clustering
+            # key sets all CONTAIN doc_id), collapsing the pipeline's three
+            # exchanges into one -- the warm path gets the same property
+            # from its persisted doc_id partitioning and must NOT gain an
+            # exchange here
+            matched = matched.repartition(F.col("doc_id"))
         scored = self.score_and_intersect(matched, n_tokens=n_tokens)
         return self.finish_topk(scored, k)
 

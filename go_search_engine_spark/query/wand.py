@@ -56,6 +56,9 @@ stats (zero jobs):
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import or_
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -69,6 +72,16 @@ from ..functions.tokenizer import tokenize
 from .engine import decode_blocks
 
 CHUNK_SHIFT = 16  # doc-space chunk = 65536 ids
+
+# Bounded-seed literal tier (round 6): when the phase-1 seed is at most
+# this many docs, its ids/chunks are inlined as literal predicates and the
+# seed rows live on the driver -- zero broadcast-exchange sub-jobs for the
+# whole of phase 1 (the r5 profile showed the two-phase floor was the ~36
+# SEQUENTIAL AQE sub-jobs of the chained per-call broadcasts, ~130 ms
+# each, not compute). 4k ids at the k<=10k collect gate would be a 40k
+# literal IN-list (plan-analysis blowup), so the literal tier has its own
+# cap; larger k falls back to the broadcast-frame protocol below.
+LITERAL_SEED_MAX = 2048
 
 
 def _span_chunks(first, last):
@@ -191,9 +204,11 @@ def wand_topk(
     single_token = len(tokens) == 1
 
     blk = engine.candidate_blocks(cand, fields)
-    cand_meta = engine.cand_frame(cand)
-    cand_rare = cand_meta.filter(F.col("token") == rare)
-    cand_other = cand_meta.filter(F.col("token") != rare)
+    # pandas-side candidate subsets, attached to decoded postings via
+    # engine.attach_cand (array-literal explode for small tables -- no
+    # per-call BroadcastExchange sub-job; broadcast join above the cap)
+    cand_rare_pd = cand[cand["token"] == rare]
+    cand_other_pd = cand[cand["token"] != rare]
 
     # ---- decode ALL rare-token candidate blocks (cheap by construction);
     # decode_blocks projects before the decode UDF (column pruning cannot
@@ -201,8 +216,14 @@ def wand_topk(
     # row)
     rare_decoded = decode_blocks(blk.filter(F.col("term").isin(rare_terms)))
     # join ONLY the rare token's candidate rows: a term shared with
-    # another token must not smuggle that token into the anchor set
-    rare_matched = rare_decoded.join(cand_rare, "term")
+    # another token must not smuggle that token into the anchor set.
+    # One repartition by doc_id up front: every aggregation/window in
+    # score_and_intersect clusters on key sets CONTAINING doc_id, so this
+    # single exchange satisfies the whole pipeline (the warm path's
+    # partitioning trick, applied to the decode path) -- 3 exchanges -> 1
+    rare_matched = engine.attach_cand(rare_decoded, cand_rare_pd).repartition(
+        F.col("doc_id")
+    )
     # exact per-doc contribution of the rare token (full entry set present)
     rare_contrib = (
         engine.score_and_intersect(rare_matched, n_tokens=1)
@@ -222,26 +243,48 @@ def wand_topk(
         return finalize(out)
 
     other_blk_all = blk.filter(F.col("term").isin(other_terms))
-    other_alive = other_blk_all.withColumn(
-        "chunk", F.explode(_span_chunks(F.col("first_doc"), F.col("last_doc")))
+
+    # chunk-level block pruning only pays when the doc space spans many
+    # chunks: with the whole corpus inside a handful of 65536-doc chunks
+    # (max_doc_id from stats.json, zero jobs) every block overlaps the
+    # candidate chunks anyway, and the per-call broadcast(doc_chunks)
+    # semi-join + dropDuplicates is a pure sub-job chain for nothing --
+    # decode the superset instead (rank-identical: the doc semi-join
+    # still restricts scoring)
+    _max_doc = engine.stats.get("max_doc_id")
+    # pre-max_doc_id indexes: keep the (scale-safe) pruned behavior
+    chunk_prune = (
+        True if _max_doc is None
+        else ((int(_max_doc) >> CHUNK_SHIFT) + 1) > 8
+    )
+    other_alive = (
+        other_blk_all.withColumn(
+            "chunk",
+            F.explode(_span_chunks(F.col("first_doc"), F.col("last_doc"))),
+        )
+        if chunk_prune
+        else None
     )
 
     def exact_scores(rare_docs: DataFrame) -> DataFrame:
         """Full exact AND scores restricted to the given rare docs."""
         rare_docs = rare_docs.persist()
         persisted.append(rare_docs)
-        doc_chunks = rare_docs.select(
-            F.shiftright(F.col("doc_id"), CHUNK_SHIFT).alias("chunk")
-        ).distinct()
-        oblk = (
-            other_alive.join(F.broadcast(doc_chunks), "chunk", "left_semi")
-            .drop("chunk")
-            .dropDuplicates(["term", "field", "salt", "block_id"])
-        )
+        if chunk_prune:
+            doc_chunks = rare_docs.select(
+                F.shiftright(F.col("doc_id"), CHUNK_SHIFT).alias("chunk")
+            ).distinct()
+            oblk = (
+                other_alive.join(F.broadcast(doc_chunks), "chunk", "left_semi")
+                .drop("chunk")
+                .dropDuplicates(["term", "field", "salt", "block_id"])
+            )
+        else:
+            oblk = other_blk_all
         other_decoded = decode_blocks(oblk)
-        other_matched = other_decoded.join(cand_other, "term").join(
+        other_matched = engine.attach_cand(other_decoded, cand_other_pd).join(
             F.broadcast(rare_docs.select("doc_id")), "doc_id", "left_semi"
-        )
+        ).repartition(F.col("doc_id"))  # one exchange for the whole score
         other_scored = (
             engine.score_and_intersect(other_matched, n_tokens=len(tokens) - 1)
             .withColumnRenamed("score", "other_score")
@@ -313,7 +356,9 @@ def wand_topk(
         per_term = per_field.groupBy("term").agg(F.sum("fub").alias("tub"))
         ub_rows = (
             per_term.join(
-                cand_other.select("term", "token", "penalty", "idf"), "term"
+                engine.cand_frame(cand_other_pd)
+                .select("term", "token", "penalty", "idf"),
+                "term",
             )
             .groupBy("token")
             .agg(
@@ -326,6 +371,135 @@ def wand_topk(
         rare_contrib.unpersist()
         return engine._empty_result()  # a non-rare token has no blocks
     others_ub = float(sum(tok_ub.values()))
+
+    def exact_scores_literal(seed_rows: list) -> DataFrame:
+        """Phase-1 scoring with a BOUNDED seed inlined as literals: block
+        selection is an OR of chunk-range predicates over block metadata
+        (no explode, no dedup), the doc restriction a literal IN, and the
+        seed's rare contributions a driver-local relation -- ZERO
+        broadcast-exchange sub-jobs, vs two per exact_scores call. Same
+        arithmetic, same join semantics, rank-identical
+        (tests/test_wand.py)."""
+        ids = [int(r["doc_id"]) for r in seed_rows]
+        chunks = sorted({i >> CHUNK_SHIFT for i in ids})
+        fs = F.shiftright(F.col("first_doc"), CHUNK_SHIFT)
+        ls = F.shiftright(F.col("last_doc"), CHUNK_SHIFT)
+        pred = reduce(or_, [(fs <= F.lit(c)) & (F.lit(c) <= ls)
+                            for c in chunks])
+        other_decoded = decode_blocks(other_blk_all.filter(pred))
+        other_matched = (
+            engine.attach_cand(other_decoded, cand_other_pd)
+            .filter(F.col("doc_id").isin(ids))
+            .repartition(F.col("doc_id"))
+        )
+        other_scored = (
+            engine.score_and_intersect(other_matched, n_tokens=len(tokens) - 1)
+            .withColumnRenamed("score", "other_score")
+            .withColumnRenamed("num_typos", "other_typos")
+            .withColumnRenamed("number_exact_words", "other_exw")
+        )
+        seed_df = engine.spark.createDataFrame(
+            [
+                (int(r["doc_id"]), float(r["rare_score"]),
+                 int(r["rare_typos"]), int(r["rare_exw"]))
+                for r in seed_rows
+            ],
+            schema="doc_id long, rare_score double, rare_typos int, "
+            "rare_exw int",
+        )
+        return F.broadcast(seed_df).join(other_scored, "doc_id").select(
+            "doc_id",
+            (F.col("rare_score") + F.col("other_score")).alias("score"),
+            (F.col("rare_typos") + F.col("other_typos"))
+            .cast("int")
+            .alias("num_typos"),
+            (F.col("rare_exw") + F.col("other_exw"))
+            .cast("int")
+            .alias("number_exact_words"),
+        )
+
+    if 4 * k <= LITERAL_SEED_MAX:
+        # ---- bounded-seed two-phase (the serving case, k ~ 10): seed and
+        # phase-1 rows live on the driver (4k rows max -- the same driver
+        # bound the k<=10k theta collect already accepted), theta needs no
+        # extra job, rest needs no anti-join, and phase 1 runs with zero
+        # broadcast exchanges
+        seed_rows = (
+            rare_contrib.orderBy(F.desc("rare_score"), F.asc("doc_id"))
+            .limit(4 * k)
+            .collect()
+        )
+        seed_ids = [int(r["doc_id"]) for r in seed_rows]
+        p1_rows = (
+            exact_scores_literal(seed_rows).collect() if seed_rows else []
+        )
+        p1_sorted = sorted(
+            p1_rows, key=lambda r: (-r["score"], r["doc_id"])
+        )
+        theta = (
+            float(p1_sorted[k - 1]["score"]) if len(p1_sorted) >= k else None
+        )
+        rest = (
+            rare_contrib.filter(~F.col("doc_id").isin(seed_ids))
+            if seed_ids
+            else rare_contrib
+        )
+        if theta is not None:
+            rest = rest.filter(
+                F.col("rare_score") + F.lit(others_ub) >= F.lit(theta)
+            )
+        # bounded probe over the CACHED rare frame (no decode re-run): when
+        # theta pruning leaves at most LITERAL_SEED_MAX survivors -- the
+        # common case, pruning is the tier's whole point -- phase 2 runs
+        # through the same zero-broadcast literal scorer as phase 1. The
+        # un-ordered limit is only used when it did NOT truncate, so the
+        # collected set is the complete rest set, never a sample.
+        rest_rows = rest.limit(LITERAL_SEED_MAX + 1).collect()
+        if len(rest_rows) <= LITERAL_SEED_MAX:
+            n_rest: int | None = len(rest_rows)
+            phase2 = (
+                exact_scores_literal(rest_rows)
+                if rest_rows
+                else engine.spark.createDataFrame(
+                    [],
+                    schema="doc_id long, score double, num_typos int, "
+                    "number_exact_words int",
+                )
+            )
+        else:
+            n_rest = None
+            phase2 = exact_scores(rest)
+        if report is not None:  # extra jobs only when stats were asked for
+            report.update(
+                {
+                    "rare_token": rare,
+                    "theta": theta,
+                    "others_ub": others_ub,
+                    "n_rare_docs": rare_contrib.count(),
+                    "n_phase2_docs": (
+                        n_rest if n_rest is not None else rest.count()
+                    ),
+                    "n_other_blocks_total": other_blk_all.count(),
+                }
+            )
+        p1_df = engine.spark.createDataFrame(
+            [
+                (int(r["doc_id"]), float(r["score"]), int(r["num_typos"]),
+                 int(r["number_exact_words"]))
+                for r in p1_rows
+            ],
+            schema="doc_id long, score double, num_typos int, "
+            "number_exact_words int",
+        )
+        union = p1_df.unionByName(phase2)
+        # phase doc sets are disjoint (rest excludes the seed ids); the
+        # groupBy is a cheap idempotence guard
+        out = union.groupBy("doc_id").agg(
+            F.max("score").alias("score"),
+            F.max("num_typos").alias("num_typos"),
+            F.max("number_exact_words").alias("number_exact_words"),
+        )
+        return finalize(out)
 
     # ---- phase 1: top-4k docs by rare contribution, scored exactly
     seed = rare_contrib.orderBy(
@@ -379,10 +553,11 @@ def wand_topk(
 
     if report is not None:  # extra jobs only when stats were asked for
         if theta is None and k > 10_000:
-            top = phase1.orderBy(
-                F.desc("score"), F.asc("doc_id")
-            ).limit(k).collect()
-            theta = float(top[-1]["score"]) if len(top) >= k else None
+            # derive from the 1-row theta_df (single-row collect) -- never
+            # re-collect the full top-k the lazy branch exists to avoid
+            row = theta_df.collect()[0]
+            th = float(row["theta"])
+            theta = None if th == float("-inf") else th
         report.update(
             {
                 "rare_token": rare,
