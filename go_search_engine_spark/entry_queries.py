@@ -118,9 +118,6 @@ def _spark_bm25(spark, sf_dir, terms: list[str], k: int | None = None) -> DataFr
         "doc_id", whitespace_word_count_col(F.col("text")).cast("double").alias("dl")
     )
     n, avgdl = dl.agg(F.count("*"), F.avg("dl")).collect()[0]
-    df = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
-    )
     q = F.broadcast(spark.createDataFrame([(t,) for t in terms], ["term"]))
     bm25 = (
         F.log(F.lit(float(n)) / F.col("df"))
@@ -132,9 +129,17 @@ def _spark_bm25(spark, sf_dir, terms: list[str], k: int | None = None) -> DataFr
             * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(float(avgdl)))
         )
     )
+    # df via a window over the q-filtered postings instead of a separate
+    # groupBy(term) aggregate joined back: toks rows are unique per
+    # (doc_id, term) (the groupBy above), so count(*) per term partition
+    # IS the distinct-doc df for the query terms -- one pass over the
+    # tokenize pipeline instead of two (toks had two consumers before),
+    # one exchange instead of an aggregate + broadcast join. Same values,
+    # same rounded scores.
+    w_df = Window.partitionBy("term")
     scored = (
         toks.join(q, "term")
-        .join(F.broadcast(df), "term")
+        .withColumn("df", F.count("*").over(w_df).cast("double"))
         .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(F.sum(bm25).alias("s"), F.count("*").alias("nt"))
@@ -208,8 +213,11 @@ def term_df_idf(spark, sf_dir):
     toks = _spark_toks(spark, sf_dir)
     n = load(spark, sf_dir, "documents").count()
     return (
+        # toks rows are unique per (doc_id, term) by construction, so a
+        # plain count IS the distinct-doc df -- countDistinct would plan
+        # an extra expand + second aggregate exchange for the same value
         toks.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count("doc_id").alias("df"))
         .select(
             "term",
             F.col("df").cast("long").alias("df"),

@@ -103,51 +103,72 @@ def ngram_jaccard_pairs(
         # but CAN be huge on a degenerate corpus -- AQE picks broadcast
         # when it fits.
         sh = sh.persist()
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-        )
-        n_hot = hot.count()
-        if n_hot:
-            import logging
+        try:
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_shingle_df)
+            )
+            n_hot = hot.count()
+            if n_hot:
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "ngram_jaccard_pairs: dropping %d stop-shingles with "
-                "df > %d (skew guard)", n_hot, max_shingle_df
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: dropping %d stop-shingles with "
+                    "df > %d (skew guard)", n_hot, max_shingle_df
+                )
+                sh_kept = sh.join(
+                    hot.select("shingle"), "shingle", "left_anti"
+                )
+            else:
+                sh_kept = sh
+            # per-doc sizes from the flat kept stream (word_shingles is
+            # distinct per (id, shingle), so this equals exploding the kept
+            # id lists) -- avoids a second consumer of the grouped frame
+            sizes = sh_kept.groupBy("id").agg(F.count("*").alias("sz"))
+            kept = sh_kept.groupBy("shingle").agg(
+                F.sort_array(F.collect_list("id")).alias("ids"),
             )
-            sh_kept = sh.join(hot.select("shingle"), "shingle", "left_anti")
-        else:
-            sh_kept = sh
-        # per-doc sizes from the flat kept stream (word_shingles is
-        # distinct per (id, shingle), so this equals exploding the kept
-        # id lists) -- avoids a second consumer of the grouped frame
-        sizes = sh_kept.groupBy("id").agg(F.count("*").alias("sz"))
-        kept = sh_kept.groupBy("shingle").agg(
-            F.sort_array(F.collect_list("id")).alias("ids"),
-        )
-        pair_col = F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
+            # explicit repartition before the pair EXPLOSION: the grouped
+            # frame is small in bytes (one row per shingle), so AQE's
+            # size-based coalescing collapses its exchange to ~1 task --
+            # but the stage's real cost is the O(df^2) pair fan-out,
+            # which map-output statistics cannot see. Pin the partition
+            # count to the session's intended reduce parallelism
+            # (measured at sf0.1: pair stage 2.5s -> 1.4s on local[32])
+            kept = kept.repartition(
+                int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
             )
-        )
-        inter = (
-            kept.select(F.explode(pair_col).alias("p"))
-            .select("p.a", "p.b")
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("inter"))
-        )
-        out = _jaccard_filter(inter, sizes, threshold)
-        # eager checkpoint materializes the (threshold-bounded) pair set
-        # executor-side and cuts lineage off the cached shingle stream,
-        # so the persist can be released NOW instead of leaking one
-        # pinned copy per call in a long-lived session
-        out = out.localCheckpoint(eager=True)
-        sh.unpersist(blocking=True)
+            pair_col = F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + F.lit(2), F.size(F.col("ids"))
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+            inter = (
+                kept.select(F.explode(pair_col).alias("p"))
+                .select("p.a", "p.b")
+                .groupBy("a", "b")
+                .agg(F.count("*").alias("inter"))
+            )
+            out = _jaccard_filter(inter, sizes, threshold)
+            # eager checkpoint materializes the (threshold-bounded) pair
+            # set executor-side and cuts lineage off the cached shingle
+            # stream, so the persist can be released NOW instead of
+            # leaking one pinned copy per call in a long-lived session
+            out = out.localCheckpoint(eager=True)
+        finally:
+            # in a finally so a throw anywhere above (hot count, the
+            # aggregations, the checkpoint) can never leave the shingle
+            # stream pinned in a long-lived session; non-blocking -- on
+            # the success path the checkpoint already cut the lineage, so
+            # nothing re-reads the cache while it drains
+            sh.unpersist(blocking=False)
         return out
     else:
         # exact inverted-join semantics (caller asserts no stop-shingles):

@@ -62,6 +62,21 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _srp_bucket_col(planes: np.ndarray, vec_col: str):
+    """SRP bucket as a Column expression over ``vec_col`` -- shared so
+    callers can attach the bucket with withColumn instead of computing it
+    on a projected frame and joining it back on id (which costs a full
+    shuffle join of the vectors for nothing; same arithmetic, same
+    values)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(v)) for v in p])
+        bucket = bucket + F.when(
+            _dot(F.col(vec_col), pl) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     planes: np.ndarray,
@@ -69,13 +84,10 @@ def hyperplane_lsh_buckets(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, bucket): sign-bit SRP sketch. bucket in [0, 2^n_planes)."""
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        pl = F.array(*[F.lit(float(v)) for v in p])
-        bucket = bucket + F.when(_dot(F.col(vec_col), pl) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
-    return df.select(F.col(id_col).alias("id"), bucket.cast("int").alias("bucket"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        _srp_bucket_col(planes, vec_col).alias("bucket"),
+    )
 
 
 def query_bucket(query_vec: list[float], planes: np.ndarray) -> int:
@@ -306,13 +318,14 @@ def embedding_cosine_pairs(
     default cap never triggers below ~10k same-bucket vectors, so
     small-scale results are bit-identical to the unguarded operator.
     """
-    bk = hyperplane_lsh_buckets(
-        df, planes, vec_col, id_col
-    ).withColumnRenamed("id", "_lsh_id")  # see lsh_topk: id_col == 'id'
-    with_b = df.join(bk, df[id_col] == bk["_lsh_id"]).drop("_lsh_id")
-    # string bucket keys: split refinements append "/bits", which can
-    # never collide with an unsplit sibling bucket's key
-    with_b = with_b.withColumn("bucket", F.col("bucket").cast("string"))
+    # bucket attached in place (withColumn) -- the old projected-frame +
+    # join-back-on-id layout shuffled every vector through a join whose
+    # only output was this column. String bucket keys: split refinements
+    # append "/bits", which can never collide with an unsplit sibling
+    # bucket's key
+    with_b = df.withColumn(
+        "bucket", _srp_bucket_col(planes, vec_col).cast("string")
+    )
     if max_bucket_size is not None:
         import logging
 
@@ -415,17 +428,29 @@ def embedding_cosine_pairs(
             # finalizer's pattern)
             with_b = with_b.localCheckpoint(eager=True)
             prev_wb.unpersist()
-    a = with_b.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+    # per-VECTOR norm computed once before the pair join: cosine_cols
+    # would re-evaluate both norms per PAIR (an O(dim) interpreted fold
+    # each), tripling the per-pair work; same expression over the same
+    # floats, so the quotient is bit-identical
+    with_n = with_b.withColumn("_nrm", _norm(F.col(vec_col)))
+    a = with_n.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("_na"), "bucket",
     )
-    b = with_b.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
+    b = with_n.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("_nb"), "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", cosine_cols(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos",
+            _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("cos") >= threshold)
+        # no distinct: every vector carries exactly ONE bucket key, so a
+        # pair can appear at most once -- the old distinct was a full
+        # shuffle + aggregation of the result for nothing
         .select("a", "b", F.round("cos", 6).alias("cos"))
-        .distinct()
     )
