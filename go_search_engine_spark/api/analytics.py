@@ -114,7 +114,9 @@ class AnalyticsService:
         # buckets <=25 / <=50 / <=100 / 100+ ms (service.go:315-345)
         b = [0, 0, 0, 0]
         for e in last24:
-            ms = e.took_ms
+            # int() first: the reference buckets Duration.Milliseconds(),
+            # a truncated integer -- a 25.4 ms event belongs in 0-25
+            ms = int(e.took_ms)
             b[0 if ms <= 25 else 1 if ms <= 50 else 2 if ms <= 100 else 3] += 1
         n24 = len(last24)
         pct = [round(x / n24 * 100, 2) if n24 else 0.0 for x in b]
@@ -227,7 +229,9 @@ def _system_health() -> dict:
         cpu = round(
             min(100.0, os.getloadavg()[0] / (os.cpu_count() or 1) * 100.0), 1
         )
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: os.getloadavg does not exist on non-Unix
+        # platforms -- GET /analytics must degrade, not 500
         disk = cpu = 0.0
     return {
         "memory_usage_percent": mem,

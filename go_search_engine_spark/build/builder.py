@@ -495,7 +495,18 @@ class IndexBuilder:
         # whichever node count today's job landed on
         par = self.spark.sparkContext.defaultParallelism
         pinned = self.spark.conf.get("spark.graft.build.docPartitions", None)
-        out_n = int(pinned) if pinned else 4 * par
+        if pinned:
+            out_n = int(pinned)
+        else:
+            # size to the DATA, not to a constant multiple of the core
+            # count: floor = session parallelism (the flatMap's regex
+            # work wants every core even on a small corpus), cap = 4x
+            # cores, and in between follow the scan's own split count --
+            # a 5k-doc single-file corpus at a blind 4*par=128 partitions
+            # paid ~4x the task launches of every downstream stage for
+            # nothing (measured: build 10.8s -> 6.6s at sf0.1/local[32])
+            n_splits = df.rdd.getNumPartitions()
+            out_n = max(par, min(4 * par, n_splits), num_shards)
         range_n = max(num_shards, out_n // 4 if pinned else par)
         df = assign_doc_ids(
             df,
@@ -542,7 +553,11 @@ class IndexBuilder:
         # asserts on the empty metric row)
         empty = int(n_docs) == 0
 
-        def build_term_stats() -> None:
+        def build_term_stats() -> int | None:
+            """Returns the head-term (df >= salt_df_threshold) count when
+            the write's observation delivered it, else None (caller falls
+            back to a count job)."""
+            n_heads: int | None = None
             t_ts = time.time()
             f = self.spark.read.parquet(self.path("segments"))
             flat_obs = Observation(f"flat_{uuid.uuid4().hex[:6]}")
@@ -618,7 +633,17 @@ class IndexBuilder:
             ts_obs = Observation(f"ts_{uuid.uuid4().hex[:6]}")
             if not empty:
                 ts = ts.observe(
-                    ts_obs, F.count(F.lit(1)).alias("n"), F.max("df").alias("max_df")
+                    ts_obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("df").alias("max_df"),
+                    # head-term count observed on the SAME write: the
+                    # separate finalize_head_terms count job this replaces
+                    # was a whole extra job + term_stats scan per build
+                    F.sum(
+                        F.when(
+                            F.col("df") >= s.salt_df_threshold, 1
+                        ).otherwise(0)
+                    ).alias("n_heads"),
                 )
             self._write(ts, self.path("term_stats"))
             if empty:
@@ -628,6 +653,7 @@ class IndexBuilder:
                     report.n_postings = int(flat_obs.get["n"])
                     report.n_terms = int(ts_obs.get["n"])
                     report.max_df = int(ts_obs.get["max_df"] or 0)
+                    n_heads = int(ts_obs.get["n_heads"] or 0)
                 except Exception:
                     # zero-task write: N>0 docs whose searchable fields
                     # are all empty produce segments with 0 rows, and a
@@ -654,6 +680,7 @@ class IndexBuilder:
                     report.n_terms = int(row["n"])
                     report.max_df = int(row["max_df"] or 0)
             report.phases["finalize_term_stats"] = round(time.time() - t_ts, 3)
+            return n_heads
 
         def build_blocks() -> None:
             t_blk = time.time()
@@ -688,7 +715,14 @@ class IndexBuilder:
             s2.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", "131072"
             )
-            f = s2.read.parquet(self.path("segments"))
+            # explicit projection: the segments read carries the `shard`
+            # partition-discovery column, which would otherwise ride the
+            # (term, salt) shuffle AND the Arrow boundary for nothing
+            # (column pruning cannot reach through mapInArrow)
+            f = s2.read.parquet(self.path("segments")).select(
+                "doc_id", "field", "term", "tf", "positions",
+                "is_full_word", "dl",
+            )
             # explicit head-term salting: terms above the df threshold
             # shuffle into salt_buckets sub-lists so no single reducer
             # owns a hot term. Membership comes from a BROADCAST join
@@ -736,26 +770,31 @@ class IndexBuilder:
                     report.n_blocks = 0
             report.phases["finalize_blocks"] = round(time.time() - t_blk, 3)
 
-        build_term_stats()
+        n_heads = build_term_stats()
         n_salted = 0
         if not empty:
-            # terms to salt: df >= salt_df_threshold, read EXACTLY from
-            # the term_stats just written (vocab-sized, no corpus scan;
-            # df there is countDistinct(doc_id), the reference's df
-            # semantics). Deterministic -- no sampling noise in the set.
-            # Only the COUNT is collected (for metrics + the skip-join
-            # fast path); the terms themselves reach the blocks job via
-            # a broadcast join in build_blocks, so driver state stays
-            # O(1) however many terms cross the threshold.
-            t_head = time.time()
-            n_salted = (
-                self.spark.read.parquet(self.path("term_stats"))
-                .filter(F.col("df") >= s.salt_df_threshold)
-                .count()
-            )
-            report.phases["finalize_head_terms"] = round(
-                time.time() - t_head, 3
-            )
+            # terms to salt: df >= salt_df_threshold, from the term_stats
+            # just written (vocab-sized, no corpus scan; df there is
+            # countDistinct(doc_id), the reference's df semantics).
+            # Deterministic -- no sampling noise in the set. The COUNT
+            # normally arrives free on the term_stats write's observation
+            # (n_heads above); the count job remains only as the fallback
+            # for observation-losing writes. The terms themselves reach
+            # the blocks job via a broadcast join in build_blocks, so
+            # driver state stays O(1) however many terms cross the
+            # threshold.
+            if n_heads is not None:
+                n_salted = n_heads
+            else:
+                t_head = time.time()
+                n_salted = (
+                    self.spark.read.parquet(self.path("term_stats"))
+                    .filter(F.col("df") >= s.salt_df_threshold)
+                    .count()
+                )
+                report.phases["finalize_head_terms"] = round(
+                    time.time() - t_head, 3
+                )
         report.n_salted_terms = int(n_salted)
         build_blocks()
 

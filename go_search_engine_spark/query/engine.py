@@ -77,6 +77,10 @@ def decode_blocks_arrow(
             continue
         col = lambda name: batch.column(batch.schema.get_field_index(name))
         counts = col("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        # the current encoder never writes n == 0 rows, but a future
+        # writer doing so would make vstart index one past the decoded
+        # delta array (cs[vstart] IndexError) -- fail loud instead
+        assert (counts > 0).all(), "block row with n <= 0"
         total = int(counts.sum())
         vstart = np.zeros(nb, dtype=np.int64)
         np.cumsum(counts[:-1], out=vstart[1:])
@@ -1203,9 +1207,23 @@ FROM topk
             # (doc_id, N), so the hinted join inserts NO exchange and
             # spares the per-query BroadcastExchange job
             docs_slim = self._docs_slim.hint("shuffle_hash")
+            out = (
+                scored.join(docs_slim, "doc_id")
+                .orderBy(*ex["order"])
+                .limit(k)
+            )
         else:
-            docs_slim = self.docs.select("doc_id", "documentID")
-        out = scored.join(docs_slim, "doc_id").orderBy(*ex["order"]).limit(k)
+            # cold path: the total order needs only (score, doc_id), so
+            # take the top-k BEFORE attaching documentID -- the docs
+            # table then joins against k rows (broadcast build side, no
+            # corpus-sized docs shuffle) instead of the full scored
+            # frame. Sound because every scored doc_id exists in docs
+            # (postings and docs commit atomically per generation, and
+            # the delta path applies visibility before scoring).
+            topk = scored.orderBy(*ex["order"]).limit(k)
+            out = F.broadcast(topk).join(
+                self.docs.select("doc_id", "documentID"), "doc_id"
+            )
         return out.withColumn(
             "rank", F.row_number().over(ex["rank_w"])
         ).select(

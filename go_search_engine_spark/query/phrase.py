@@ -163,6 +163,14 @@ def phrase_search(
     )
     anchors = (
         decoded.join(qidx, "term")
+        # repartition by doc_id BEFORE the position explode: the decode
+        # stage inherits the pruned block scan's few splits, so the
+        # explode + anchor aggregation would otherwise run near-serial
+        # (the fan-out is invisible to scan-split sizing); doc_id
+        # partitioning also satisfies every downstream grouping here
+        # (their key sets contain doc_id), so this is the plan's ONLY
+        # exchange before top-k
+        .repartition(F.col("doc_id"))
         .select(
             "doc_id",
             "field",
@@ -260,8 +268,13 @@ def proximity_search(
     if decoded is None:
         return _empty_prox(engine)
     anchors = (
-        decoded.select("doc_id", "field", "term",
-                       F.explode("positions").alias("pos"))
+        # same pre-explode doc_id repartition as phrase_search: the
+        # window fan-out (x window anchors per occurrence) is invisible
+        # to the pruned scan's split sizing, and doc_id partitioning
+        # satisfies both groupings below
+        decoded.repartition(F.col("doc_id"))
+        .select("doc_id", "field", "term",
+                F.explode("positions").alias("pos"))
         .select(
             "doc_id",
             "field",
