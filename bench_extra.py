@@ -178,6 +178,81 @@ def cmd_wand() -> None:
     spark.stop()
 
 
+def cmd_warm150() -> None:
+    """Round-5 VERDICT asks #5/#6, measured here because bench.py is
+    frozen for the round: (a) PARTIAL-warm latency at the 150k-doc index
+    (~25% of postings warmed; hot-set queries should route through the
+    warm SQL template, cold-term queries keep the pruned scan), and
+    (b) rep-level warm timings so the warm-exhaustive p95 tail is
+    attributable (single outlier vs fat tail)."""
+    import tempfile
+
+    from bench import _cal_sec
+    from go_search_engine_spark.query.engine import SearchEngine
+    from go_search_engine_spark.query.wand import wand_topk
+    from go_search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="warm150", cpus=CPUS,
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    wh = os.path.join(tempfile.gettempdir(), "gse_latency_wh_v1_150000")
+    eng = SearchEngine(spark, wh, "lat150k")
+    out: dict = {"cal_start": _cal_sec()}
+
+    def reps(fn, n=12):
+        fn()  # plan-compile rep excluded, reported separately
+        t0 = time.time(); fn(); compile_rep = round(time.time() - t0, 4)
+        xs = []
+        for _ in range(n):
+            sec, _ = timed(fn)
+            xs.append(round(sec, 4))
+        return {"first_after_warmup": compile_rep, "reps": xs,
+                "p50": sorted(xs)[len(xs) // 2], "max": max(xs)}
+
+    sweep = ["tokenizer buffer stream", "func return err",
+             "posting list merge", "index builder", "var channel mutex"]
+
+    # (b) FULL warm, rep-level per query
+    info = eng.warm()
+    out["full_warm_info"] = {k: info[k] for k in
+                            ("warm_terms", "warm_postings",
+                             "fraction_in_memory") if k in info}
+    out["full_warm"] = {
+        q: reps(lambda q=q: eng.search(q, k=10,
+                                       typo_tolerance=False).collect(),
+                n=8)
+        for q in sweep
+    }
+
+    # (a) PARTIAL warm: ~25% posting budget
+    info = eng.warm(max_postings=5_000_000)
+    out["partial_warm_info"] = {k: info[k] for k in
+                               ("warm_terms", "warm_postings",
+                                "fraction_in_memory", "sql_template")
+                               if k in info}
+    hot = [q for q in sweep
+           if all(eng._is_warm_term(str(t), int(d))
+                  for t, d in zip(*(lambda c: (c["term"], c["df"]))(
+                      eng.candidate_terms(q.split(), False))))]
+    out["hot_queries"] = hot
+    out["partial_warm_hot"] = {
+        q: reps(lambda q=q: eng.search(q, k=10,
+                                       typo_tolerance=False).collect(),
+                n=8)
+        for q in hot
+    }
+    cold_qs = [q for q in sweep if q not in hot]
+    out["partial_warm_cold"] = {
+        q: reps(lambda q=q: eng.search(q, k=10,
+                                       typo_tolerance=False).collect(),
+                n=8)
+        for q in cold_qs
+    }
+    out["cal_end"] = _cal_sec()
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "time"
     if cmd == "plans":
@@ -186,5 +261,7 @@ if __name__ == "__main__":
         cmd_time(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
     elif cmd == "wand":
         cmd_wand()
+    elif cmd == "warm150":
+        cmd_warm150()
     else:
         raise SystemExit(f"unknown command {cmd}")
