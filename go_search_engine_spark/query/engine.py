@@ -1129,8 +1129,15 @@ FROM topk
                     F.col("_c.idf").alias("idf"),
                 )
             )
-        # cold path: same literal attach for small candidate tables (no
-        # per-query BroadcastExchange), broadcast join above the cap
+        # cold path: repartition by doc_id BEFORE the candidate attach --
+        # the attach's interpreted filter(array)/explode would otherwise
+        # run inside the decode stage's few scan splits (near-serial),
+        # and the attach is narrow so the partitioning survives it,
+        # leaving the whole downstream score pipeline exchange-free
+        # (every clustering key set there contains doc_id)
+        decoded = decoded.repartition(F.col("doc_id"))
+        # literal attach for small candidate tables (no per-query
+        # BroadcastExchange), broadcast join above the cap
         return self.attach_cand(decoded, cand)
 
     # ------------------------------------------------------------------
@@ -1187,15 +1194,10 @@ FROM topk
             )
         ):
             return self._warm_sql_topk(cand, fields, k, n_tokens)
+        # cold mode arrives doc_id-partitioned from scan_candidates (one
+        # exchange satisfying the whole score pipeline); warm mode from
+        # its persisted partitioning -- neither needs an exchange here
         matched = self.scan_candidates(cand, fields)
-        if self._warm_decoded is None:
-            # cold path: one repartition by doc_id up front satisfies every
-            # aggregation/window in score_and_intersect (their clustering
-            # key sets all CONTAIN doc_id), collapsing the pipeline's three
-            # exchanges into one -- the warm path gets the same property
-            # from its persisted doc_id partitioning and must NOT gain an
-            # exchange here
-            matched = matched.repartition(F.col("doc_id"))
         scored = self.score_and_intersect(matched, n_tokens=n_tokens)
         return self.finish_topk(scored, k)
 

@@ -122,11 +122,9 @@ class SearchService:
         fields, tokens, cand = prep or self._prepare(req, cand)
         if not tokens:
             return eng._empty_result()
+        # cold mode arrives doc_id-partitioned from scan_candidates (one
+        # exchange feeding the whole score pipeline)
         matched = eng.scan_candidates(cand, fields)
-        if eng._warm_decoded is None:
-            # cold path: single doc_id exchange feeds the whole score
-            # pipeline (see engine.search_from_cand)
-            matched = matched.repartition(F.col("doc_id"))
         scored = eng.score_and_intersect(matched, n_tokens=len(tokens))
         hits = scored.join(eng.docs, "doc_id")
 

@@ -221,8 +221,12 @@ def wand_topk(
     # score_and_intersect clusters on key sets CONTAINING doc_id, so this
     # single exchange satisfies the whole pipeline (the warm path's
     # partitioning trick, applied to the decode path) -- 3 exchanges -> 1
-    rare_matched = engine.attach_cand(rare_decoded, cand_rare_pd).repartition(
-        F.col("doc_id")
+    # repartition BEFORE the attach so the interpreted candidate-attach
+    # runs at full parallelism rather than inside the decode stage's few
+    # scan splits; attach is narrow, so the doc_id partitioning survives
+    # into score_and_intersect (one exchange for the whole pipeline)
+    rare_matched = engine.attach_cand(
+        rare_decoded.repartition(F.col("doc_id")), cand_rare_pd
     )
     # exact per-doc contribution of the rare token (full entry set present)
     rare_contrib = (
@@ -282,9 +286,16 @@ def wand_topk(
         else:
             oblk = other_blk_all
         other_decoded = decode_blocks(oblk)
-        other_matched = engine.attach_cand(other_decoded, cand_other_pd).join(
+        # order: cheap doc semi-join first (an O(1)-per-row broadcast
+        # probe, fine inside the decode stage's few splits), THEN shuffle
+        # only the survivors by doc_id, THEN the interpreted candidate
+        # attach at full parallelism -- the attach commutes with the doc
+        # filter (it joins on term), and the doc_id partitioning survives
+        # it into score_and_intersect (one exchange total)
+        surv = other_decoded.join(
             F.broadcast(rare_docs.select("doc_id")), "doc_id", "left_semi"
-        ).repartition(F.col("doc_id"))  # one exchange for the whole score
+        ).repartition(F.col("doc_id"))
+        other_matched = engine.attach_cand(surv, cand_other_pd)
         other_scored = (
             engine.score_and_intersect(other_matched, n_tokens=len(tokens) - 1)
             .withColumnRenamed("score", "other_score")
@@ -386,12 +397,13 @@ def wand_topk(
         ls = F.shiftright(F.col("last_doc"), CHUNK_SHIFT)
         pred = reduce(or_, [(fs <= F.lit(c)) & (F.lit(c) <= ls)
                             for c in chunks])
+        # same ordering as exact_scores: cheap literal doc filter in the
+        # decode stage, shuffle survivors, attach at full parallelism
         other_decoded = decode_blocks(other_blk_all.filter(pred))
-        other_matched = (
-            engine.attach_cand(other_decoded, cand_other_pd)
-            .filter(F.col("doc_id").isin(ids))
-            .repartition(F.col("doc_id"))
+        surv = other_decoded.filter(F.col("doc_id").isin(ids)).repartition(
+            F.col("doc_id")
         )
+        other_matched = engine.attach_cand(surv, cand_other_pd)
         other_scored = (
             engine.score_and_intersect(other_matched, n_tokens=len(tokens) - 1)
             .withColumnRenamed("score", "other_score")
