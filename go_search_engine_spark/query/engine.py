@@ -8,7 +8,8 @@ SURVEY.md section 3.1):
   vocab, deterministic cap) --> block scan (term-bucket partition pruning +
   term pushdown) --> Arrow-batched block decode --> exact-skip /
   best-distance-wins (window) --> per-token max penalized BM25 -->
-  AND intersection (groupBy doc having countDistinct(token) == n) -->
+  AND intersection (groupBy doc having token-count == n; rows are
+  per-(token, doc) so a plain count is the distinct count) -->
   join docs --> total-order top-k (score desc, doc_id asc).
 
 Scale notes:
@@ -837,7 +838,9 @@ g3 AS (
 scored AS (
   SELECT doc_id, score, num_typos, number_exact_words FROM (
     SELECT doc_id,
-           count(DISTINCT token) AS _nt,
+           -- g3 rows are unique per (token, doc_id) (its GROUP BY), so
+           -- count(*) IS the distinct-token count; mirrors final_aggs
+           count(*) AS _nt,
            sum(contrib) AS score,
            cast(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS int)
              AS num_typos,
@@ -1286,7 +1289,15 @@ FROM topk
                 ).alias("exact_w"),
             ],
             "final_aggs": [
-                F.countDistinct("token").alias("_nt"),
+                # the final grouping consumes g3's output, which is
+                # grouped by (token, doc_id) -- rows are unique per
+                # (token, doc) BY CONSTRUCTION, so a plain count IS the
+                # distinct-token count. countDistinct would plan an
+                # extra partial-dedup aggregation level over the g3
+                # frame on every query (cold, WAND phases, typo); the
+                # warm SQL template mirrors this (count(*)), which the
+                # bit-exact template-vs-DataFrame tests pin.
+                F.count(F.lit(1)).alias("_nt"),
                 F.sum("contrib").alias("score"),
                 F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
                 .cast("int")

@@ -18,8 +18,9 @@ Plan shape (scale notes):
   partition pruning + ``term IN`` row-group pushdown, same path as the
   BM25 engine) --> Arrow-batched decode WITH positions --> broadcast join
   against the (term, slot) phrase table --> explode positions -->
-  anchor = position - slot --> groupBy(doc, field, anchor) having
-  countDistinct(slot) == n --> per-doc occurrence count.
+  anchor = position - slot --> groupBy(doc, field, anchor) having all n
+  slots present (bit_or slot mask; countDistinct for 64+-token phrases)
+  --> per-doc occurrence count.
 All shuffles are candidate-sized (postings of the phrase terms only);
 the anchor trick turns adjacency into an equi-key aggregation -- no
 self-join per adjacent pair, no window over the token stream.
@@ -161,7 +162,7 @@ def phrase_search(
             [(t, i) for i, t in enumerate(tokens)], "term string, slot int"
         )
     )
-    anchors = (
+    grouped = (
         decoded.join(qidx, "term")
         # repartition by doc_id BEFORE the position explode: the decode
         # stage inherits the pruned block scan's few splits, so the
@@ -179,9 +180,22 @@ def phrase_search(
         )
         .withColumn("anchor", F.col("pos") - F.col("slot"))
         .groupBy("doc_id", "field", "anchor")
-        .agg(F.countDistinct("slot").alias("_ns"))
-        .filter(F.col("_ns") == n)
     )
+    if n <= 63:
+        # a match needs ALL n slots in the (doc, field, anchor) group; a
+        # bit_or of slot bits tests that in ONE aggregation pass and is
+        # duplicate-safe (OR is idempotent). count(DISTINCT slot) planned
+        # an extra partial-dedup level over the exploded position stream
+        # -- the operator's largest frame (150k index, steady: 1.29 ->
+        # 1.16s). Phrases longer than a long's bits keep the distinct
+        # path.
+        anchors = grouped.agg(
+            F.bit_or(F.expr("shiftleft(1L, slot)")).alias("_m")
+        ).filter(F.col("_m") == F.lit((1 << n) - 1))
+    else:
+        anchors = grouped.agg(
+            F.countDistinct("slot").alias("_ns")
+        ).filter(F.col("_ns") == n)
     hits = anchors.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_occurrences")
     )
